@@ -1,0 +1,362 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{GraftQuery, Tables}
+
+/** Relational operator surface over the TPC-H-ish testdata tables.
+  *
+  * These exercise the built-in Spark operators the reference engine lacks
+  * (SURVEY.md §2.7): multi-way joins (broadcast + shuffle), semi/anti joins,
+  * window functions, rollup, scalar subqueries, distinct aggregates, and
+  * event sessionization.
+  *
+  * Oracle-parity discipline: every float aggregate is computed over exact
+  * DECIMAL casts and only converted to DOUBLE at the output boundary, so
+  * Spark and DuckDB produce bit-identical doubles regardless of
+  * accumulation order. Counts stay BIGINT on both sides (DuckDB integer
+  * SUMs are explicitly cast down from HUGEINT).
+  */
+object Relational {
+  // Exact decimal views of the double-typed money/rate columns.
+  private val MONEY = DecimalType(12, 2)
+  private val RATE  = DecimalType(4, 2)
+  private def money(c: Column): Column = c.cast(MONEY)
+  private def rate(c: Column): Column  = c.cast(RATE)
+  private def ts(s: String): Column    = to_timestamp(lit(s))
+
+  def all: Seq[GraftQuery] = Seq(
+    pricingSummary, revenueByNation, shippingPriority, orderPriority,
+    forecastRevenue, customersNoOrders, topCustomersPerSegment,
+    runningOrderTotal, revenueRollup, partTypeStats, aboveAvgParts,
+    sessionize, hourlyEvents, propsExtract)
+
+  /** TPC-H Q1-style pricing summary: single scan, map-side partial agg. */
+  val pricingSummary: GraftQuery = GraftQuery.sql(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val discPrice = money(li("l_extendedprice")) * (lit(1) - rate(li("l_discount")))
+    li.where(li("l_shipdate") <= ts("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(money(li("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(li("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(discPrice * (lit(1) + rate(li("l_tax")))).cast("double").as("sum_charge"),
+        (sum(money(li("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(money(li("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q5-style 6-way join; dims broadcast, fact tables shuffle-join. */
+  val revenueByNation: GraftQuery = GraftQuery.sql(
+    "q02_revenue_by_nation",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM region
+      |JOIN nation   ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders   ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'EUROPE'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+    broadcast(Tables.region(spark, dir).where(col("r_name") === "EUROPE"))
+      .join(broadcast(Tables.nation(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q3-style: join + agg + deterministic top-k. */
+  val shippingPriority: GraftQuery = GraftQuery.sql(
+    "q03_shipping_priority",
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-06-30'
+      |  AND l_shipdate  > TIMESTAMP '1996-06-30'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir).where(col("o_orderdate") < ts("1996-06-30")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).where(col("l_shipdate") > ts("1996-06-30")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q4-style EXISTS → left-semi join. */
+  val orderPriority: GraftQuery = GraftQuery.sql(
+    "q04_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    val returned = Tables.lineitem(spark, dir).where(col("l_returnflag") === "R")
+    o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6-style: highly selective scan-agg; filters push to parquet. */
+  val forecastRevenue: GraftQuery = GraftQuery.sql(
+    "q05_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01")
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum(money(col("l_extendedprice")) * rate(col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** NOT EXISTS → left-anti join (with a pushed-down filter on the right). */
+  val customersNoOrders: GraftQuery = GraftQuery.sql(
+    "q06_customers_no_orders",
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate < TIMESTAMP '1995-07-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).where(col("o_orderdate") < ts("1995-07-01")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Window top-N per group (row_number over exact-decimal spend). */
+  val topCustomersPerSegment: GraftQuery = GraftQuery.sql(
+    "q07_top_customers_per_segment",
+    """SELECT c_mktsegment, c_custkey, spend, rk FROM (
+      |  SELECT c_mktsegment, c_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY SUM(CAST(o_totalprice AS DECIMAL(12,2))) DESC, c_custkey) AS BIGINT) AS rk
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_mktsegment, c_custkey
+      |) WHERE rk <= 3
+      |ORDER BY c_mktsegment, rk""".stripMargin) { (spark, dir) =>
+    val spend = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment", "c_custkey")
+      .agg(sum(money(col("o_totalprice"))).as("spend_dec"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("spend_dec").desc, col("c_custkey"))
+    spend
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        col("spend_dec").cast("double").as("spend"), col("rk"))
+      .orderBy("c_mktsegment", "rk")
+  }
+
+  /** Running total window (exact decimal accumulation). */
+  val runningOrderTotal: GraftQuery = GraftQuery.sql(
+    "q08_running_order_total",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(money(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** ROLLUP over the region→nation hierarchy. */
+  val revenueRollup: GraftQuery = GraftQuery.sql(
+    "q09_revenue_rollup",
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM region
+      |JOIN nation   ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders   ON o_custkey = c_custkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (spark, dir) =>
+    // Dataset.rollup after a join trips Spark 4.1's ambiguous-self-join
+    // detector even though nothing is self-joined (the Expand node duplicates
+    // the grouping attributes); the detection is advisory, so disable it.
+    spark.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+    val joined = broadcast(Tables.region(spark, dir))
+      .join(broadcast(Tables.nation(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select("r_name", "n_name", "o_totalprice")
+    val rolled = joined
+      .rollup("r_name", "n_name")
+      .agg(sum(money(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+    rolled.orderBy(rolled("r_name").asc_nulls_first, rolled("n_name").asc_nulls_first)
+  }
+
+  /** Distinct aggregates + min/max per group. */
+  val partTypeStats: GraftQuery = GraftQuery.sql(
+    "q10_part_type_stats",
+    """SELECT p_brand,
+      |  COUNT(*) AS n_parts,
+      |  COUNT(DISTINCT p_type) AS n_types,
+      |  MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_retail
+      |FROM part
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (spark, dir) =>
+    Tables.part(spark, dir)
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        countDistinct(col("p_type")).as("n_types"),
+        min(col("p_size")).as("min_size"), max(col("p_size")).as("max_size"),
+        sum(money(col("p_retailprice"))).cast("double").as("total_retail"))
+      .orderBy("p_brand")
+  }
+
+  /** Scalar subquery (global mean) → broadcast join against a 1-row agg. */
+  val aboveAvgParts: GraftQuery = GraftQuery.sql(
+    "q11_above_avg_parts",
+    """SELECT p_partkey, p_name, p_retailprice
+      |FROM part
+      |WHERE p_retailprice > (
+      |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) * 1.03 FROM part)
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    val p = Tables.part(spark, dir)
+    val thr = p.agg((sum(money(col("p_retailprice"))).cast("double") / count(lit(1)) * 1.03)
+      .as("thr"))
+    p.join(broadcast(thr), col("p_retailprice") > col("thr"))
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
+  /** Gap-based sessionization (30 min) via lag + cumulative-sum windows. */
+  val sessionize: GraftQuery = GraftQuery.sql(
+    "q12_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+      |), flagged AS (
+      |  SELECT user_id, ts_us, event_id,
+      |    CASE WHEN LAG(ts_us) OVER w IS NULL
+      |           OR ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |), sess AS (
+      |  SELECT user_id,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |), per_sess AS (
+      |  SELECT user_id, session_id, COUNT(*) AS sess_events FROM sess GROUP BY 1, 2
+      |)
+      |SELECT user_id,
+      |  COUNT(*) AS n_sessions,
+      |  CAST(MAX(sess_events) AS BIGINT) AS max_session_events,
+      |  CAST(SUM(sess_events) AS BIGINT) AS n_events
+      |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val prev = lag(col("ts_us"), 1).over(byUser)
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("new_s",
+        when(prev.isNull || (col("ts_us") - prev) > lit(1800000000L), 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("sess_events"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("sess_events")).as("max_session_events"),
+        sum(col("sess_events")).cast("long").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Tumbling 1h window aggregation over the event stream (batch view). */
+  val hourlyEvents: GraftQuery = GraftQuery.sql(
+    "q13_hourly_events",
+    """SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_bucket, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(expr("ts_us div 3600000000").as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("double").as("total_value"))
+      .orderBy("hour_bucket", "event_type")
+  }
+
+  /** Semi-structured props column: regex field extraction + aggregation. */
+  val propsExtract: GraftQuery = GraftQuery.sql(
+    "q14_props_extract",
+    """SELECT event_type,
+      |  COUNT(DISTINCT CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER)) AS n_k,
+      |  CAST(SUM(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(SUM(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val k = regexp_extract(col("props"), "[0-9]+", 0)
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(k.cast("int")).as("n_k"),
+        sum(k.cast("long")).cast("long").as("sum_k"),
+        (sum(k.cast("long")).cast("double") / count(lit(1))).as("avg_k"))
+      .orderBy("event_type")
+  }
+}
