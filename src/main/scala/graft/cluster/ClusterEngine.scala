@@ -1,0 +1,203 @@
+package graft.cluster
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.geo.Mercator
+import graft.ids.ClusterId
+
+/** Spark-native multi-resolution cluster index (reference:
+  * arrow-cluster-engine.ts `load`, SURVEY §3.1).
+  *
+  * Exact mode (this class): the greedy pass is inherently sequential
+  * (first-come order by row id), so the hierarchy is built inside ONE
+  * `mapPartitions` task over a single sorted partition — the executors, not
+  * the driver, do the work, and results are partition-count-invariant by
+  * construction. Fine to ~10M points per build; the scalable grid-binned
+  * variant with different (documented) semantics lives in
+  * [[graft.operators.Spatial]] as a declarative groupBy.
+  *
+  * The resulting per-zoom level table is a persisted Dataset[LevelRow]
+  * keyed by `zoom` — every query below is an ordinary pruned scan of it.
+  */
+final class ClusterIndex private[cluster] (
+    val levels: Dataset[LevelRow],
+    val numPoints: Long,
+    val opts: ClusterOptions) {
+  import levels.sparkSession.implicits._
+
+  def level(zoom: Int): Dataset[LevelRow] = {
+    val z = limitZoom(zoom)
+    levels.filter($"zoom" === z)
+  }
+
+  /** P11: clamp to [minZoom, maxZoom+1] (arrow-cluster-engine.ts:428-433). */
+  def limitZoom(zoom: Int): Int =
+    math.max(opts.minZoom, math.min(math.floor(zoom.toDouble).toInt, opts.maxZoom + 1))
+
+  /** Q1/Q2: clusters and points inside bbox at zoom
+    * (arrow-cluster-engine.ts:126-193). bbox = (minLng, minLat, maxLng,
+    * maxLat); antimeridian-crossing boxes become one OR-of-two-ranges
+    * predicate (same result set as the reference's two-query union).
+    */
+  def getClusters(bbox: (Double, Double, Double, Double), zoom: Int): DataFrame = {
+    val (minLng0, minLat, maxLng0, maxLat) = bbox
+    // P10: bbox normalization (arrow-cluster-engine.ts:130-138)
+    val wholeWorld = maxLng0 - minLng0 >= 360.0
+    val minLng = if (wholeWorld) -180.0 else ((minLng0 + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    val maxLng = if (wholeWorld) 180.0 else ((maxLng0 + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    val minY = Mercator.latY(math.min(math.max(maxLat, -90.0), 90.0)) // north edge = small y
+    val maxY = Mercator.latY(math.min(math.max(minLat, -90.0), 90.0))
+    val lvl = level(zoom)
+    val inY = $"my" >= minY && $"my" <= maxY
+    val inX =
+      if (wholeWorld) lit(true)
+      else if (minLng > maxLng) // crosses the antimeridian → two ranges
+        ($"mx" >= Mercator.lngX(minLng) && $"mx" <= Mercator.lngX(180.0)) ||
+          ($"mx" >= Mercator.lngX(-180.0) && $"mx" <= Mercator.lngX(maxLng))
+      else $"mx" >= Mercator.lngX(minLng) && $"mx" <= Mercator.lngX(maxLng)
+    lvl.filter(inX && inY)
+      .select($"id", $"lng", $"lat", $"point_count", $"is_cluster")
+  }
+
+  /** Q3: direct children of a cluster (arrow-cluster-engine.ts:198-226).
+    * Parent pointers are explicit in the level table, so this is a pruned
+    * equality scan — no spatial candidate pass needed.
+    */
+  def getChildren(clusterId: Long): Dataset[LevelRow] = {
+    val childZoom = ClusterId.originLevel(clusterId, numPoints)
+    levels.filter($"zoom" === childZoom && $"parent_id" === clusterId)
+  }
+
+  /** Q4: all leaves under a cluster with limit/offset
+    * (arrow-cluster-engine.ts:231-235,312-348). Iterative frontier expansion
+    * over the parent edges — bounded by the zoom-level count, each step a
+    * broadcast semi-join. Pagination is by ascending leaf id (deterministic;
+    * the reference paginates in DFS order — documented divergence, its own
+    * tests compare leaves as sorted sets).
+    */
+  def getLeaves(clusterId: Long, limit: Int = 10, offset: Int = 0): DataFrame = {
+    val spark = levels.sparkSession
+    var frontier: Array[Long] = Array(clusterId)
+    var leaves: DataFrame = spark.emptyDataset[LevelRow].toDF
+    var iter = 0
+    val maxIter = opts.maxZoom - opts.minZoom + 2
+    while (frontier.nonEmpty && iter <= maxIter) {
+      val kids = levels.filter($"parent_id".isInCollection(frontier.toSeq)).toDF
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      leaves = leaves.union(kids.filter(!$"is_cluster"))
+      frontier = kids.filter($"is_cluster").select($"id").as[Long].collect()
+      iter += 1
+    }
+    leaves
+      .orderBy($"id")
+      .offset(offset)
+      .limit(limit)
+      .select($"id".as("row_id"), $"lng", $"lat", $"point_count")
+  }
+
+  /** Q5: first zoom at which the cluster expands into >1 children
+    * (arrow-cluster-engine.ts:240-256). Driver loop bounded by maxZoom.
+    */
+  def getClusterExpansionZoom(clusterId: Long): Int = {
+    var cid = clusterId
+    var expansionZoom = ClusterId.originLevel(cid, numPoints) - 1
+    var done = false
+    while (!done && expansionZoom <= opts.maxZoom) {
+      val children = getChildren(cid).select($"id", $"is_cluster")
+        .collect()
+      expansionZoom += 1
+      if (children.length != 1) done = true
+      else {
+        val head = children.head
+        if (!head.getBoolean(1)) done = true
+        else cid = head.getLong(0)
+      }
+    }
+    expansionZoom
+  }
+
+  /** Q8: all descendant cluster ids (BFS over parent edges,
+    * arrow-cluster-layer.ts:305-334).
+    */
+  def getDescendants(clusterId: Long): Array[Long] = {
+    var frontier = Array(clusterId)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var iter = 0
+    val maxIter = opts.maxZoom - opts.minZoom + 2
+    while (frontier.nonEmpty && iter <= maxIter) {
+      val kids = levels.filter($"parent_id".isInCollection(frontier.toSeq) && $"is_cluster")
+        .select($"id").as[Long].collect()
+      acc ++= kids
+      frontier = kids
+      iter += 1
+    }
+    acc.toArray
+  }
+
+  /** Q7: materialize the original rows under a cluster — join leaf row-ids
+    * back to the source (late materialization; picking.ts:14-51).
+    */
+  def materializeLeaves(clusterId: Long, source: DataFrame, rowIdCol: String,
+      limit: Int = 10, offset: Int = 0): DataFrame = {
+    val leafIds = getLeaves(clusterId, limit, offset).select($"row_id")
+    source.join(broadcast(leafIds), source(rowIdCol) === leafIds("row_id"), "inner")
+  }
+
+  def indexedPointCount: Long = numPoints
+
+  def persist(): this.type = { levels.persist(StorageLevel.MEMORY_AND_DISK); this }
+  def unpersist(): this.type = { levels.unpersist(); this }
+}
+
+object ClusterEngine {
+
+  /** Build the hierarchy (reference `load`, SURVEY §3.1).
+    *
+    * @param points    any DataFrame with lng/lat columns
+    * @param lngCol    longitude column name
+    * @param latCol    latitude column name
+    * @param idCol     stable row-id column (None → assigned by input order,
+    *                  which in exact mode is the sorted single partition)
+    * @param filterMask P3: predicate applied before indexing — by
+    *                  construction `load(df, mask=p)` ≡ `load(df.where(p))`
+    */
+  def load(
+      points: DataFrame,
+      opts: ClusterOptions = ClusterOptions(),
+      lngCol: String = "lng",
+      latCol: String = "lat",
+      idCol: Option[String] = None,
+      filterMask: Option[Column] = None): ClusterIndex = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val masked = filterMask.fold(points)(points.where(_))
+    val lng = col(lngCol)
+    val lat = col(latCol)
+    // P2: null/NaN geometry silently excluded (arrow-cluster-engine.ts:84-91)
+    val clean = masked
+      .where(lng.isNotNull && lat.isNotNull && !isnan(lng) && !isnan(lat))
+    val withId = idCol match {
+      case Some(c) => clean.select(col(c).cast("long").as("row_id"),
+        lng.cast("double").as("lng"), lat.cast("double").as("lat"))
+      case None => clean.select(lng.cast("double").as("lng"), lat.cast("double").as("lat"))
+        .coalesce(1)
+        .withColumn("row_id", monotonically_increasing_id())
+        .select($"row_id", $"lng", $"lat")
+    }
+    // Exact mode: one sorted partition → the greedy pass runs as a single
+    // executor task; results are independent of upstream partitioning.
+    val single = withId.as[(Long, Double, Double)]
+      .repartition(1)
+      .sortWithinPartitions($"row_id")
+    val levels = single.mapPartitions { it =>
+      val pts = it.toArray
+      GreedyCore.buildLevels(pts, opts)
+    }
+    val cached = levels.persist(StorageLevel.MEMORY_AND_DISK)
+    val total = cached.filter(col("zoom") === opts.maxZoom + 1).count()
+    new ClusterIndex(cached, total, opts)
+  }
+}

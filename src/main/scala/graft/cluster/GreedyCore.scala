@@ -1,0 +1,233 @@
+package graft.cluster
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.geo.Mercator
+import graft.ids.ClusterId
+
+/** Engine options (reference defaults: arrow-cluster-engine.ts:41-47). */
+final case class ClusterOptions(
+    minZoom: Int = 0,
+    maxZoom: Int = 16,
+    radius: Double = 40.0,
+    extent: Double = 512.0,
+    minPoints: Int = 2) {
+  require(maxZoom <= 30 && maxZoom >= minZoom && minZoom >= 0, "bad zoom range")
+  require(maxZoom + 1 < 32, "cluster-ID packing needs creationZoom+1 < 32")
+}
+
+/** One record of one zoom level — the engine's level schema and the
+  * `getClusters` output schema rolled into one (SURVEY §1.3/§1.4).
+  *
+  * For leaves, (lng, lat) are the ORIGINAL source coordinates (the
+  * reference's no-trig singleton fast path, arrow-cluster-engine.ts:175-181);
+  * for clusters they are the inverse-projected weighted centroid.
+  */
+final case class LevelRow(
+    zoom: Int,
+    mx: Double,
+    my: Double,
+    id: Long,
+    parent_id: Long,
+    point_count: Long,
+    is_cluster: Boolean,
+    lng: Double,
+    lat: Double)
+
+/** Single-pass greedy hierarchical clustering, semantics per the reference
+  * algorithm (arrow-cluster-engine.ts:354-416): for each unprocessed point
+  * in index order at zoom z, fuse all unprocessed neighbors within
+  * r = radius/(extent·2^z) into a weighted-centroid cluster when the fused
+  * count reaches minPoints; otherwise pass the point through unchanged.
+  *
+  * This core is deliberately Spark-free: it runs inside one `mapPartitions`
+  * task (exact mode) or per spatial partition (scale mode, see
+  * [[ClusterEngine]]). Data is struct-of-arrays; the spatial index is a
+  * uniform grid with cell size r (≤ 9-cell probe replaces the reference's
+  * KD-tree — same result set, simpler construction).
+  *
+  * Precision contract (SURVEY §1.3): input coords are f32-quantized
+  * (`Mercator.fround`); neighbor distances are computed against quantized
+  * coordinates (the reference stores f32 in its KD-tree) while cluster
+  * centroids stay f64 in the data arrays.
+  */
+object GreedyCore {
+  private val UNPROCESSED = Int.MaxValue
+
+  /** Mutable working state for one zoom level. */
+  final class Level(n: Int) {
+    val xs = new ArrayBuffer[Double](n)
+    val ys = new ArrayBuffer[Double](n)
+    val ids = new ArrayBuffer[Long](n)
+    val counts = new ArrayBuffer[Long](n)
+    val parents = new ArrayBuffer[Long](n)
+    val zooms = new ArrayBuffer[Int](n)
+    val origLng = new ArrayBuffer[Double](n)
+    val origLat = new ArrayBuffer[Double](n)
+    def size: Int = xs.length
+    def add(x: Double, y: Double, id: Long, count: Long, parent: Long,
+        zoom: Int, oLng: Double, oLat: Double): Unit = {
+      xs += x; ys += y; ids += id; counts += count; parents += parent
+      zooms += zoom; origLng += oLng; origLat += oLat
+    }
+    def copyRecord(from: Level, i: Int): Unit =
+      add(from.xs(i), from.ys(i), from.ids(i), from.counts(i), from.parents(i),
+        from.zooms(i), from.origLng(i), from.origLat(i))
+  }
+
+  /** Uniform grid over f32-quantized coords; `within` returns all indices at
+    * squared distance ≤ r² from the (unquantized) query point, in index
+    * order (deterministic).
+    */
+  private final class Grid(level: Level, r: Double) {
+    private val cells = new java.util.HashMap[Long, ArrayBuffer[Int]]()
+    private val invR = 1.0 / r
+    private val r2 = r * r
+    private def key(cx: Int, cy: Int): Long = (cx.toLong << 32) | (cy & 0xffffffffL)
+    locally {
+      var i = 0
+      val n = level.size
+      while (i < n) {
+        val cx = math.floor(Mercator.fround(level.xs(i)) * invR).toInt
+        val cy = math.floor(Mercator.fround(level.ys(i)) * invR).toInt
+        var lst = cells.get(key(cx, cy))
+        if (lst == null) { lst = new ArrayBuffer[Int](4); cells.put(key(cx, cy), lst) }
+        lst += i
+        i += 1
+      }
+    }
+    def within(x: Double, y: Double, out: ArrayBuffer[Int]): Unit = {
+      out.clear()
+      val cx = math.floor(x * invR).toInt
+      val cy = math.floor(y * invR).toInt
+      var dx = -1
+      while (dx <= 1) {
+        var dy = -1
+        while (dy <= 1) {
+          val lst = cells.get(key(cx + dx, cy + dy))
+          if (lst != null) {
+            var j = 0
+            while (j < lst.length) {
+              val i = lst(j)
+              val ddx = Mercator.fround(level.xs(i)) - x
+              val ddy = Mercator.fround(level.ys(i)) - y
+              if (ddx * ddx + ddy * ddy <= r2) out += i
+              j += 1
+            }
+          }
+          dy += 1
+        }
+        dx += 1
+      }
+      // index order keeps the pass deterministic regardless of hash layout
+      val sorted = out.sortInPlace()
+      locally { val _ = sorted }
+    }
+  }
+
+  /** Build all levels z ∈ [minZoom, maxZoom+1] for `points` = (rowId, lng,
+    * lat) in stable order, already null/NaN-filtered. `totalPoints` feeds the
+    * cluster-ID encoding (must equal points.length in exact mode).
+    */
+  def buildLevels(
+      points: Array[(Long, Double, Double)],
+      opts: ClusterOptions): Iterator[LevelRow] = {
+    val totalPoints = points.length.toLong
+    var cur = new Level(points.length)
+    points.foreach { case (rowId, lng, lat) =>
+      cur.add(
+        Mercator.fround(Mercator.lngX(lng)), Mercator.fround(Mercator.latY(lat)),
+        rowId, 1L, -1L, UNPROCESSED, lng, lat)
+    }
+    val out = ArrayBuffer.empty[LevelRow]
+    var z = opts.maxZoom
+    while (z >= opts.minZoom) {
+      val next = clusterPass(cur, z, opts, totalPoints)
+      emit(cur, z + 1, out) // cur's parent stamps are final once the pass ran
+      cur = next
+      z -= 1
+    }
+    emit(cur, opts.minZoom, out)
+    out.iterator
+  }
+
+  private def emit(level: Level, zoom: Int, out: ArrayBuffer[LevelRow]): Unit = {
+    var i = 0
+    val n = level.size
+    while (i < n) {
+      val isCluster = level.origLng(i).isNaN
+      out += LevelRow(
+        zoom, level.xs(i), level.ys(i), level.ids(i), level.parents(i),
+        level.counts(i), isCluster,
+        if (isCluster) Mercator.xLng(level.xs(i)) else level.origLng(i),
+        if (isCluster) Mercator.yLat(level.ys(i)) else level.origLat(i))
+      i += 1
+    }
+  }
+
+  /** One greedy pass: consume level z+1, produce level z (reference
+    * _cluster, arrow-cluster-engine.ts:354-416).
+    */
+  private def clusterPass(
+      cur: Level, z: Int, opts: ClusterOptions, totalPoints: Long): Level = {
+    val r = opts.radius / (opts.extent * math.pow(2.0, z.toDouble))
+    val grid = new Grid(cur, r)
+    val next = new Level(cur.size)
+    val neighbors = new ArrayBuffer[Int](16)
+    var i = 0
+    val n = cur.size
+    while (i < n) {
+      if (cur.zooms(i) > z) {
+        cur.zooms(i) = z
+        val x = cur.xs(i)
+        val y = cur.ys(i)
+        grid.within(x, y, neighbors)
+        val originCount = cur.counts(i)
+        var numPoints = originCount
+        var j = 0
+        while (j < neighbors.length) {
+          val nb = neighbors(j)
+          if (cur.zooms(nb) > z) numPoints += cur.counts(nb)
+          j += 1
+        }
+        if (numPoints > originCount && numPoints >= opts.minPoints) {
+          // fuse: weighted centroid, stamp children's parent pointers
+          var wx = x * originCount
+          var wy = y * originCount
+          val id = ClusterId.encode(i.toLong, z, totalPoints)
+          j = 0
+          while (j < neighbors.length) {
+            val nb = neighbors(j)
+            if (cur.zooms(nb) > z) {
+              cur.zooms(nb) = z
+              wx += cur.xs(nb) * cur.counts(nb)
+              wy += cur.ys(nb) * cur.counts(nb)
+              cur.parents(nb) = id
+            }
+            j += 1
+          }
+          cur.parents(i) = id
+          next.add(wx / numPoints, wy / numPoints, id, numPoints, -1L,
+            UNPROCESSED, Double.NaN, Double.NaN)
+        } else {
+          // pass through unchanged; if the minPoints gate failed, the
+          // probed neighbors also pass through (marked processed)
+          next.copyRecord(cur, i)
+          if (numPoints > 1) {
+            j = 0
+            while (j < neighbors.length) {
+              val nb = neighbors(j)
+              if (cur.zooms(nb) > z) {
+                cur.zooms(nb) = z
+                next.copyRecord(cur, nb)
+              }
+              j += 1
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    next
+  }
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{GraftQuery, Tables}
+import graft.cluster.{ClusterEngine, ClusterOptions}
+import graft.geo.Mercator
+import graft.style.Style
+
+/** Spatial operator surface for the driver contract.
+  *
+  * The testdata has no geo table, so a deterministic synthetic point cloud is
+  * derived from `events` with pure integer/double arithmetic — bit-identical
+  * in Spark and DuckDB, which makes the projection pipeline (P5-P9)
+  * oracle-checkable. Transcendental outputs (ln/sin/atan) are f32-quantized
+  * at the boundary (the reference's own precision contract, SURVEY §1.3) so
+  * libm-vs-JVM 1-ulp differences cannot flip a comparison.
+  *
+  * Greedy hierarchy queries (A1/A2) have no SQL equivalent → rows-only
+  * checks here; their correctness gate is the invariant + metamorphic suite
+  * in ClusterEngineSpec.
+  */
+object Spatial {
+
+  def all: Seq[GraftQuery] = Seq(
+    mercatorProject, gridCluster, styleColumns, greedyHierarchy, hierarchyLevels)
+
+  /** Shared synthetic point cloud: lng/lat as exact centesimal grids. */
+  private def pointsDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      ((col("event_id") % 36000) / 100.0 - 180.0).as("lng"),
+      (((col("user_id") * 9973 + col("event_id")) % 17000) / 100.0 - 85.0).as("lat"))
+
+  private val pointsSql =
+    """SELECT event_id,
+      |  (event_id % 36000) / 100.0 - 180.0 AS lng,
+      |  ((user_id * 9973 + event_id) % 17000) / 100.0 - 85.0 AS lat
+      |FROM events""".stripMargin
+
+  private def projected(spark: SparkSession, dir: String): DataFrame =
+    pointsDf(spark, dir).select(
+      col("event_id"), col("lng"), col("lat"),
+      Mercator.froundCol(Mercator.lngXCol(col("lng"))).as("mx"),
+      Mercator.froundCol(Mercator.latYCol(col("lat"))).as("my"))
+
+  private val projectedSql =
+    s"""SELECT event_id, lng, lat,
+       |  CAST(CAST(lng / 360.0 + 0.5 AS REAL) AS DOUBLE) AS mx,
+       |  CAST(CAST(
+       |    LEAST(GREATEST(
+       |      0.5 - 0.25 * LN((1.0 + SIN(RADIANS(lat))) / (1.0 - SIN(RADIANS(lat)))) / PI(),
+       |      0.0), 1.0)
+       |  AS REAL) AS DOUBLE) AS my
+       |FROM ($pointsSql)""".stripMargin
+
+  /** P5/P6/P9: web-mercator projection with f32 quantization. */
+  val mercatorProject: GraftQuery = GraftQuery.sql(
+    "q15_mercator_project",
+    s"""SELECT * FROM ($projectedSql) ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    projected(spark, dir).orderBy("event_id")
+  }
+
+  // zoom-6 grid cell size: radius/(extent·2^z) = 40/(512·64), exactly 5/4096
+  private val CellZ6 = 40.0 / (512.0 * 64.0)
+
+  /** Scale-path clustering: grid-binned aggregation (the declarative,
+    * shuffle-parallel variant of A1 — semantics differ from greedy by
+    * design; this is the one that survives 100 TB). Weighted centroids are
+    * decimal-exact for oracle parity.
+    */
+  val gridCluster: GraftQuery = GraftQuery.sql(
+    "q16_grid_cluster",
+    s"""SELECT CAST(FLOOR(mx / $CellZ6) AS BIGINT) AS cell_x,
+       |  CAST(FLOOR(my / $CellZ6) AS BIGINT) AS cell_y,
+       |  COUNT(*) AS point_count,
+       |  CAST(SUM(CAST(lng AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS centroid_lng,
+       |  CAST(SUM(CAST(lat AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS centroid_lat
+       |FROM ($projectedSql)
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    projected(spark, dir)
+      .groupBy(
+        floor(col("mx") / CellZ6).cast("long").as("cell_x"),
+        floor(col("my") / CellZ6).cast("long").as("cell_y"))
+      .agg(
+        count(lit(1)).as("point_count"),
+        (sum(col("lng").cast(DecimalType(12, 2))).cast("double") / count(lit(1))).as("centroid_lng"),
+        (sum(col("lat").cast(DecimalType(12, 2))).cast("double") / count(lit(1))).as("centroid_lat"))
+      .orderBy("cell_x", "cell_y")
+  }
+
+  /** D2/D4/D5 styling columns over grid clusters (log radius f32-quantized). */
+  val styleColumns: GraftQuery = GraftQuery.sql(
+    "q17_style_columns",
+    s"""WITH grid AS (
+       |  SELECT CAST(FLOOR(mx / $CellZ6) AS BIGINT) AS cell_x,
+       |    CAST(FLOOR(my / $CellZ6) AS BIGINT) AS cell_y,
+       |    COUNT(*) AS point_count
+       |  FROM ($projectedSql) GROUP BY 1, 2
+       |), tot AS (SELECT COUNT(*) AS total FROM events)
+       |SELECT cell_x, cell_y, point_count,
+       |  CAST(CAST(4.0 + LN(point_count + 1.0) / LN(total + 1.0) * 50.0 AS REAL) AS DOUBLE) AS radius,
+       |  CASE WHEN point_count > 1 THEN CAST(point_count AS VARCHAR) END AS label,
+       |  point_count > 1 AS is_cluster
+       |FROM grid, tot
+       |ORDER BY cell_x, cell_y""".stripMargin) { (spark, dir) =>
+    val grid = projected(spark, dir)
+      .groupBy(
+        floor(col("mx") / CellZ6).cast("long").as("cell_x"),
+        floor(col("my") / CellZ6).cast("long").as("cell_y"))
+      .agg(count(lit(1)).as("point_count"))
+    val tot = Tables.events(spark, dir).agg(count(lit(1)).as("total"))
+    val isCluster = col("point_count") > 1
+    grid.join(broadcast(tot))
+      .select(
+        col("cell_x"), col("cell_y"), col("point_count"),
+        Mercator.froundCol(
+          lit(4.0) + log(col("point_count") + 1.0) / log(col("total") + 1.0) * 50.0)
+          .as("radius"),
+        Style.labelText(isCluster, col("point_count")).as("label"),
+        isCluster.as("is_cluster"))
+      .orderBy("cell_x", "cell_y")
+  }
+
+  /** A1/A2 exact greedy hierarchy + Q1 world query at z4 (no SQL oracle —
+    * validated by ClusterEngineSpec invariants).
+    */
+  val greedyHierarchy: GraftQuery = GraftQuery.rowsOnly("q18_greedy_hierarchy") { (spark, dir) =>
+    val idx = ClusterEngine.load(
+      pointsDf(spark, dir), ClusterOptions(), idCol = Some("event_id"))
+    idx.getClusters((-180.0, -85.0, 180.0, 85.0), 4).orderBy("id")
+  }
+
+  /** Per-zoom level-table profile of the greedy hierarchy. */
+  val hierarchyLevels: GraftQuery = GraftQuery.rowsOnly("q19_hierarchy_levels") { (spark, dir) =>
+    val idx = ClusterEngine.load(
+      pointsDf(spark, dir), ClusterOptions(), idCol = Some("event_id"))
+    idx.levels.groupBy(col("zoom"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when(col("is_cluster"), 1L).otherwise(0L)).as("n_clusters"),
+        sum(col("point_count")).as("total_points"),
+        max(col("point_count")).as("max_cluster_size"))
+      .orderBy("zoom")
+  }
+}
