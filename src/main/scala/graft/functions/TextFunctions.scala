@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Text-analysis / dedup column library for large-scale document pipelines.
+  *
+  * Everything here is a pure Catalyst expression tree (built-in functions +
+  * higher-order lambdas) — no UDFs, so the whole pipeline stays inside
+  * whole-stage codegen and scales linearly with executors. Hashes are md5
+  * (standard, engine-independent) so results are reproducible anywhere.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Type-token ratio — a cheap lexical-diversity quality signal. */
+  def typeTokenRatio(text: Column): Column =
+    distinctTokenCount(text).cast("double") / tokenCount(text)
+
+  /** Characters excluding separators. */
+  def charCountNoSpace(text: Column): Column = length(regexp_replace(text, " ", ""))
+
+  def avgTokenLength(text: Column): Column =
+    charCountNoSpace(text).cast("double") / tokenCount(text)
+
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordCount(text, stopwords).cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]: enough tokens, not stopword soup,
+    * plausible token lengths. Pure arithmetic — deterministic everywhere.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val stopPenalty = lit(1.0) - stopwordRatio(text, stopwords)
+    val diversity = typeTokenRatio(text)
+    lenScore * stopPenalty * (lit(0.5) + diversity * 0.5)
+  }
+
+  val DefaultStopwords: Seq[String] = Seq("a", "the", "of", "to", "and", "in", "is")
+
+  /** Marker-token language ID (n-gram-style heuristic): count hits per
+    * language profile, argmax with a fixed priority tie-break, 'und' when
+    * nothing matches.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "les", "des", "est", "et"))
+
+  def langHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers)))
+
+  def languageId(text: Column): Column = {
+    val hits = LangMarkers.map { case (lang, m) => lang -> langHits(text, m) }
+    val cascade = hits.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, h), i), elseCol) =>
+        val laterHits = hits.drop(i + 1).map(_._2)
+        val isMax = laterHits.foldLeft(h > 0)((acc, other) => acc && h >= other)
+        when(isMax, lit(lang)).otherwise(elseCol)
+    }
+    cascade
+  }
+
+  /** Canonical text form for exact dedup: lowercase, collapsed whitespace. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(text), " +", " ")
+
+  /** Exact-dedup fingerprint (md5 of normalized text). */
+  def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** Order-insensitive bag-of-words signature — catches token permutations. */
+  def bagOfWordsSignature(text: Column): Column =
+    md5(array_join(array_sort(tokens(text)), " ").cast("binary"))
+
+  /** Word n-gram shingles (contiguous, space-joined). */
+  def shingles(text: Column, n: Int): Column = {
+    require(n >= 1 && n <= 8, "shingle size out of range")
+    val t = tokens(text)
+    val idx = sequence(lit(1), size(t) - (n - 1))
+    val make = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))
+    when(size(t) >= n, make).otherwise(array())
+  }
+
+  /** One MinHash band value: min over shingles of md5(band ‖ shingle).
+    * Equal band values across documents ⇒ LSH bucket collision candidates.
+    */
+  def minhashBand(shingleCol: Column, band: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(s"$band:"), s).cast("binary"))))
+
+  /** 16-bit SimHash from token md5s: bit b is the sign of the sum over
+    * tokens of ±1 according to hex digit b of the token hash. Call on an
+    * exploded (doc_id, token-hash) frame via [[simhashBitSums]] +
+    * [[simhashFromBitSums]], which keeps the aggregation map-side
+    * combinable.
+    */
+  def tokenHash(token: Column): Column = md5(token.cast("binary"))
+
+  private val HighHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  def simhashBitSums(h: Column): Seq[Column] =
+    (0 until 16).map { b =>
+      sum(when(substring(h, b + 1, 1).isInCollection(HighHex), 1).otherwise(-1))
+        .as(s"bit$b")
+    }
+
+  def simhashFromBitSums(prefix: String = "bit"): Column =
+    (0 until 16).map { b =>
+      when(col(s"$prefix$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Token-set Jaccard similarity (distinct tokens), exact integer ratio. */
+  def jaccard(tokensA: Column, tokensB: Column): Column =
+    size(array_intersect(tokensA, tokensB)).cast("double") /
+      size(array_union(tokensA, tokensB))
+}
+
+/** Vector similarity column library (embeddings as array<float>).
+  *
+  * Dot products accumulate in DECIMAL so results are independent of
+  * accumulation order — bit-identical across engines and partitionings;
+  * the final cosine is plain IEEE math on those exact sums.
+  */
+object VectorFunctions {
+  // Operand precisions chosen so `acc + x` is (15 + max(20,10) + 1, 15) =
+  // (36,15) — under Spark's 38 cap, so the scale survives and every addition
+  // is exact; the cast back to AccDec only narrows precision (same scale →
+  // no rounding). 10 integer digits bounds per-element products, 20 the sum.
+  private val Dec = DecimalType(25, 15)
+  private val AccDec = DecimalType(35, 15)
+
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
+      lit(java.math.BigDecimal.ZERO).cast(AccDec),
+      (acc, x) => (acc + x).cast(AccDec))
+
+  def normSqExact(a: Column): Column = dotExact(a, a)
+
+  /** Rounded to 12 decimals: the dot products are exact decimals, but the
+    * final sqrt/divide is IEEE double and differs by ~1 ULP across engines;
+    * rounding makes scores (and top-k rank order) engine-independent.
+    */
+  def cosine(a: Column, b: Column): Column =
+    round(
+      dotExact(a, b).cast("double") /
+        (sqrt(normSqExact(a).cast("double")) * sqrt(normSqExact(b).cast("double"))),
+      12)
+
+  /** Sign-sketch LSH bucket: `bits` hyperplanes with deterministic
+    * pseudo-random components h_j[i] = ((i·p_j) mod 1000)/1000 − 0.5.
+    * Documents whose embeddings land in the same bucket are ANN candidates —
+    * the shuffle key for the scale path (bucket join instead of cross join).
+    */
+  def signSketch(a: Column, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 30)
+    val planes = (0 until bits).map { j =>
+      val p = 2654435761L + 40503L * j
+      // dot(a, h_j) with the deterministic plane, exact decimal accumulation
+      val proj = aggregate(
+        zip_with(a, sequence(lit(0), size(a) - 1), (x, i) =>
+          (x.cast("double") *
+            (((i * p) % 1000).cast("double") / 1000.0 - 0.5)).cast(Dec)),
+        lit(java.math.BigDecimal.ZERO).cast(AccDec),
+        (acc, x) => (acc + x).cast(AccDec))
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    planes.reduce(_ + _)
+  }
+}

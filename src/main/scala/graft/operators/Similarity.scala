@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.VectorFunctions
+
+/** Similarity search over the `embeddings` table (array<float> vectors).
+  *
+  * Brute-force cosine top-k is the correctness baseline (exact, oracle-
+  * checked); the sign-sketch LSH variant is the scale path — the cross
+  * join becomes an equi-join on the bucket key, which shuffles instead of
+  * broadcasting the full corpus. Dot products accumulate in DECIMAL so
+  * scores are bit-identical across engines and partitionings.
+  */
+object Similarity {
+
+  def all: Seq[GraftQuery] = Seq(knnBruteForce, embeddingNearDup, annLsh)
+
+  /** DuckDB-side exact dot product of two list<float> columns. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_aggregate(list_transform(range(1, len($a) + 1),
+       |    i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(30,15))),
+       |  'sum')""".stripMargin
+
+  /** Rounded to 12 decimals: the decimal dot products are exact, but the
+    * final double sqrt/divide differs by ~1 ULP between engines; rounding
+    * makes the score (and therefore rank order) engine-independent.
+    */
+  private def cosineSql(a: String, b: String): String =
+    s"""round(CAST(${dotSql(a, b)} AS DOUBLE)
+       |  / (sqrt(CAST(${dotSql(a, a)} AS DOUBLE)) * sqrt(CAST(${dotSql(b, b)} AS DOUBLE))), 12)""".stripMargin
+
+  /** Exact k-NN: brute-force cosine top-5 for a fixed query set. */
+  val knnBruteForce: GraftQuery = GraftQuery.sql(
+    "q28_knn_bruteforce",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${cosineSql("qv", "nv")} AS cos_sim
+       |  FROM q, c WHERE query_id <> neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT * FROM ranked WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("nv")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 5)
+      .orderBy("query_id", "rk")
+  }
+
+  /** Embedding-cosine near-dup pairs above a 0.4 threshold (bounded probe set
+    * on the left: at scale this becomes LSH-candidates → exact rescore).
+    */
+  val embeddingNearDup: GraftQuery = GraftQuery.sql(
+    "q29_embedding_neardup",
+    s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings WHERE vec_id < 100),
+       |b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+       |SELECT id_a, id_b, ${cosineSql("va", "vb")} AS cos_sim
+       |FROM a, b
+       |WHERE id_a < id_b
+       |  AND ${cosineSql("va", "vb")} > 0.4
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.where(col("vec_id") < 100)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    b.join(broadcast(a), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("cos_sim"))
+      .where(col("cos_sim") > 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** ANN via sign-sketch LSH: bucket on 8 deterministic hyperplane signs,
+    * equi-join buckets, exact rescore within bucket, top-3 per query.
+    * (No SQL oracle — the bucket layout is validated by SimilaritySpec;
+    * the rescore math is the same oracle-checked cosine as q28.)
+    */
+  val annLsh: GraftQuery = GraftQuery.rowsOnly("q30_ann_lsh") { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.signSketch(col("embedding"), 8).as("bucket"))
+    val q = emb.where(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("nv")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .orderBy("query_id", "rk")
+  }
+}

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+
+/** Text-analysis + deduplication surface over the `documents` table —
+  * the LLM-data-pipeline operators (token stats, quality scoring,
+  * language ID, fingerprinting, exact/bag-of-words dedup, MinHash bands,
+  * n-gram Jaccard, SimHash).
+  *
+  * All operators are single-scan groupBy/higher-order-function pipelines:
+  * no UDFs, no driver-side loops — at 100 TB each is one map stage plus at
+  * most one shuffle on a hash key. md5 is the cross-engine hash, which
+  * makes even MinHash/SimHash oracle-checkable in DuckDB.
+  */
+object TextOps {
+
+  def all: Seq[GraftQuery] = Seq(
+    tokenStats, qualityScores, langId, fingerprints, exactDedup,
+    minhashSignatures, ngramJaccardPairs, simhash)
+
+  private val Stop = DefaultStopwords.map(s => s"'$s'").mkString(", ")
+
+  val tokenStats: GraftQuery = GraftQuery.sql(
+    "q20_token_stats",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS ttr,
+      |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      distinctTokenCount(col("text")).cast("long").as("n_distinct"),
+      typeTokenRatio(col("text")).as("ttr"),
+      charCountNoSpace(col("text")).cast("long").as("n_chars_nospace"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScores: GraftQuery = GraftQuery.sql(
+    "q21_quality_scores",
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    length(replace(text, ' ', '')) AS nchar
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(tk, x -> x IN ($Stop))) AS DOUBLE) / len(tk) AS stop_ratio,
+       |  CAST(nchar AS DOUBLE) / len(tk) AS avg_token_len,
+       |  LEAST(len(tk) / 50.0, 1.0)
+       |    * (1.0 - CAST(len(list_filter(tk, x -> x IN ($Stop))) AS DOUBLE) / len(tk))
+       |    * (0.5 + CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) * 0.5) AS quality
+       |FROM t
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      stopwordRatio(col("text"), DefaultStopwords).as("stop_ratio"),
+      avgTokenLength(col("text")).as("avg_token_len"),
+      qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val langId: GraftQuery = GraftQuery.sql(
+    "q22_lang_id", {
+      val hitsSql = LangMarkers.map { case (lang, m) =>
+        s"len(list_filter(tk, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS h_$lang"
+      }.mkString(",\n    ")
+      val langs = LangMarkers.map(_._1)
+      val cases = langs.zipWithIndex.map { case (lang, i) =>
+        val later = langs.drop(i + 1).map(l => s"h_$lang >= h_$l")
+        val cond = (s"h_$lang > 0" +: later).mkString(" AND ")
+        s"WHEN $cond THEN '$lang'"
+      }.mkString("\n    ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |    $hitsSql
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |  CASE
+         |    $cases
+         |    ELSE 'und' END AS lang_pred
+         |FROM h
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      languageId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprints: GraftQuery = GraftQuery.sql(
+    "q23_fingerprints",
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp_exact,
+      |  md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp_bow
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp_exact"),
+      bagOfWordsSignature(col("text")).as("fp_bow"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup: hash-groupBy on the bag-of-words signature; the survivor
+    * is the smallest doc_id per group (one shuffle on the signature).
+    */
+  val exactDedup: GraftQuery = GraftQuery.sql(
+    "q24_exact_dedup",
+    """SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS sig,
+      |  COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS canonical_id
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(bagOfWordsSignature(col("text")).as("sig"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .orderBy("sig")
+  }
+
+  /** MinHash+LSH: 4 bands over 3-gram word shingles; equal (band, min_hash)
+    * across documents = LSH bucket collision → near-dup candidate. The
+    * band/bucket layout is exactly the shuffle key a banded LSH join uses
+    * at scale.
+    */
+  val minhashSignatures: GraftQuery = GraftQuery.sql(
+    "q25_minhash_signatures",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |        i -> concat_ws(' ', string_split(text, ' ')[i],
+      |                       string_split(text, ' ')[i+1],
+      |                       string_split(text, ' ')[i+2]))
+      |    ELSE [] END AS sh
+      |  FROM documents
+      |)
+      |SELECT doc_id, band,
+      |  list_aggregate(
+      |    list_transform(sh, x -> md5(concat(CAST(band AS VARCHAR), ':', x))),
+      |    'min') AS min_hash
+      |FROM s, range(0, 4) t(band)
+      |ORDER BY doc_id, band""".stripMargin) { (spark, dir) =>
+    val withShingles = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val bands = (0 until 4).map(b =>
+      struct(lit(b.toLong).as("band"), minhashBand(col("sh"), b).as("min_hash")))
+    withShingles
+      .select(col("doc_id"), explode(array(bands: _*)).as("bm"))
+      .select(col("doc_id"), col("bm.band"), col("bm.min_hash"))
+      .orderBy("doc_id", "band")
+  }
+
+  /** n-gram (token-set) Jaccard similarity: top-20 most similar pairs in a
+    * fixed id window. The all-pairs form is the correctness baseline; at
+    * scale the same score runs over LSH candidates instead of the cross
+    * join.
+    */
+  val ngramJaccardPairs: GraftQuery = GraftQuery.sql(
+    "q26_ngram_jaccard",
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+      |  FROM documents WHERE doc_id < 60
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |ORDER BY jaccard DESC, id_a, id_b
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir).where(col("doc_id") < 60)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
+    val a = d.select(col("doc_id").as("id_a"), col("tk").as("ta"))
+    val b = d.select(col("doc_id").as("id_b"), col("tk").as("tb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("ta"), col("tb")).as("jaccard"))
+      .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  /** 16-bit SimHash per document from token hashes — explode + one
+    * map-side-combinable aggregation (two-stage hash agg at scale).
+    */
+  val simhash: GraftQuery = GraftQuery.sql(
+    "q27_simhash", {
+      val sums = (0 until 16).map(b =>
+        s"SUM(CASE WHEN substr(h, ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS bit$b")
+        .mkString(",\n    ")
+      val hash = (0 until 16).map(b =>
+        s"CASE WHEN bit$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, md5(UNNEST(string_split(text, ' '))) AS h FROM documents
+         |), bits AS (
+         |  SELECT doc_id,
+         |    $sums
+         |  FROM tok GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST($hash AS BIGINT) AS simhash
+         |FROM bits
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), tokenHash(col("t")).as("h"))
+    tok.groupBy(col("doc_id"))
+      .agg(simhashBitSums(col("h")).head, simhashBitSums(col("h")).tail: _*)
+      .select(col("doc_id"), simhashFromBitSums().as("simhash"))
+      .orderBy("doc_id")
+  }
+}
