@@ -153,10 +153,13 @@ object VectorFunctions {
     * rounding makes scores (and top-k rank order) engine-independent.
     */
   def cosine(a: Column, b: Column): Column =
-    round(
-      dotExact(a, b).cast("double") /
-        (sqrt(normSqExact(a).cast("double")) * sqrt(normSqExact(b).cast("double"))),
-      12)
+    cosineFromNormSq(a, b, normSqExact(a).cast("double"), normSqExact(b).cast("double"))
+
+  /** Same score, with norm² precomputed per side (compute it once per
+    * vector BEFORE a pairwise join — 3× fewer decimal reductions per pair).
+    */
+  def cosineFromNormSq(a: Column, b: Column, normSqA: Column, normSqB: Column): Column =
+    round(dotExact(a, b).cast("double") / (sqrt(normSqA) * sqrt(normSqB)), 12)
 
   /** Sign-sketch LSH bucket: `bits` hyperplanes with deterministic
     * pseudo-random components h_j[i] = ((i·p_j) mod 1000)/1000 − 0.5.

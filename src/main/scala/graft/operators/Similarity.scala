@@ -50,12 +50,14 @@ object Similarity {
        |SELECT * FROM ranked WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.normSqExact(col("embedding")).cast("double").as("nsq"))
     val q = emb.where(col("vec_id") < 3)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nsq").as("qn"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("nsq").as("nn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        VectorFunctions.cosine(col("qv"), col("nv")).as("cos_sim"))
+        VectorFunctions.cosineFromNormSq(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= 5)
@@ -75,12 +77,14 @@ object Similarity {
        |  AND ${cosineSql("va", "vb")} > 0.4
        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.normSqExact(col("embedding")).cast("double").as("nsq"))
     val a = emb.where(col("vec_id") < 100)
-      .select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nsq").as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nsq").as("nb"))
     b.join(broadcast(a), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosine(col("va"), col("vb")).as("cos_sim"))
+        VectorFunctions.cosineFromNormSq(col("va"), col("vb"), col("na"), col("nb")).as("cos_sim"))
       .where(col("cos_sim") > 0.4)
       .orderBy("id_a", "id_b")
   }
@@ -93,14 +97,15 @@ object Similarity {
   val annLsh: GraftQuery = GraftQuery.rowsOnly("q30_ann_lsh") { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
-        VectorFunctions.signSketch(col("embedding"), 8).as("bucket"))
+        VectorFunctions.signSketch(col("embedding"), 8).as("bucket"),
+        VectorFunctions.normSqExact(col("embedding")).cast("double").as("nsq"))
     val q = emb.where(col("vec_id") < 50)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
-    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"), col("nsq").as("qn"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("bucket"), col("nsq").as("nn"))
     val scored = q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        VectorFunctions.cosine(col("qv"), col("nv")).as("cos_sim"))
+        VectorFunctions.cosineFromNormSq(col("qv"), col("nv"), col("qn"), col("nn")).as("cos_sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= 3)

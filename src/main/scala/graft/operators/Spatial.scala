@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.{GraftQuery, Tables}
-import graft.cluster.{ClusterEngine, ClusterOptions}
+import graft.cluster.{ClusterEngine, ClusterIndex, ClusterOptions}
 import graft.geo.Mercator
 import graft.style.Style
 
@@ -25,7 +25,26 @@ import graft.style.Style
 object Spatial {
 
   def all: Seq[GraftQuery] = Seq(
-    mercatorProject, gridCluster, styleColumns, greedyHierarchy, hierarchyLevels)
+    mercatorProject, gridCluster, styleColumns, greedyHierarchy, hierarchyLevels,
+    clusterChildren, clusterLeaves, hierarchyNavigation, materializedLeaves)
+
+  /** The hierarchy is built once per data dir and shared by every query on
+    * it (the reference's engine-rebuild gating, C1 — build cost is paid once,
+    * queries are pruned scans of the persisted level table).
+    */
+  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, ClusterIndex]
+  private def index(spark: SparkSession, dir: String): ClusterIndex =
+    indexCache.getOrElseUpdate(dir,
+      ClusterEngine.load(pointsDf(spark, dir), ClusterOptions(), idCol = Some("event_id")).persist())
+
+  /** Largest cluster at `zoom` — a deterministic probe target for the
+    * navigation queries (ties broken by id).
+    */
+  private def largestClusterId(idx: ClusterIndex, zoom: Int): Long =
+    idx.getClusters((-180.0, -85.0, 180.0, 85.0), zoom)
+      .where(col("is_cluster"))
+      .orderBy(desc("point_count"), col("id"))
+      .limit(1).collect()(0).getLong(0)
 
   /** Shared synthetic point cloud: lng/lat as exact centesimal grids. */
   private def pointsDf(spark: SparkSession, dir: String): DataFrame =
@@ -129,15 +148,55 @@ object Spatial {
     * validated by ClusterEngineSpec invariants).
     */
   val greedyHierarchy: GraftQuery = GraftQuery.rowsOnly("q18_greedy_hierarchy") { (spark, dir) =>
-    val idx = ClusterEngine.load(
-      pointsDf(spark, dir), ClusterOptions(), idCol = Some("event_id"))
-    idx.getClusters((-180.0, -85.0, 180.0, 85.0), 4).orderBy("id")
+    index(spark, dir).getClusters((-180.0, -85.0, 180.0, 85.0), 4).orderBy("id")
+  }
+
+  /** Q3: direct children of the largest z3 cluster. */
+  val clusterChildren: GraftQuery = GraftQuery.rowsOnly("q31_cluster_children") { (spark, dir) =>
+    val idx = index(spark, dir)
+    idx.getChildren(largestClusterId(idx, 3))
+      .select(col("id"), col("parent_id"), col("point_count"), col("is_cluster"),
+        col("lng"), col("lat"))
+      .orderBy("id")
+  }
+
+  /** Q4: paginated leaves of the largest z3 cluster (limit 25, offset 5). */
+  val clusterLeaves: GraftQuery = GraftQuery.rowsOnly("q32_cluster_leaves") { (spark, dir) =>
+    val idx = index(spark, dir)
+    idx.getLeaves(largestClusterId(idx, 3), limit = 25, offset = 5)
+  }
+
+  /** Q5 + Q8: expansion zoom and descendant-closure size for the 5 largest
+    * z2 clusters (driver-side loops bounded by the zoom-level count).
+    */
+  val hierarchyNavigation: GraftQuery = GraftQuery.rowsOnly("q33_hierarchy_nav") { (spark, dir) =>
+    import spark.implicits._
+    val idx = index(spark, dir)
+    val tops = idx.getClusters((-180.0, -85.0, 180.0, 85.0), 2)
+      .where(col("is_cluster"))
+      .orderBy(desc("point_count"), col("id"))
+      .limit(5).select(col("id"), col("point_count"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    tops.map { case (cid, cnt) =>
+      (cid, cnt, idx.getClusterExpansionZoom(cid), idx.getDescendants(cid).length.toLong)
+    }.toSeq.toDF("cluster_id", "point_count", "expansion_zoom", "n_descendants")
+      .orderBy("cluster_id")
+  }
+
+  /** Q7: leaves of the largest z3 cluster joined back to the source rows
+    * (late materialization / picking).
+    */
+  val materializedLeaves: GraftQuery = GraftQuery.rowsOnly("q34_materialize_leaves") { (spark, dir) =>
+    val idx = index(spark, dir)
+    idx.materializeLeaves(largestClusterId(idx, 3), pointsDf(spark, dir), "event_id",
+        limit = 25, offset = 0)
+      .select(col("event_id"), col("lng"), col("lat"))
+      .orderBy("event_id")
   }
 
   /** Per-zoom level-table profile of the greedy hierarchy. */
   val hierarchyLevels: GraftQuery = GraftQuery.rowsOnly("q19_hierarchy_levels") { (spark, dir) =>
-    val idx = ClusterEngine.load(
-      pointsDf(spark, dir), ClusterOptions(), idCol = Some("event_id"))
+    val idx = index(spark, dir)
     idx.levels.groupBy(col("zoom"))
       .agg(
         count(lit(1)).as("n_records"),

@@ -19,7 +19,7 @@ object TextOps {
 
   def all: Seq[GraftQuery] = Seq(
     tokenStats, qualityScores, langId, fingerprints, exactDedup,
-    minhashSignatures, ngramJaccardPairs, simhash)
+    minhashSignatures, ngramJaccardPairs, simhash, minhashLshPairs)
 
   private val Stop = DefaultStopwords.map(s => s"'$s'").mkString(", ")
 
@@ -184,6 +184,63 @@ object TextOps {
       .select(col("id_a"), col("id_b"), jaccard(col("ta"), col("tb")).as("jaccard"))
       .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
       .limit(20)
+  }
+
+  /** End-to-end MinHash+LSH near-dup detection: band signatures →
+    * equi-join on (band, min_hash) → distinct candidate pairs → exact
+    * Jaccard rescore. This is the 100 TB dedup shape: the only shuffles are
+    * the bucket equi-join and the final pair dedup — no cross join anywhere.
+    */
+  val minhashLshPairs: GraftQuery = GraftQuery.sql(
+    "q35_minhash_lsh_pairs",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |        i -> concat_ws(' ', string_split(text, ' ')[i],
+      |                       string_split(text, ' ')[i+1],
+      |                       string_split(text, ' ')[i+2]))
+      |    ELSE [] END AS sh
+      |  FROM documents
+      |), sig AS (
+      |  SELECT doc_id, band,
+      |    list_aggregate(
+      |      list_transform(sh, x -> md5(concat(CAST(band AS VARCHAR), ':', x))),
+      |      'min') AS mh
+      |  FROM s, range(0, 4) t(band)
+      |  WHERE len(sh) > 0
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh
+      |    AND a.doc_id < b.doc_id
+      |), d AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents
+      |)
+      |SELECT id_a, id_b,
+      |  CAST(len(list_intersect(da.tk, db.tk)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(da.tk, db.tk))) AS jaccard
+      |FROM cand
+      |JOIN d da ON da.doc_id = id_a
+      |JOIN d db ON db.doc_id = id_b
+      |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val withShingles = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val bands = (0 until 4).map(b =>
+      struct(lit(b.toLong).as("band"), minhashBand(col("sh"), b).as("mh")))
+    val sig = withShingles
+      .select(col("doc_id"), explode(array(bands: _*)).as("bm"))
+      .select(col("doc_id"), col("bm.band"), col("bm.mh"))
+    val cand = sig.select(col("doc_id").as("id_a"), col("band"), col("mh"))
+      .join(sig.select(col("doc_id").as("id_b"), col("band"), col("mh")), Seq("band", "mh"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val d = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
+    cand
+      .join(d.select(col("doc_id").as("id_a"), col("tk").as("ta")), Seq("id_a"))
+      .join(d.select(col("doc_id").as("id_b"), col("tk").as("tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("ta"), col("tb")).as("jaccard"))
+      .orderBy("id_a", "id_b")
   }
 
   /** 16-bit SimHash per document from token hashes — explode + one
