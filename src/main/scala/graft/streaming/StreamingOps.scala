@@ -1,0 +1,185 @@
+package graft.streaming
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Typed event-stream record (the `events` table shape with a proper
+  * micros timestamp).
+  */
+final case class Event(
+    event_id: Long,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    ts_t: Instant)
+
+/** One closed user session: gap-based (30 min), start = first event time.
+  * Boundary semantics match Spark's session_window exactly: an event extends
+  * the session iff its gap to the previous event is STRICTLY less than the
+  * session gap — so the declarative and stateful paths share one oracle.
+  */
+final case class SessionOut(
+    user_id: Long,
+    session_start: Instant,
+    n_events: Long,
+    total_value: Double)
+
+/** Accumulating state for one user's open session. */
+final case class SessionState(
+    start: Long, // epoch micros of first event
+    last: Long, // epoch micros of latest event
+    n: Long,
+    totalCents: Long) // value summed in cents — exact, order-independent
+
+/** Structured-Streaming surface (SURVEY §2.7: the reference has no streaming
+  * concept; Spark's native primitives fill the gap).
+  *
+  * Every transform here is source-agnostic: pass a streaming frame
+  * (`readStream`) and it plans incrementally with watermark-based state
+  * eviction; pass a batch frame and Catalyst runs the identical logical
+  * plan — which is exactly how the DuckDB oracle checks it.
+  */
+object StreamingOps {
+
+  val SessionGap = "30 minutes"
+  private val SessionGapUs = 1800L * 1000000L
+
+  /** Tumbling-window counts/sums per event type. On a streaming frame with
+    * `withWatermark`, state for windows older than the watermark is evicted —
+    * the unbounded-runtime requirement at 100 TB/day event volumes.
+    */
+  def hourlyEventStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Declarative gap-based sessionization — Spark's native session_window
+    * (works identically over batch and streaming input).
+    */
+  def sessionWindowStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts_t"), SessionGap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
+      .select(
+        col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
+  /** Typed batch sessionization over KeyValueGroupedDataset — the same
+    * semantics as [[statefulSessionize]], without streaming state (one
+    * shuffle on user_id, per-group sort; for skewed users at scale, prefer
+    * [[sessionWindowStats]] which pre-aggregates partial sessions).
+    */
+  def typedSessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (uid, it) =>
+      val sorted = it.toArray.sortBy(e => (micros(e.ts_t), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var st: Option[SessionState] = None
+      sorted.foreach { e =>
+        val us = micros(e.ts_t)
+        st match {
+          case Some(s) if us - s.last < SessionGapUs =>
+            st = Some(s.copy(last = us, n = s.n + 1,
+              totalCents = s.totalCents + math.round(e.value * 100)))
+          case cur =>
+            cur.foreach(s => out += closeSession(uid, s))
+            st = Some(SessionState(us, us, 1, math.round(e.value * 100)))
+        }
+      }
+      st.foreach(s => out += closeSession(uid, s))
+      out.iterator
+    }
+  }
+
+  private def micros(t: Instant): Long =
+    t.getEpochSecond * 1000000L + t.getNano / 1000L
+
+  private def closeSession(uid: Long, s: SessionState): SessionOut =
+    SessionOut(uid,
+      Instant.ofEpochSecond(s.start / 1000000L, (s.start % 1000000L) * 1000L),
+      s.n, s.totalCents / 100.0)
+
+  /** Custom stateful sessionization for streams: one GroupState per user,
+    * closed either by a new event beyond the gap or by event-time timeout
+    * once the watermark passes last+gap. State is O(open sessions), not
+    * O(events) — the mapGroupsWithState pattern for arbitrary session
+    * aggregates that session_window can't express.
+    *
+    * Requires `events.withWatermark("ts_t", ...)` upstream and
+    * OutputMode.Append.
+    */
+  def statefulSessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          if (sys.env.contains("GRAFT_DEBUG_SESSIONS"))
+            // scalastyle:off println
+            println(s"[fMGWS] uid=$uid timedOut=${state.hasTimedOut} state=${state.getOption} wm=${state.getCurrentWatermarkMs()}")
+          if (state.hasTimedOut) {
+            state.getOption.foreach(s => out += closeSession(uid, s))
+            state.remove()
+          } else {
+            val sorted = it.toArray.sortBy(e => (micros(e.ts_t), e.event_id))
+            var st = state.getOption
+            sorted.foreach { e =>
+              val us = micros(e.ts_t)
+              st match {
+                case Some(s) if us - s.last < SessionGapUs =>
+                  st = Some(s.copy(last = us, n = s.n + 1,
+                    totalCents = s.totalCents + math.round(e.value * 100)))
+                case cur =>
+                  cur.foreach(s => out += closeSession(uid, s))
+                  st = Some(SessionState(us, us, 1, math.round(e.value * 100)))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + SessionGapUs) / 1000L)
+            }
+          }
+          out.iterator
+      }
+  }
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Execute `transform` over the events parquet as a REAL stream — file
+    * source, Trigger.AvailableNow, memory sink — and return the final
+    * result table. Complete mode: with finite input, append mode would
+    * withhold windows the closing watermark never passes.
+    */
+  def runFileStream(
+      spark: SparkSession,
+      dir: String,
+      transform: DataFrame => DataFrame): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the streaming file source needs a directory or glob, not a plain file
+    // path; the testdata layout is one file per table, so glob the file
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.*")
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val name = s"graft_stream_${runCounter.incrementAndGet()}"
+    val q = transform(raw).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Event, SessionOut, StreamingOps}
+
+/** Streaming semantics: the stateful (flatMapGroupsWithState) sessionizer
+  * must agree with the typed batch sessionizer on the same events, and
+  * watermark-driven timeouts must flush open sessions.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ev(id: Long, uid: Long, minute: Long, value: Double): Event =
+    Event(id, uid, "click", value,
+      Instant.parse("2024-01-01T00:00:00Z").plusSeconds(minute * 60))
+
+  // user 1: two sessions (gap 45 min > 30); user 2: one session
+  private val fixture = Seq(
+    ev(0, 1, 0, 1.0), ev(1, 1, 10, 2.0), ev(2, 1, 20, 3.0),
+    ev(3, 1, 65, 4.0), ev(4, 1, 70, 5.0),
+    ev(5, 2, 5, 10.0))
+
+  test("stateful streaming sessionize equals typed batch sessionize") {
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val sessions = StreamingOps.statefulSessionize(
+      input.toDS().withWatermark("ts_t", "0 seconds"))
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // feed two event-time-ordered batches (an event older than the
+      // watermark would be dropped as late data), then a far-future
+      // sentinel to push the watermark past every open session's timeout
+      input.addData(fixture.filter(_.ts_t.getEpochSecond <= 1704068400L)) // ≤ 00:20
+      q.processAllAvailable()
+      input.addData(fixture.filter(_.ts_t.getEpochSecond > 1704068400L))
+      q.processAllAvailable()
+      input.addData(ev(99, 999, 10000, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sessions_out").as[SessionOut].collect()
+      .filter(_.user_id != 999).sortBy(s => (s.user_id, s.session_start.toString)).toSeq
+    val batch = StreamingOps.typedSessionize(fixture.toDS()).collect()
+      .sortBy(s => (s.user_id, s.session_start.toString)).toSeq
+    assert(streamed == batch)
+    assert(batch.map(s => (s.user_id, s.n_events, s.total_value)) ==
+      Seq((1L, 3L, 6.0), (1L, 2L, 9.0), (2L, 1L, 10.0)))
+  }
+
+  test("session_window stats agree with typed sessionize on the fixture") {
+    val df = fixture.toDS().toDF()
+    val viaWindow = StreamingOps.sessionWindowStats(df)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    val viaTyped = StreamingOps.typedSessionize(fixture.toDS())
+      .orderBy("user_id", "session_start")
+      .collect().map(s => (s.user_id, s.n_events, s.total_value)).toSeq
+    assert(viaWindow == viaTyped)
+  }
+
+  test("windowed streaming aggregation equals batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val q = StreamingOps.hourlyEventStats(input.toDS().toDF())
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Complete)
+      .start()
+    try {
+      input.addData(fixture)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("hourly_out")
+      .orderBy("hour_start", "event_type").collect().toSeq
+    val batch = StreamingOps.hourlyEventStats(fixture.toDS().toDF())
+      .orderBy("hour_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
