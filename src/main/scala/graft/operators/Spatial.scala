@@ -26,7 +26,8 @@ object Spatial {
 
   def all: Seq[GraftQuery] = Seq(
     mercatorProject, gridCluster, styleColumns, greedyHierarchy, hierarchyLevels,
-    clusterChildren, clusterLeaves, hierarchyNavigation, materializedLeaves)
+    clusterChildren, clusterLeaves, hierarchyNavigation, materializedLeaves,
+    geoParquetRoundtrip)
 
   /** The hierarchy is built once per data dir and shared by every query on
     * it (the reference's engine-rebuild gating, C1 — build cost is paid once,
@@ -181,6 +182,33 @@ object Spatial {
       (cid, cnt, idx.getClusterExpansionZoom(cid), idx.getDescendants(cid).length.toLong)
     }.toSeq.toDF("cluster_id", "point_count", "expansion_zoom", "n_descendants")
       .orderBy("cluster_id")
+  }
+
+  /** S4: GeoParquet sink round-trip — write the point cloud as GeoParquet
+    * (ZSTD + `geo` footer metadata), read it back, and report count + bbox
+    * + the geo version actually parsed from the written footer. The oracle
+    * recomputes count/bbox from the source, so a broken write or a missing
+    * footer fails the compare.
+    */
+  val geoParquetRoundtrip: GraftQuery = GraftQuery.sql(
+    "q42_geoparquet_roundtrip",
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MIN(lng) AS min_lng, MIN(lat) AS min_lat,
+       |  MAX(lng) AS max_lng, MAX(lat) AS max_lat,
+       |  '1.1.0' AS geo_version
+       |FROM ($pointsSql)""".stripMargin) { (spark, dir) =>
+    val out = java.nio.file.Files.createTempDirectory("graft_geo_rt").toString + "/pts"
+    val src = pointsDf(spark, dir)
+      .select(col("event_id"), array(col("lng"), col("lat")).as("geometry"))
+    graft.io.GeoParquet.write(src, out)
+    val version = graft.io.GeoParquet.readGeoMetadata(spark, out)
+      .flatMap("\"version\":\"([^\"]+)\"".r.findFirstMatchIn(_)).map(_.group(1))
+    val g = col("geometry")
+    spark.read.parquet(out).agg(
+      count(lit(1)).as("n_rows"),
+      min(element_at(g, 1)).as("min_lng"), min(element_at(g, 2)).as("min_lat"),
+      max(element_at(g, 1)).as("max_lng"), max(element_at(g, 2)).as("max_lat"))
+      .withColumn("geo_version", lit(version.orNull))
   }
 
   /** Q7: leaves of the largest z3 cluster joined back to the source rows
