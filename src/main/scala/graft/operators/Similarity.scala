@@ -82,7 +82,11 @@ object Similarity {
     val a = emb.where(col("vec_id") < 100)
       .select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nsq").as("na"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nsq").as("nb"))
+    // two-phase: cheap double-cosine prefilter (error ≪ 1e-6), exact
+    // decimal rescore only for survivors — identical result, ~dim× cheaper
+    // on the non-matching bulk
     b.join(broadcast(a), col("id_a") < col("id_b"))
+      .where(VectorFunctions.cosineApprox(col("va"), col("vb"), col("na"), col("nb")) > 0.4 - 1e-6)
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosineFromNormSq(col("va"), col("vb"), col("na"), col("nb")).as("cos_sim"))
       .where(col("cos_sim") > 0.4)

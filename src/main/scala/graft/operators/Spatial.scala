@@ -178,9 +178,10 @@ object Spatial {
       .orderBy(desc("point_count"), col("id"))
       .limit(5).select(col("id"), col("point_count"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    tops.map { case (cid, cnt) =>
-      (cid, cnt, idx.getClusterExpansionZoom(cid), idx.getDescendants(cid).length.toLong)
-    }.toSeq.toDF("cluster_id", "point_count", "expansion_zoom", "n_descendants")
+    val counts = tops.toMap
+    idx.navigationSummary(tops.map(_._1).toSeq)
+      .map { case (cid, ez, nDesc) => (cid, counts(cid), ez, nDesc) }
+      .toDF("cluster_id", "point_count", "expansion_zoom", "n_descendants")
       .orderBy("cluster_id")
   }
 

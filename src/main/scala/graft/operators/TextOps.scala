@@ -129,7 +129,8 @@ object TextOps {
   /** MinHash+LSH: 4 bands over 3-gram word shingles; equal (band, min_hash)
     * across documents = LSH bucket collision → near-dup candidate. The
     * band/bucket layout is exactly the shuffle key a banded LSH join uses
-    * at scale.
+    * at scale. Shingles are md5'd once; band hashes are hex rotations of
+    * that one hash (md5 dominates the cost — 1 hash pass, not 4).
     */
   val minhashSignatures: GraftQuery = GraftQuery.sql(
     "q25_minhash_signatures",
@@ -142,20 +143,24 @@ object TextOps {
       |                       string_split(text, ' ')[i+2]))
       |    ELSE [] END AS sh
       |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM s
       |)
       |SELECT doc_id, band,
       |  list_aggregate(
-      |    list_transform(sh, x -> md5(concat(CAST(band AS VARCHAR), ':', x))),
+      |    list_transform(hs, x -> substr(x, CAST(band * 8 + 1 AS INT), CAST(32 - band * 8 AS INT))
+      |                            || substr(x, 1, CAST(band * 8 AS INT))),
       |    'min') AS min_hash
-      |FROM s, range(0, 4) t(band)
+      |FROM h, range(0, 4) t(band)
       |ORDER BY doc_id, band""".stripMargin) { (spark, dir) =>
-    val withShingles = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val withHashes = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), minhashBandMins(col("tk"), 3, 4).as("bm"))
     val bands = (0 until 4).map(b =>
-      struct(lit(b.toLong).as("band"), minhashBand(col("sh"), b).as("min_hash")))
-    withShingles
-      .select(col("doc_id"), explode(array(bands: _*)).as("bm"))
-      .select(col("doc_id"), col("bm.band"), col("bm.min_hash"))
+      struct(lit(b.toLong).as("band"), element_at(col("bm"), b + 1).as("min_hash")))
+    withHashes
+      .select(col("doc_id"), explode(array(bands: _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.min_hash"))
       .orderBy("doc_id", "band")
   }
 
@@ -202,13 +207,15 @@ object TextOps {
       |                       string_split(text, ' ')[i+2]))
       |    ELSE [] END AS sh
       |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM s WHERE len(sh) > 0
       |), sig AS (
       |  SELECT doc_id, band,
       |    list_aggregate(
-      |      list_transform(sh, x -> md5(concat(CAST(band AS VARCHAR), ':', x))),
+      |      list_transform(hs, x -> substr(x, CAST(band * 8 + 1 AS INT), CAST(32 - band * 8 AS INT))
+      |                              || substr(x, 1, CAST(band * 8 AS INT))),
       |      'min') AS mh
-      |  FROM s, range(0, 4) t(band)
-      |  WHERE len(sh) > 0
+      |  FROM h, range(0, 4) t(band)
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh
@@ -224,13 +231,15 @@ object TextOps {
       |JOIN d db ON db.doc_id = id_b
       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
-    val withShingles = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .where(size(col("sh")) > 0)
+    val withMins = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), minhashBandMins(col("tk"), 3, 4).as("bm"))
+      .where(col("bm").isNotNull)
     val bands = (0 until 4).map(b =>
-      struct(lit(b.toLong).as("band"), minhashBand(col("sh"), b).as("mh")))
-    val sig = withShingles
-      .select(col("doc_id"), explode(array(bands: _*)).as("bm"))
-      .select(col("doc_id"), col("bm.band"), col("bm.mh"))
+      struct(lit(b.toLong).as("band"), element_at(col("bm"), b + 1).as("mh")))
+    val sig = withMins
+      .select(col("doc_id"), explode(array(bands: _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.mh"))
     val cand = sig.select(col("doc_id").as("id_a"), col("band"), col("mh"))
       .join(sig.select(col("doc_id").as("id_b"), col("band"), col("mh")), Seq("band", "mh"))
       .where(col("id_a") < col("id_b"))

@@ -1,41 +1,45 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Throwaway local smoke-probe (not part of the library surface). */
+/** Ad-hoc profiling entry point (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession
-      .builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    val joined = spark.read.parquet(s"$dir/region.parquet")
-      .join(spark.read.parquet(s"$dir/nation.parquet"), col("n_regionkey") === col("r_regionkey"))
-      .select("r_name", "n_name")
-    def attempt(label: String)(f: => Unit): Unit = {
-      println(s"-- $label --")
-      try f
-      catch { case e: Throwable => println("ERR: " + e.getMessage.take(120)) }
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    attempt("toDF rename") {
-      joined.toDF("r_name", "n_name").rollup("r_name", "n_name")
-        .agg(count(lit(1)).as("n")).show(2)
-    }
-    attempt("fresh alias select") {
-      joined.select(col("r_name").as("r_name"), col("n_name").as("n_name"))
-        .rollup("r_name", "n_name").agg(count(lit(1)).as("n")).show(2)
-    }
-    attempt("conf off") {
-      spark.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
-      joined.rollup("r_name", "n_name").agg(count(lit(1)).as("n")).show(2)
-      spark.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "true")
-    }
+
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val docs = graft.Tables.documents(spark, dir)
+    time("docs count")(docs.count())
+    time("tokens only")(docs.select(size(split(col("text"), " "))).agg(sum(col("size(split(text,  , -1))"))).collect())
+    val sh = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), shingles(col("tk"), 3).as("sh"))
+    time("shingles")(sh.select(sum(size(col("sh")))).collect())
+    val hs = sh.where(size(col("sh")) > 0).select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+    time("shingle md5")(hs.select(sum(size(col("hs")))).collect())
+    val bands = (0 until 4).map(b =>
+      struct(lit(b.toLong).as("band"), minhashBand(col("hs"), b).as("mh")))
+    val sig = hs.select(col("doc_id"), explode(array(bands: _*)).as("bm"))
+      .select(col("doc_id"), col("bm.band"), col("bm.mh"))
+    time("signatures")(sig.count())
+    val cand = sig.select(col("doc_id").as("id_a"), col("band"), col("mh"))
+      .join(sig.select(col("doc_id").as("id_b"), col("band"), col("mh")), Seq("band", "mh"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    println(s"[scratch] cand pairs: ${time("cand")(cand.count())}")
+    val q = graft.operators.TextOps.minhashLshPairs
+    val df = q.run(spark, dir)
+    time("q35 full")(df.count())
     spark.stop()
   }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Native kernels must be value-identical to their declarative reference
+  * chains (the chains are what the DuckDB oracles mirror).
+  */
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("ShingleBandMins equals the declarative shingle→md5→rotate→min chain") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "a b"), // < 3 tokens → null mins
+      (2L, "x y z"),
+      (3L, "repeat repeat repeat repeat repeat"),
+      (4L, "Ünïcode tökens with ünïcode bytes and more tökens here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+
+    val native = docs
+      .select(col("doc_id"), minhashBandMins(col("tk"), 3, 4).as("bm"))
+      .select(col("doc_id") +: (0 until 4).map(b =>
+        element_at(col("bm"), b + 1).as(s"m$b")): _*)
+
+    val declarative = docs
+      .select(col("doc_id"), shingles(col("tk"), 3).as("sh"))
+      .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+      .select(col("doc_id") +: (0 until 4).map(b =>
+        minhashBand(col("hs"), b).as(s"m$b")): _*)
+
+    val n = native.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val d = declarative.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(n == d)
+    assert(n(1).drop(1).forall(_ == null)) // < 3 tokens
+  }
+
+  test("ExactDotProduct equals the declarative decimal aggregate tree") {
+    import org.apache.spark.sql.types.DecimalType
+    val Dec = DecimalType(25, 15)
+    val AccDec = DecimalType(35, 15)
+    val vs = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -0.25f, 0.125f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.9f, 0.8f, 0.7f)),
+      (Array.fill(64)(0.01f), Array.fill(64)(0.99f)),
+      (Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b")
+    val native = vs.select(VectorFunctions.dotExact(col("a"), col("b")).as("d"))
+      .collect().map(_.getDecimal(0)).toSeq
+    val declarative = vs.select(
+      aggregate(
+        zip_with(col("a"), col("b"), (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
+        lit(java.math.BigDecimal.ZERO).cast(AccDec),
+        (acc, x) => (acc + x).cast(AccDec)).as("d"))
+      .collect().map(_.getDecimal(0)).toSeq
+    assert(native.map(_.toPlainString) == declarative.map(_.toPlainString))
+  }
+}
