@@ -32,7 +32,7 @@ object Relational {
     pricingSummary, revenueByNation, shippingPriority, orderPriority,
     forecastRevenue, customersNoOrders, topCustomersPerSegment,
     runningOrderTotal, revenueRollup, partTypeStats, aboveAvgParts,
-    sessionize, hourlyEvents, propsExtract)
+    sessionize, hourlyEvents, propsExtract, asofLastError)
 
   /** TPC-H Q1-style pricing summary: single scan, map-side partial agg. */
   val pricingSummary: GraftQuery = GraftQuery.sql(
@@ -358,5 +358,35 @@ object Relational {
         sum(k.cast("long")).cast("long").as("sum_k"),
         (sum(k.cast("long")).cast("double") / count(lit(1))).as("avg_k"))
       .orderBy("event_type")
+  }
+
+  /** As-of join: every event attached to the user's most recent STRICTLY
+    * prior 'error' event (point-in-time attribution). Spark has no asof
+    * primitive — [[AsOfJoin]] implements it as union + running-last: one
+    * shuffle, no range cross product. Oracle is DuckDB's native ASOF JOIN.
+    */
+  val asofLastError: GraftQuery = GraftQuery.sql(
+    "q43_asof_last_error",
+    """SELECT e.event_id, e.user_id,
+      |  err.event_id AS asof_event_id,
+      |  epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(err.ts AS TIMESTAMP)) AS us_since_error
+      |FROM events e ASOF LEFT JOIN (
+      |  SELECT * FROM events WHERE event_type = 'error') err
+      |  ON e.user_id = err.user_id AND e.ts > err.ts
+      |ORDER BY e.event_id""".stripMargin) { (spark, dir) =>
+    val events = Tables.events(spark, dir)
+    val errors = events.where(col("event_type") === "error")
+    AsOfJoin.asofBackwardStrict(
+      events.select("event_id", "user_id", "ts_us"),
+      errors.select(col("user_id"), col("event_id"), col("ts_us")),
+      keys = Seq("user_id"),
+      leftTime = "ts_us", rightTime = "ts_us",
+      payload = Seq("event_id", "ts_us"),
+      tiebreak = "event_id")
+      .select(
+        col("event_id"), col("user_id"),
+        col("asof_event_id"),
+        (col("ts_us") - col("asof_ts_us")).as("us_since_error"))
+      .orderBy("event_id")
   }
 }
