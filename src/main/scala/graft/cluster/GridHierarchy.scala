@@ -1,0 +1,138 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.geo.Mercator
+
+/** Scale-mode multi-resolution hierarchy (SURVEY §7.3 step 7): the
+  * shuffle-parallel counterpart of [[ClusterEngine]]'s exact greedy build.
+  *
+  * Semantics (documented divergence from the reference's order-dependent
+  * greedy pass, which cannot be distributed without changing results): at
+  * each zoom z, records of level z+1 are fused by snapping their position
+  * to a uniform grid of cell size r(z) = radius/(extent·2^z) — cells with
+  * ≥ minPoints points become clusters (weighted centroid, summed counts),
+  * singleton cells pass through unchanged, exactly like the greedy pass's
+  * passthrough branch. Every level is ONE hash-shuffle
+  * (groupBy cell) with map-side partial aggregation — the plan scales
+  * linearly with executors and is partition-count invariant by
+  * construction (no ordering dependence anywhere).
+  *
+  * Shared invariants with the exact mode (verified in GridHierarchySpec):
+  * count conservation per level, children's counts sum to parent's count,
+  * parent edges well-formed, leaves keep original coordinates.
+  *
+  * Cluster IDs: cell-derived `(cellX << 27 | cellY) << 5 | (z+1)` offset by
+  * `totalPoints` — same leaf/cluster ID-space split as [[graft.ids.ClusterId]]
+  * (leaves = row ids < totalPoints), decodable without a lookup.
+  */
+object GridHierarchy {
+
+  /** Level schema: zoom, mx, my, id, parent_id, point_count, is_cluster,
+    * lng, lat — identical to [[LevelRow]], so the query surface
+    * (bbox/children/leaves scans) works on either build.
+    */
+  def build(
+      points: DataFrame,
+      opts: ClusterOptions = ClusterOptions(),
+      lngCol: String = "lng",
+      latCol: String = "lat",
+      idCol: String = "row_id"): DataFrame = {
+    // a multi-member cell below minPoints would need per-member passthrough,
+    // which the single-aggregation plan cannot express; the exact greedy
+    // mode (ClusterEngine) supports arbitrary minPoints
+    require(opts.minPoints <= 2,
+      "GridHierarchy fuses any multi-member cell; minPoints > 2 needs ClusterEngine")
+    val spark = points.sparkSession
+    val lng = col(lngCol)
+    val lat = col(latCol)
+
+    val totalPoints = points.count()
+
+    // base level: one record per clean point, f32-quantized mercator coords
+    var prev = points
+      .where(lng.isNotNull && lat.isNotNull && !isnan(lng) && !isnan(lat))
+      .select(
+        col(idCol).cast("long").as("id"),
+        Mercator.froundCol(Mercator.lngXCol(lng.cast("double"))).as("mx"),
+        Mercator.froundCol(Mercator.latYCol(lat.cast("double"))).as("my"),
+        lng.cast("double").as("lng"),
+        lat.cast("double").as("lat"))
+      .withColumn("point_count", lit(1L))
+      .withColumn("is_cluster", lit(false))
+
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    var z = opts.maxZoom
+    while (z >= opts.minZoom) {
+      val r = opts.radius / (opts.extent * math.pow(2.0, z.toDouble))
+      val cellX = floor(col("mx") / r).cast("long")
+      val cellY = floor(col("my") / r).cast("long")
+      // cell-derived cluster id, disjoint from leaf ids (< totalPoints)
+      val cellId = (shiftleft(shiftleft(cellX, 27).bitwiseOR(cellY.bitwiseAND(lit((1L << 27) - 1))), 5)
+        .bitwiseOR(lit((z + 1).toLong))) + totalPoints
+
+      val agg = prev
+        .withColumn("_cell_id", cellId)
+        .groupBy(col("_cell_id"))
+        .agg(
+          count(lit(1)).as("_n_members"),
+          sum(col("point_count")).as("point_count"),
+          // f32-quantized weighted centroid (reference precision contract,
+          // SURVEY §1.3) — also absorbs cross-engine/cross-partitioning
+          // float-summation-order noise, keeping the build oracle-checkable
+          Mercator.froundCol(
+            sum(col("mx") * col("point_count")) / sum(col("point_count"))).as("_cmx"),
+          Mercator.froundCol(
+            sum(col("my") * col("point_count")) / sum(col("point_count"))).as("_cmy"),
+          min(col("id")).as("_single_id"),
+          min(col("mx")).as("_single_mx"),
+          min(col("my")).as("_single_my"),
+          min(col("lng")).as("_single_lng"),
+          min(col("lat")).as("_single_lat"),
+          min(col("is_cluster")).as("_single_is_cluster"))
+
+      val isFused = col("_n_members") >= 2
+      val next = agg.select(
+        when(isFused, col("_cell_id")).otherwise(col("_single_id")).as("id"),
+        when(isFused, col("_cmx")).otherwise(col("_single_mx")).as("mx"),
+        when(isFused, col("_cmy")).otherwise(col("_single_my")).as("my"),
+        when(isFused, Mercator.xLngCol(col("_cmx"))).otherwise(col("_single_lng")).as("lng"),
+        when(isFused, Mercator.yLatCol(col("_cmy"))).otherwise(col("_single_lat")).as("lat"),
+        col("point_count"),
+        when(isFused, lit(true)).otherwise(col("_single_is_cluster")).as("is_cluster"))
+        // localCheckpoint TRUNCATES the lineage — 17 chained levels would
+        // otherwise grow the logical plan exponentially (SURVEY §7.5 #3)
+        .localCheckpoint()
+
+      // stamp parent edges on the CURRENT level: parent = the fused cell's
+      // id, or -1 when the record passed through. Equi-join on the cell id —
+      // both sides hash-partition on it (exchange reuse with the groupBy
+      // above); AQE broadcasts when the cluster set is small
+      val fusedCells = next.where(col("is_cluster") && col("id") >= totalPoints)
+        .select(col("id").as("_fused_id"))
+      val emitted = prev
+        .withColumn("_cell_id", cellId)
+        .join(fusedCells, col("_cell_id") === col("_fused_id"), "left")
+        .select(
+          lit(z + 1).as("zoom"), col("mx"), col("my"), col("id"),
+          coalesce(col("_fused_id"), lit(-1L)).as("parent_id"),
+          col("point_count"), col("is_cluster"), col("lng"), col("lat"))
+      levels += emitted
+
+      prev = next
+      z -= 1
+    }
+    levels += prev.select(
+      lit(opts.minZoom).as("zoom"), col("mx"), col("my"), col("id"),
+      lit(-1L).as("parent_id"), col("point_count"), col("is_cluster"),
+      col("lng"), col("lat"))
+
+    val all = levels.reduce(_ unionByName _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    all.count()
+    all
+  }
+}

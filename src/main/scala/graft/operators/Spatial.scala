@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.{GraftQuery, Tables}
-import graft.cluster.{ClusterEngine, ClusterIndex, ClusterOptions}
+import graft.cluster.{ClusterEngine, ClusterIndex, ClusterOptions, GridHierarchy}
 import graft.geo.Mercator
 import graft.style.Style
 
@@ -27,7 +27,7 @@ object Spatial {
   def all: Seq[GraftQuery] = Seq(
     mercatorProject, gridCluster, styleColumns, greedyHierarchy, hierarchyLevels,
     clusterChildren, clusterLeaves, hierarchyNavigation, materializedLeaves,
-    geoParquetRoundtrip)
+    geoParquetRoundtrip, gridHierarchyProfile)
 
   /** The hierarchy is built once per data dir and shared by every query on
     * it (the reference's engine-rebuild gating, C1 — build cost is paid once,
@@ -210,6 +210,79 @@ object Spatial {
       min(element_at(g, 1)).as("min_lng"), min(element_at(g, 2)).as("min_lat"),
       max(element_at(g, 1)).as("max_lng"), max(element_at(g, 2)).as("max_lat"))
       .withColumn("geo_version", lit(version.orNull))
+  }
+
+  /** DuckDB mirror of [[graft.cluster.GridHierarchy]]: 17 chained
+    * grid-snap aggregations, each level consuming the previous. The whole
+    * DISTRIBUTED hierarchy build is oracle-checked level by level
+    * (f32-quantized centroids make the fold engine- and
+    * partitioning-independent).
+    */
+  private def gridProfileSql: String = {
+    val tot = "(SELECT COUNT(*) FROM events)"
+    val base =
+      s"""lvl17 AS (
+         |  SELECT event_id AS id,
+         |    CAST(CAST(lng / 360.0 + 0.5 AS REAL) AS DOUBLE) AS mx,
+         |    CAST(CAST(LEAST(GREATEST(
+         |      0.5 - 0.25 * LN((1.0 + SIN(RADIANS(lat))) / (1.0 - SIN(RADIANS(lat)))) / PI(),
+         |      0.0), 1.0) AS REAL) AS DOUBLE) AS my,
+         |    CAST(1 AS BIGINT) AS point_count, FALSE AS is_cluster
+         |  FROM ($pointsSql)
+         |)""".stripMargin
+    val lvls = (16 to 0 by -1).map { z =>
+      val r = 40.0 / (512.0 * math.pow(2.0, z.toDouble))
+      s"""lvl$z AS (
+         |  SELECT
+         |    CASE WHEN COUNT(*) >= 2 THEN cell_id ELSE MIN(id) END AS id,
+         |    CASE WHEN COUNT(*) >= 2
+         |      THEN CAST(CAST(SUM(mx * point_count) / SUM(point_count) AS REAL) AS DOUBLE)
+         |      ELSE MIN(mx) END AS mx,
+         |    CASE WHEN COUNT(*) >= 2
+         |      THEN CAST(CAST(SUM(my * point_count) / SUM(point_count) AS REAL) AS DOUBLE)
+         |      ELSE MIN(my) END AS my,
+         |    CAST(SUM(point_count) AS BIGINT) AS point_count,
+         |    CASE WHEN COUNT(*) >= 2 THEN TRUE
+         |      ELSE CAST(MIN(CAST(is_cluster AS INT)) AS BOOLEAN) END AS is_cluster
+         |  FROM (
+         |    SELECT *,
+         |      ((CAST(FLOOR(mx / $r) AS BIGINT) << 27
+         |        | (CAST(FLOOR(my / $r) AS BIGINT) & 134217727)) << 5
+         |        | ${z + 1}) + $tot AS cell_id
+         |    FROM lvl${z + 1})
+         |  GROUP BY cell_id
+         |)""".stripMargin
+    }
+    val profiles = (17 to 0 by -1).map { z =>
+      s"""SELECT $z AS zoom, CAST(COUNT(*) AS BIGINT) AS n_records,
+         |  CAST(SUM(CASE WHEN is_cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(point_count) AS BIGINT) AS total_points,
+         |  CAST(MAX(point_count) AS BIGINT) AS max_cluster_size,
+         |  CAST(SUM(CAST(FLOOR(mx * 1048576.0) AS BIGINT)) AS BIGINT) AS mx_sum,
+         |  CAST(SUM(CAST(FLOOR(my * 1048576.0) AS BIGINT)) AS BIGINT) AS my_sum
+         |FROM lvl$z""".stripMargin
+    }
+    s"WITH ${(base +: lvls).mkString(",\n")}\n" +
+      s"SELECT * FROM (\n${profiles.mkString("\nUNION ALL\n")}\n) ORDER BY zoom"
+  }
+
+  /** Distributed (shuffle-parallel) hierarchy build, profiled per zoom —
+    * the 100 TB clustering path, hash-matched against DuckDB running the
+    * identical 17-level fold.
+    */
+  val gridHierarchyProfile: GraftQuery = GraftQuery.sql(
+    "q44_grid_hierarchy_profile", gridProfileSql) { (spark, dir) =>
+    val levels = GridHierarchy.build(
+      pointsDf(spark, dir), ClusterOptions(), idCol = "event_id")
+    levels.groupBy(col("zoom"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when(col("is_cluster"), 1L).otherwise(0L)).as("n_clusters"),
+        sum(col("point_count")).as("total_points"),
+        max(col("point_count")).as("max_cluster_size"),
+        sum(floor(col("mx") * 1048576.0).cast("long")).as("mx_sum"),
+        sum(floor(col("my") * 1048576.0).cast("long")).as("my_sum"))
+      .orderBy("zoom")
   }
 
   /** Q7: leaves of the largest z3 cluster joined back to the source rows

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cluster.{ClusterOptions, GridHierarchy}
+
+/** Scale-mode hierarchy invariants — the same properties the exact greedy
+  * mode guarantees, plus strict partition-count invariance (the reference's
+  * multi-chunk ≡ single-chunk test, SURVEY §5).
+  */
+class GridHierarchySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def pointsDf(n: Int) =
+    PointFixtures.uniform(n).toSeq.toDF("row_id", "lng", "lat")
+
+  private lazy val levels =
+    GridHierarchy.build(pointsDf(500), ClusterOptions()).cache()
+
+  test("count conservation at every level") {
+    val perLevel = levels.groupBy("zoom").agg(sum("point_count").as("total"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(perLevel.values.toSet == Set(500L))
+    assert(perLevel.keys.toSeq.sorted == (0 to 17))
+  }
+
+  test("children's counts sum to parent's count") {
+    val parents = levels.where($"is_cluster" && $"id" >= 500)
+      .select($"zoom", $"id", $"point_count")
+    val childSums = levels.where($"parent_id" =!= -1L)
+      .groupBy($"parent_id").agg(sum($"point_count").as("child_sum"))
+    val bad = parents.join(childSums, parents("id") === childSums("parent_id"), "left")
+      .where($"child_sum".isNull || $"child_sum" =!= $"point_count")
+      .count()
+    assert(bad == 0)
+  }
+
+  test("partition-count invariance (multi-chunk ≡ single-chunk)") {
+    def run(p: Int) = GridHierarchy.build(pointsDf(300).repartition(p), ClusterOptions())
+      .select("zoom", "id", "mx", "my", "point_count", "is_cluster", "parent_id")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("leaves keep original coordinates; clusters carry inverse-projected centroids") {
+    val pts = pointsDf(200).collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val baseLeaves = levels.where($"zoom" === 17 && !$"is_cluster")
+      .select($"id", $"lng", $"lat").collect()
+    assert(baseLeaves.length == 500)
+    // spot-check a sample of leaf coords against the source (base level of the 500-pt build)
+    val src = PointFixtures.uniform(500).map(t => t._1 -> (t._2, t._3)).toMap
+    baseLeaves.take(50).foreach { r =>
+      val (lng, lat) = src(r.getLong(0))
+      assert(r.getDouble(1) == lng && r.getDouble(2) == lat)
+    }
+    val _ = pts
+  }
+
+  test("zoom monotonicity: record count never increases as zoom decreases") {
+    val counts = levels.groupBy("zoom").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    counts.sliding(2).foreach { case Array((_, hi), (_, lo)) =>
+      assert(lo <= hi)
+    }
+  }
+}
