@@ -32,7 +32,8 @@ object Relational {
     pricingSummary, revenueByNation, shippingPriority, orderPriority,
     forecastRevenue, customersNoOrders, topCustomersPerSegment,
     runningOrderTotal, revenueRollup, partTypeStats, aboveAvgParts,
-    sessionize, hourlyEvents, propsExtract, asofLastError)
+    sessionize, hourlyEvents, propsExtract, asofLastError, setOpsCohorts,
+    cubeStats)
 
   /** TPC-H Q1-style pricing summary: single scan, map-side partial agg. */
   val pricingSummary: GraftQuery = GraftQuery.sql(
@@ -358,6 +359,58 @@ object Relational {
         sum(k.cast("long")).cast("long").as("sum_k"),
         (sum(k.cast("long")).cast("double") / count(lit(1))).as("avg_k"))
       .orderBy("event_type")
+  }
+
+  /** INTERSECT / EXCEPT set operations over customer-year cohorts. */
+  val setOpsCohorts: GraftQuery = GraftQuery.sql(
+    "q45_set_ops",
+    """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+      |            WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+      |     y97 AS (SELECT DISTINCT o_custkey FROM orders
+      |            WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+      |SELECT 'both' AS cohort, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+      |UNION ALL
+      |SELECT 'only_1996', CAST(COUNT(*) AS BIGINT)
+      |FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+      |UNION ALL
+      |SELECT 'only_1997', CAST(COUNT(*) AS BIGINT)
+      |FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96)
+      |ORDER BY cohort""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    def cohort(from: String, to: String) = orders
+      .where(col("o_orderdate") >= ts(from) && col("o_orderdate") < ts(to))
+      .select("o_custkey").distinct()
+    val y96 = cohort("1996-01-01", "1997-01-01")
+    val y97 = cohort("1997-01-01", "1998-01-01")
+    Seq(
+      ("both", y96.intersect(y97).count()),
+      ("only_1996", y96.except(y97).count()),
+      ("only_1997", y97.except(y96).count()))
+      .toDF("cohort", "n")
+      .orderBy("cohort")
+  }
+
+  /** CUBE over (p_brand, p_size bucket): all grouping-set combinations in
+    * one pass (partial-agg friendly — each combination is a map-side
+    * expansion, one shuffle total).
+    */
+  val cubeStats: GraftQuery = GraftQuery.sql(
+    "q46_cube",
+    """SELECT p_brand, p_size % 10 AS size_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM part
+      |GROUP BY CUBE (p_brand, p_size % 10)
+      |ORDER BY p_brand NULLS FIRST, size_bucket NULLS FIRST""".stripMargin) { (spark, dir) =>
+    Tables.part(spark, dir)
+      .cube(col("p_brand"), (col("p_size") % 10).as("size_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("p_retailprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double").as("total_price"))
+      .orderBy(asc_nulls_first("p_brand"), asc_nulls_first("size_bucket"))
   }
 
   /** As-of join: every event attached to the user's most recent STRICTLY
