@@ -75,31 +75,37 @@ object StreamingOps {
         col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
 
-  /** Typed batch sessionization over KeyValueGroupedDataset — the same
-    * semantics as [[statefulSessionize]], without streaming state (one
-    * shuffle on user_id, per-group sort; for skewed users at scale, prefer
-    * [[sessionWindowStats]] which pre-aggregates partial sessions).
+  /** Typed batch sessionization — the same semantics as
+    * [[statefulSessionize]], without streaming state. One shuffle on
+    * user_id + a Tungsten partition sort, then a single streaming pass per
+    * partition (no per-group materialization or Scala-side sort — the sort
+    * happens in codegen'd SortExec, which is what scales past memory via
+    * spill). For heavily skewed users prefer [[sessionWindowStats]].
     */
   def typedSessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id).flatMapGroups { (uid, it) =>
-      val sorted = it.toArray.sortBy(e => (micros(e.ts_t), e.event_id))
-      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-      var st: Option[SessionState] = None
-      sorted.foreach { e =>
-        val us = micros(e.ts_t)
-        st match {
-          case Some(s) if us - s.last < SessionGapUs =>
-            st = Some(s.copy(last = us, n = s.n + 1,
-              totalCents = s.totalCents + math.round(e.value * 100)))
-          case cur =>
-            cur.foreach(s => out += closeSession(uid, s))
-            st = Some(SessionState(us, us, 1, math.round(e.value * 100)))
+    import org.apache.spark.sql.functions.col
+    events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_t"), col("event_id"))
+      .mapPartitions { it =>
+        var cur: Option[(Long, SessionState)] = None
+        val closedThenOpen = it.flatMap { e =>
+          val us = micros(e.ts_t)
+          cur match {
+            case Some((uid, s)) if uid == e.user_id && us - s.last < SessionGapUs =>
+              cur = Some((uid, s.copy(last = us, n = s.n + 1,
+                totalCents = s.totalCents + math.round(e.value * 100))))
+              Iterator.empty
+            case prev =>
+              cur = Some((e.user_id, SessionState(us, us, 1, math.round(e.value * 100))))
+              prev.iterator.map { case (uid, s) => closeSession(uid, s) }
+          }
         }
+        // `++` is by-name: the final flush reads `cur` only after the
+        // partition iterator is exhausted
+        closedThenOpen ++ cur.iterator.map { case (uid, s) => closeSession(uid, s) }
       }
-      st.foreach(s => out += closeSession(uid, s))
-      out.iterator
-    }
   }
 
   private def micros(t: Instant): Long =

@@ -19,6 +19,16 @@ object Scratch {
 
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions._
+    locally {
+      import spark.implicits._
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts_t"))
+      time("events count")(ev.count())
+      val typed = ev.as[graft.streaming.Event]
+      time("decode only")(typed.mapPartitions(it => Iterator.single(it.length)).collect())
+      time("q38 full")(graft.operators.Streaming.typedSessions.run(spark, dir).count())
+      time("q36 session_window")(graft.operators.Streaming.sessionWindow.run(spark, dir).count())
+    }
     val docs = graft.Tables.documents(spark, dir)
     time("docs count")(docs.count())
     time("tokens only")(docs.select(size(split(col("text"), " "))).agg(sum(col("size(split(text,  , -1))"))).collect())
