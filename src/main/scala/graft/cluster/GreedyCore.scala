@@ -111,24 +111,56 @@ object GreedyCore {
   /** Uniform grid over f32-quantized coords; `within` returns all indices at
     * squared distance ≤ r² from the (unquantized) query point, in index
     * order (deterministic).
+    *
+    * Zero boxing: cells live in an open-addressing long→head map with a
+    * per-point `next` chain (two flat int arrays replace a HashMap of
+    * boxed Longs and per-cell buffers — the dominant cost at 200k+ points).
+    * Quantized coordinates are precomputed once per level.
     */
   private final class Grid(level: Level, r: Double) {
-    private val cells = new java.util.HashMap[Long, IntBuf]()
+    private val n = level.size
     private val invR = 1.0 / r
     private val r2 = r * r
-    private def key(cx: Int, cy: Int): Long = (cx.toLong << 32) | (cy & 0xffffffffL)
+    private val qx = new Array[Double](n)
+    private val qy = new Array[Double](n)
+    private val nextIdx = new Array[Int](n)
+    private val cap = Integer.highestOneBit(math.max(4, n * 2) * 2 - 1)
+    private val mask = cap - 1
+    private val keys = new Array[Long](cap)
+    private val heads = new Array[Int](cap)
+    java.util.Arrays.fill(heads, -1)
+
+    private def hashSlot(k: Long): Int = {
+      val h = k * -7046029254386353131L
+      (h ^ (h >>> 32)).toInt & mask
+    }
+
     locally {
       var i = 0
-      val n = level.size
       while (i < n) {
-        val cx = math.floor(Mercator.fround(level.xs(i)) * invR).toInt
-        val cy = math.floor(Mercator.fround(level.ys(i)) * invR).toInt
-        var lst = cells.get(key(cx, cy))
-        if (lst == null) { lst = new IntBuf(4); cells.put(key(cx, cy), lst) }
-        lst.add(i)
+        qx(i) = Mercator.fround(level.xs(i))
+        qy(i) = Mercator.fround(level.ys(i))
+        val k = key(math.floor(qx(i) * invR).toInt, math.floor(qy(i) * invR).toInt)
+        var s = hashSlot(k)
+        while (heads(s) != -1 && keys(s) != k) s = (s + 1) & mask
+        keys(s) = k
+        nextIdx(i) = heads(s)
+        heads(s) = i
         i += 1
       }
     }
+
+    private def key(cx: Int, cy: Int): Long = (cx.toLong << 32) | (cy & 0xffffffffL)
+
+    private def cellHead(k: Long): Int = {
+      var s = hashSlot(k)
+      while (heads(s) != -1) {
+        if (keys(s) == k) return heads(s)
+        s = (s + 1) & mask
+      }
+      -1
+    }
+
     def within(x: Double, y: Double, out: IntBuf): Unit = {
       out.clear()
       val cx = math.floor(x * invR).toInt
@@ -137,16 +169,12 @@ object GreedyCore {
       while (dx <= 1) {
         var dy = -1
         while (dy <= 1) {
-          val lst = cells.get(key(cx + dx, cy + dy))
-          if (lst != null) {
-            var j = 0
-            while (j < lst.len) {
-              val i = lst(j)
-              val ddx = Mercator.fround(level.xs(i)) - x
-              val ddy = Mercator.fround(level.ys(i)) - y
-              if (ddx * ddx + ddy * ddy <= r2) out.add(i)
-              j += 1
-            }
+          var i = cellHead(key(cx + dx, cy + dy))
+          while (i != -1) {
+            val ddx = qx(i) - x
+            val ddy = qy(i) - y
+            if (ddx * ddx + ddy * ddy <= r2) out.add(i)
+            i = nextIdx(i)
           }
           dy += 1
         }
