@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** IVF (inverted-file) approximate nearest neighbour — the index-structure
+  * scale path for embedding search (complements the LSH sign-sketch in
+  * [[Similarity]]).
+  *
+  * Build: `k` coarse centroids — deterministic seeds (every (n/k)-th vector
+  * by id) refined with `iters` Lloyd steps, each ONE groupBy over
+  * (assignment, dim) — then every vector is assigned to its nearest
+  * centroid (broadcast of k·dim floats, argmin via the fast native dot).
+  * Query: probe the `nprobe` nearest centroid lists only and rescore
+  * exactly there — at 100 TB the scan shrinks k/nprobe-fold and the
+  * centroid table stays broadcast-sized.
+  *
+  * Distances use IEEE-double cosine (the fast kernel): assignment and
+  * probe selection are index-build concerns with no oracle; the final
+  * rescore reuses the decimal-exact oracle-checked cosine.
+  */
+object AnnIvf {
+
+  /** (vector table with `_centroid` column, centroid table). */
+  def buildIndex(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 16,
+      iters: Int = 2): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    val n = emb.count()
+    val stride = math.max(n / k, 1L)
+
+    // deterministic seed centroids: every stride-th vector by id
+    var centroids = emb
+      .where(col(idCol) % stride === 0 && col(idCol) / stride < k)
+      .select((col(idCol) / stride).cast("int").as("_c"),
+        col(vecCol).cast("array<double>").as("_cv"))
+
+    var it = 0
+    while (it < iters) {
+      val assigned = assign(emb, centroids, idCol, vecCol)
+      // Lloyd step: per-dimension mean of member vectors — explode to
+      // (centroid, dim, value), ONE shuffle, rebuild the array ordered
+      centroids = assigned
+        .select(col("_centroid").as("_c"), posexplode(col(vecCol)))
+        .groupBy(col("_c"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("v"))
+        .groupBy(col("_c"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("_c"), expr("transform(pv, x -> x.v)").as("_cv"))
+      it += 1
+    }
+    (assign(emb, centroids, idCol, vecCol), centroids)
+  }
+
+  /** Nearest-centroid assignment: broadcast the k centroids, argmin by
+    * double cosine distance.
+    */
+  private def assign(
+      emb: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("_sim"), col("_c"))
+    emb.join(broadcast(centroids))
+      .withColumn("_sim", approxCosine(col(vecCol), col("_cv")))
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1)
+      .drop("_sim", "_rk", "_cv")
+      .withColumnRenamed("_c", "_centroid")
+  }
+
+  private def approxCosine(a: Column, b: Column): Column =
+    VectorFunctions.dotApprox(a, b) /
+      (sqrt(VectorFunctions.dotApprox(a, a)) * sqrt(VectorFunctions.dotApprox(b, b)))
+
+  /** Top-`topK` neighbours for each query vector, probing `nprobe`
+    * centroid lists; exact decimal-cosine rescore within the probed lists.
+    */
+  def search(
+      queries: DataFrame,
+      indexed: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nprobe: Int = 4,
+      topK: Int = 3): DataFrame = {
+    // per query: the nprobe nearest centroids
+    val pw = Window.partitionBy(col("query_id")).orderBy(desc("_sim"), col("_c"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .join(broadcast(centroids))
+      .withColumn("_sim", approxCosine(col("_qv"), col("_cv")))
+      .withColumn("_rk", row_number().over(pw))
+      .where(col("_rk") <= nprobe)
+      .select(col("query_id"), col("_qv"), col("_c").as("_centroid"))
+
+    // scan only the probed lists; exact rescore
+    val withNorm = (c: Column) => VectorFunctions.normSqExact(c).cast("double")
+    val cands = probes.join(
+      indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"), col("_centroid")),
+      Seq("_centroid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineFromNormSq(
+          col("_qv"), col("_nv"), withNorm(col("_qv")), withNorm(col("_nv"))).as("cos_sim"))
+    val rw = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("neighbor_id"))
+    cands.withColumn("rk", row_number().over(rw).cast("long"))
+      .where(col("rk") <= topK)
+  }
+}

@@ -16,7 +16,19 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  def all: Seq[GraftQuery] = Seq(knnBruteForce, embeddingNearDup, annLsh)
+  def all: Seq[GraftQuery] = Seq(knnBruteForce, embeddingNearDup, annLsh, annIvf)
+
+  /** IVF ANN: coarse-quantizer index + nprobe search (see [[AnnIvf]]).
+    * Rows-only — recall against exact brute force is locked by AnnIvfSpec;
+    * the rescore math is the same oracle-checked cosine as q28.
+    */
+  val annIvf: GraftQuery = GraftQuery.rowsOnly("q47_ann_ivf") { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val (indexed, centroids) = AnnIvf.buildIndex(emb)
+    AnnIvf.search(
+      emb.where(col("vec_id") < 20), indexed, centroids, nprobe = 6, topK = 3)
+      .orderBy("query_id", "rk")
+  }
 
   /** DuckDB-side exact dot product of two list<float> columns. */
   private def dotSql(a: String, b: String): String =
