@@ -233,4 +233,24 @@ object ClusterEngine {
     val total = cached.filter(col("zoom") === opts.maxZoom + 1).count()
     new ClusterIndex(cached, total, opts)
   }
+
+  /** The scale-mode build behind the SAME query surface: levels come from
+    * [[GridHierarchy]] (shuffle-parallel, partition-count invariant), and
+    * every ClusterIndex query — bbox scan, children, paginated leaves,
+    * expansion zoom, descendants, materialization — works unchanged
+    * because the level schema and the ID-space conventions (leaf ids <
+    * totalPoints; cluster low bits = creationZoom+1) are shared.
+    */
+  def loadDistributed(
+      points: DataFrame,
+      opts: ClusterOptions = ClusterOptions(),
+      lngCol: String = "lng",
+      latCol: String = "lat",
+      idCol: String = "row_id"): ClusterIndex = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val levels = GridHierarchy.build(points, opts, lngCol, latCol, idCol).as[LevelRow]
+    val total = levels.filter($"zoom" === opts.maxZoom + 1).count()
+    new ClusterIndex(levels, total, opts)
+  }
 }

@@ -33,7 +33,7 @@ object Relational {
     forecastRevenue, customersNoOrders, topCustomersPerSegment,
     runningOrderTotal, revenueRollup, partTypeStats, aboveAvgParts,
     sessionize, hourlyEvents, propsExtract, asofLastError, setOpsCohorts,
-    cubeStats)
+    cubeStats, topSupplier, largeOrders)
 
   /** TPC-H Q1-style pricing summary: single scan, map-side partial agg. */
   val pricingSummary: GraftQuery = GraftQuery.sql(
@@ -411,6 +411,63 @@ object Relational {
         sum(col("p_retailprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
           .cast("double").as("total_price"))
       .orderBy(asc_nulls_first("p_brand"), asc_nulls_first("size_bucket"))
+  }
+
+  /** TPC-H Q15 pattern: per-supplier revenue, suppliers achieving the
+    * global maximum (scalar-subquery against an aggregate).
+    */
+  val topSupplier: GraftQuery = GraftQuery.sql(
+    "q48_top_supplier",
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total = (SELECT MAX(total) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin) { (spark, dir) =>
+    val dec = money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+    val revenue = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(dec).as("total"))
+    val maxRev = revenue.agg(max(col("total")).as("mx"))
+    Tables.supplier(spark, dir)
+      .join(revenue, col("s_suppkey") === col("supplier_no"))
+      .join(broadcast(maxRev), col("total") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q18 pattern: orders whose total quantity exceeds a threshold
+    * (HAVING on the child agg, semi-joined back to the parent rows).
+    */
+  val largeOrders: GraftQuery = GraftQuery.sql(
+    "q49_large_orders",
+    """WITH big AS (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+      |)
+      |SELECT o_orderkey, o_custkey, o_orderdate,
+      |  CAST((SELECT SUM(CAST(l_quantity AS DECIMAL(12,2))) FROM lineitem
+      |        WHERE l_orderkey = o_orderkey) AS DOUBLE) AS total_qty
+      |FROM orders
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val qty = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(money(col("l_quantity"))).as("qsum"))
+    val big = qty.where(col("qsum") > 300)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("qsum").cast("double").as("total_qty"))
+      .orderBy("o_orderkey")
   }
 
   /** As-of join: every event attached to the user's most recent STRICTLY

@@ -58,6 +58,28 @@ class GridHierarchySpec extends AnyFunSuite {
     val _ = pts
   }
 
+  test("the full query surface works over the distributed build") {
+    val idx = graft.cluster.ClusterEngine.loadDistributed(pointsDf(400))
+    assert(idx.numPoints == 400)
+    val world = idx.getClusters((-180.0, -85.0, 180.0, 85.0), 3)
+    assert(world.agg(sum("point_count")).collect()(0).getLong(0) == 400)
+    val top = world.where($"is_cluster")
+      .orderBy(desc("point_count"), $"id").limit(1).collect()(0)
+    val cid = top.getLong(0)
+    val cnt = top.getLong(3)
+    // children sum to parent
+    val kids = idx.getChildren(cid)
+    assert(kids.agg(sum("point_count")).collect()(0).getLong(0) == cnt)
+    // leaves paginate and materialize
+    assert(idx.getLeaves(cid, limit = 5).count() == math.min(5L, cnt))
+    assert(idx.materializeLeaves(cid, pointsDf(400), "row_id", limit = 5).count() ==
+      math.min(5L, cnt))
+    // navigation
+    val Seq((_, ez, nDesc)) = idx.navigationSummary(Seq(cid))
+    assert(ez >= 3 && ez <= 17)
+    assert(nDesc >= 0)
+  }
+
   test("zoom monotonicity: record count never increases as zoom decreases") {
     val counts = levels.groupBy("zoom").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
