@@ -58,18 +58,29 @@ object AnnIvf {
     (assign(emb, centroids, idCol, vecCol), centroids)
   }
 
-  /** Nearest-centroid assignment: broadcast the k centroids, argmin by
-    * double cosine distance.
+  /** Nearest-centroid assignment as a PURE MAP: the k centroids are tiny,
+    * so they ship as literal arrays inside the projection — k fused native
+    * dots per row, argmax via array_position, no join, no window, no
+    * shuffle. At 100 TB this is a single scan; the windowed-join
+    * formulation would shuffle the whole corpus per Lloyd step.
+    * Ties pick the smallest centroid id (first max occurrence).
     */
   private def assign(
       emb: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(desc("_sim"), col("_c"))
-    emb.join(broadcast(centroids))
-      .withColumn("_sim", approxCosine(col(vecCol), col("_cv")))
-      .withColumn("_rk", row_number().over(w))
-      .where(col("_rk") === 1)
-      .drop("_sim", "_rk", "_cv")
-      .withColumnRenamed("_c", "_centroid")
+    val cents = centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val sims = array(cents.map { case (_, v) =>
+      approxCosine(col(vecCol), typedLit(v))
+    }: _*)
+    // translate array position → centroid id (a centroid that loses all
+    // members drops out, so position and id can diverge)
+    val idArr = typedLit(cents.map(_._1).toSeq)
+    emb
+      .withColumn("_sims", sims)
+      .withColumn("_centroid",
+        element_at(idArr, array_position(col("_sims"), array_max(col("_sims"))).cast("int")))
+      .drop("_sims")
   }
 
   private def approxCosine(a: Column, b: Column): Column =
