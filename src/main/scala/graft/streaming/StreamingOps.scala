@@ -162,6 +162,18 @@ object StreamingOps {
       }
   }
 
+  /** Streaming deduplication on `keyCols` only, with state bounded by the
+    * watermark (`dropDuplicatesWithinWatermark`): a duplicate arriving
+    * within `delay` of the original is dropped; state for older keys is
+    * evicted — the bounded-state contract that keeps streaming ingest
+    * dedup running forever. This is the streaming shape of the exact-dedup
+    * operator (q24): fingerprint upstream, dedup on the fingerprint here.
+    */
+  def dedupStream(df: DataFrame, timeCol: String, delay: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(timeCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Execute `transform` over the events parquet as a REAL stream — file

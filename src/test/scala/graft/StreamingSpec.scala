@@ -68,6 +68,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaWindow == viaTyped)
   }
 
+  test("streaming dedup drops within-watermark duplicates, keeps distinct keys") {
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val q = StreamingOps.dedupStream(
+      input.toDS().toDF(), timeCol = "ts_t", delay = "1 hour", keyCols = Seq("event_type"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // three 'click' events + one 'view' within the same hour → 2 rows
+      input.addData(Seq(
+        ev(0, 1, 0, 1.0), ev(1, 2, 5, 2.0), ev(2, 3, 10, 3.0),
+        Event(3, 4, "view", 4.0, Instant.parse("2024-01-01T00:12:00Z"))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kinds = spark.table("dedup_out")
+      .collect().map(_.getAs[String]("event_type")).sorted.toSeq
+    assert(kinds == Seq("click", "view"))
+  }
+
   test("windowed streaming aggregation equals batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
 
