@@ -33,7 +33,7 @@ object Relational {
     forecastRevenue, customersNoOrders, topCustomersPerSegment,
     runningOrderTotal, revenueRollup, partTypeStats, aboveAvgParts,
     sessionize, hourlyEvents, propsExtract, asofLastError, setOpsCohorts,
-    cubeStats, topSupplier, largeOrders)
+    cubeStats, topSupplier, largeOrders, pivotEvents, percentiles)
 
   /** TPC-H Q1-style pricing summary: single scan, map-side partial agg. */
   val pricingSummary: GraftQuery = GraftQuery.sql(
@@ -468,6 +468,49 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         col("qsum").cast("double").as("total_qty"))
       .orderBy("o_orderkey")
+  }
+
+  /** Pivot: per-user event counts spread into one column per event type
+    * (Spark `pivot` with explicit values — one shuffle, no second pass to
+    * discover the column set).
+    */
+  val pivotEvents: GraftQuery = GraftQuery.sql(
+    "q50_pivot_events",
+    """SELECT user_id,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+  }
+
+  /** Interpolated percentiles (percentile_cont semantics) of order totals
+    * per status — exact, not sketch-based, so it hash-matches DuckDB.
+    */
+  val percentiles: GraftQuery = GraftQuery.sql(
+    "q51_percentiles",
+    """SELECT o_orderstatus,
+      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+      |  percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+      |  percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+      .orderBy("o_orderstatus")
   }
 
   /** As-of join: every event attached to the user's most recent STRICTLY
