@@ -72,6 +72,32 @@ object TextFunctions {
     cascade
   }
 
+  /** BPE-ish regex tokens (GPT-2-style segmentation simplified to an
+    * RE2-safe pattern — no lookarounds, so the same regex runs in any
+    * engine): leading-space word / number / punctuation runs.
+    */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Rabin-Karp rolling hash over codepoints: h₀ = c₀, h = (h·31 + c)
+    * mod 1e9+7 — order-sensitive (permutations hash differently, unlike
+    * the bag-of-words signature), cheap integer math, engine-independent.
+    * Pass a MATERIALIZED char-codepoint array attribute (HOF lambda
+    * re-evaluation, see [[shingles]]).
+    */
+  def charCodepoints(text: Column): Column =
+    transform(filter(split(text, ""), c => length(c) > 0), c => ascii(c).cast("long"))
+
+  def rollingHash(cps: Column): Column =
+    when(size(cps) === 0, lit(0L)).otherwise(
+      aggregate(
+        slice(cps, lit(2), greatest(size(cps) - 1, lit(0))),
+        element_at(cps, 1),
+        (acc, c) => (acc * 31L + c) % 1000000007L))
+
   /** Canonical text form for exact dedup: lowercase, collapsed whitespace. */
   def normalized(text: Column): Column =
     regexp_replace(lower(text), " +", " ")

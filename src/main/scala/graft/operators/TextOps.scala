@@ -19,7 +19,8 @@ object TextOps {
 
   def all: Seq[GraftQuery] = Seq(
     tokenStats, qualityScores, langId, fingerprints, exactDedup,
-    minhashSignatures, ngramJaccardPairs, simhash, minhashLshPairs)
+    minhashSignatures, ngramJaccardPairs, simhash, minhashLshPairs,
+    bpeAndRollingHash)
 
   private val Stop = DefaultStopwords.map(s => s"'$s'").mkString(", ")
 
@@ -250,6 +251,32 @@ object TextOps {
       .join(d.select(col("doc_id").as("id_b"), col("tk").as("tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("ta"), col("tb")).as("jaccard"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** BPE-ish regex token counts + Rabin-Karp rolling-hash fingerprint
+    * (order-sensitive, unlike the bag-of-words signature of q23). The
+    * RE2-safe token pattern and the mod-1e9+7 integer fold run identically
+    * in any engine.
+    */
+  val bpeAndRollingHash: GraftQuery = GraftQuery.sql(
+    "q52_bpe_rolling_hash",
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${BpePattern}')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |  CASE WHEN length(text) = 0 THEN 0 ELSE
+       |    list_reduce(
+       |      list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT)),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) END AS rolling_hash
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), charCodepoints(col("text")).as("cps"))
+      .select(
+        col("doc_id"),
+        bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+        tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        rollingHash(col("cps")).as("rolling_hash"))
+      .orderBy("doc_id")
   }
 
   /** 16-bit SimHash per document from token hashes — explode + one
