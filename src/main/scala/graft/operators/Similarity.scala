@@ -107,8 +107,9 @@ object Similarity {
 
   /** ANN via sign-sketch LSH: bucket on 8 deterministic hyperplane signs,
     * equi-join buckets, exact rescore within bucket, top-3 per query.
-    * (No SQL oracle — the bucket layout is validated by SimilaritySpec;
-    * the rescore math is the same oracle-checked cosine as q28.)
+    * (No SQL oracle — deterministic bucketing is exercised by the generic
+    * registry run in RelationalSpec; the rescore math is the same
+    * oracle-checked cosine as q28.)
     */
   val annLsh: GraftQuery = GraftQuery.rowsOnly("q30_ann_lsh") { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)

@@ -36,15 +36,16 @@ object Scratch {
       ("vectorized+partial agg", p => p.contains("Batched: true") && p.contains("partial_sum")))
 
     // GreedyCore alone, no Spark (driver-side): isolates algorithm cost
-    locally {
-      val pts = (0 until 200000).map { i =>
+    // at the reference's bench ladder sizes (200k default; 1M like --1m)
+    Seq(200000, 1000000).foreach { sz =>
+      val pts = (0 until sz).map { i =>
         val (lng, lat) = graft.io.SyntheticPoints.pointAt(42L, i.toLong)
         (i.toLong, lng, lat)
       }.toArray
       (1 to 3).foreach { run =>
         val t0 = System.nanoTime()
         val n = graft.cluster.GreedyCore.buildLevels(pts, graft.cluster.ClusterOptions()).length
-        println(f"[audit] GreedyCore alone 200k run$run: ${(System.nanoTime() - t0) / 1e9}%.2f s, rows=$n")
+        println(f"[audit] GreedyCore alone $sz run$run: ${(System.nanoTime() - t0) / 1e9}%.2f s, rows=$n")
       }
     }
 
