@@ -16,7 +16,68 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  def all: Seq[GraftQuery] = Seq(knnBruteForce, embeddingNearDup, annLsh, annIvf)
+  def all: Seq[GraftQuery] = Seq(
+    knnBruteForce, embeddingNearDup, annLsh, annIvf, embeddingQuantize)
+
+  /** Int8 scalar quantization of embeddings (per-vector min/max range) —
+    * THE storage lever for 100 TB embedding tables (4×–8× smaller than
+    * f32, reconstructable for rescoring). `floor(x + 0.5)` rounding is
+    * engine-unambiguous; the reconstruction error is accumulated in exact
+    * decimals so the MSE hash-matches.
+    */
+  val embeddingQuantize: GraftQuery = GraftQuery.sql(
+    "q53_embedding_quantize",
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_aggregate(embedding, 'min') AS lo,
+      |    list_aggregate(embedding, 'max') AS hi,
+      |    embedding
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, lo, hi,
+      |    (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) / 255.0 AS scale,
+      |    embedding
+      |  FROM q
+      |), r AS (
+      |  SELECT vec_id, lo, hi, scale,
+      |    list_transform(embedding, x ->
+      |      FLOOR((CAST(x AS DOUBLE) - CAST(lo AS DOUBLE)) / scale + 0.5)) AS codes,
+      |    embedding
+      |  FROM s WHERE scale > 0
+      |)
+      |SELECT vec_id,
+      |  CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
+      |  CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
+      |  CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max,
+      |  CAST(list_aggregate(
+      |    list_transform(range(1, len(embedding) + 1), i ->
+      |      CAST(power(CAST(embedding[i] AS DOUBLE)
+      |        - (codes[i] * scale + CAST(lo AS DOUBLE)), 2) AS DECIMAL(25,15))),
+      |    'sum') AS DOUBLE) / len(embedding) AS mse
+      |FROM r
+      |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        array_min(col("embedding")).cast("double").as("lo"),
+        array_max(col("embedding")).cast("double").as("hi"))
+      .withColumn("scale", (col("hi") - col("lo")) / 255.0)
+      .where(col("scale") > 0)
+      .withColumn("codes",
+        transform(col("embedding"), x =>
+          floor((x.cast("double") - col("lo")) / col("scale") + 0.5)))
+    emb.select(
+      col("vec_id"), col("lo"), col("hi"),
+      array_min(col("codes")).cast("long").as("code_min"),
+      array_max(col("codes")).cast("long").as("code_max"),
+      (aggregate(
+        zip_with(col("embedding"), col("codes"), (x, c) =>
+          pow(x.cast("double") - (c * col("scale") + col("lo")), 2).cast(DecimalType(25, 15))),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(35, 15)),
+        (acc, v) => (acc + v).cast(DecimalType(35, 15))).cast("double")
+        / size(col("embedding"))).as("mse"))
+      .orderBy("vec_id")
+  }
 
   /** IVF ANN: coarse-quantizer index + nprobe search (see [[AnnIvf]]).
     * Rows-only — recall against exact brute force is locked by AnnIvfSpec;
