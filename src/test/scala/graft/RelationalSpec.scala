@@ -18,6 +18,10 @@ class RelationalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("entry (driver t1 smoke): flagship query yields rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every registered query runs at sf0.001 and yields a stable schema") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
