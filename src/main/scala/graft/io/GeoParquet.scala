@@ -78,9 +78,11 @@ object GeoParquet {
         val md = reader.getFooter.getFileMetaData
         (md.getSchema, md.getKeyValueMetaData.asScala.toMap)
       } finally reader.close()
+    // (rowGroupSize, maxPadding, columnIndexTruncate, statsTruncate,
+    // pageChecksum) — parquet-hadoop defaults for the last three
     val writer = new ParquetFileWriter(
       HadoopOutputFile.fromPath(dst, conf), schema, ParquetFileWriter.Mode.CREATE,
-      128L * 1024 * 1024, 8 * 1024 * 1024)
+      128L * 1024 * 1024, 8 * 1024 * 1024, 64, Integer.MAX_VALUE, true)
     writer.start()
     writer.appendFile(in)
     writer.end((existing ++ extra).asJava)

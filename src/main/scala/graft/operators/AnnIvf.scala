@@ -70,7 +70,7 @@ object AnnIvf {
     val cents = centroids.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    val sims = array(cents.map { case (_, v) =>
+    val sims = array(cents.toIndexedSeq.map { case (_, v) =>
       approxCosine(col(vecCol), typedLit(v))
     }: _*)
     // translate array position → centroid id (a centroid that loses all
