@@ -95,7 +95,7 @@ object GridHierarchy {
           min(col("is_cluster")).as("_single_is_cluster"))
 
       val isFused = col("_n_members") >= 2
-      val next = agg.select(
+      val nextPlan = agg.select(
         when(isFused, col("_cell_id")).otherwise(col("_single_id")).as("id"),
         when(isFused, col("_cmx")).otherwise(col("_single_mx")).as("mx"),
         when(isFused, col("_cmy")).otherwise(col("_single_my")).as("my"),
@@ -103,9 +103,12 @@ object GridHierarchy {
         when(isFused, Mercator.yLatCol(col("_cmy"))).otherwise(col("_single_lat")).as("lat"),
         col("point_count"),
         when(isFused, lit(true)).otherwise(col("_single_is_cluster")).as("is_cluster"))
-        // localCheckpoint TRUNCATES the lineage — 17 chained levels would
-        // otherwise grow the logical plan exponentially (SURVEY §7.5 #3)
-        .localCheckpoint()
+      // localCheckpoint TRUNCATES the lineage — 17 chained levels would
+      // otherwise grow the logical plan exponentially (SURVEY §7.5 #3).
+      // (A lazy RDD-rebase + persist was measured SLOWER here: the
+      // materialized checkpoint keeps each level's consumers on codegen'd
+      // cached blocks.)
+      val next = nextPlan.localCheckpoint()
 
       // stamp parent edges on the CURRENT level: parent = the fused cell's
       // id, or -1 when the record passed through. Equi-join on the cell id —
