@@ -33,7 +33,8 @@ object Relational {
     forecastRevenue, customersNoOrders, topCustomersPerSegment,
     runningOrderTotal, revenueRollup, partTypeStats, aboveAvgParts,
     sessionize, hourlyEvents, propsExtract, asofLastError, setOpsCohorts,
-    cubeStats, topSupplier, largeOrders, pivotEvents, percentiles)
+    cubeStats, topSupplier, largeOrders, pivotEvents, percentiles,
+    windowSuite)
 
   /** TPC-H Q1-style pricing summary: single scan, map-side partial agg. */
   val pricingSummary: GraftQuery = GraftQuery.sql(
@@ -511,6 +512,36 @@ object Relational {
         expr("percentile(o_totalprice, 0.9)").as("p90"),
         expr("percentile(o_totalprice, 0.99)").as("p99"))
       .orderBy("o_orderstatus")
+  }
+
+  /** Window-function family sweep: ntile, cume_dist, first/last value with
+    * explicit frames, lead — one shuffle on the partition key.
+    */
+  val windowSuite: GraftQuery = GraftQuery.sql(
+    "q54_window_suite",
+    """SELECT o_custkey, o_orderkey,
+      |  ntile(4) OVER w AS quartile,
+      |  round(cume_dist() OVER w, 12) AS cd,
+      |  first_value(o_orderkey) OVER w AS first_ok,
+      |  last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+      |  lead(o_orderkey, 1) OVER w AS next_ok
+      |FROM orders
+      |WHERE o_custkey < 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .where(col("o_custkey") < 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 12).as("cd"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(full).as("last_ok"),
+        lead(col("o_orderkey"), 1).over(w).as("next_ok"))
+      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** As-of join: every event attached to the user's most recent STRICTLY
