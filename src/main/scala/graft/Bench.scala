@@ -1,10 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
-/** Benchmark main: one JSON line with per-query wall seconds at
-  * SPARK_GRAFT_SF_DIR. Mirrors the reference's measurement discipline
-  * (benchmarks/run.ts:38-42): explicit warm-up before timing so per-query
-  * numbers measure the operator, not JVM/codegen/file-footer cold start.
+/** Benchmark main: per-query wall seconds at SPARK_GRAFT_SF_DIR, emitted as
+  * ONE bare JSON line (the very last stdout line; `run / outputStrategy :=
+  * StdoutOutput` keeps sbt from wrapping it in `[info]`) and duplicated to a
+  * file (SPARK_GRAFT_BENCH_OUT, default `bench_result.json`). Mirrors the
+  * reference's measurement discipline (benchmarks/run.ts:38-42): explicit
+  * warm-up before timing so per-query numbers measure the operator, not
+  * JVM/codegen/file-footer cold start.
+  *
+  * Also mirrors the reference's filterMask load-scaling section
+  * (benchmarks/run.ts:491-538): exact-mode hierarchy build with no mask vs a
+  * 50% mask vs a 10% mask.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,15 +35,48 @@ object Bench {
     }
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
+    // (name, seconds, succeeded) — a failed query keeps its elapsed time but
+    // is flagged, so a breakage can't silently pose as a fast run
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // filterMask load-scaling: exact greedy build at three mask selectivities
+    // (reference benchmarks/run.ts:491-538 — its only published scaling claim)
+    import graft.cluster.{ClusterEngine, ClusterOptions}
+    val maskTimes = Seq(
+      "mask_none" -> None,
+      "mask_50pct" -> Some(col("event_id") % 2 === 0),
+      "mask_10pct" -> Some(col("event_id") % 10 === 0)
+    ).map { case (name, mask) =>
+      val t0 = System.nanoTime()
+      val ok = try {
+        val idx = ClusterEngine.load(
+          graft.operators.Spatial.pointsDf(spark, sfDir), ClusterOptions(),
+          idCol = Some("event_id"), filterMask = mask)
+        idx.unpersist()
+        true
+      } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+
+    def jmap(xs: Seq[(String, Double, Boolean)]): String =
+      xs.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errors = (results ++ maskTimes).collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},""" +
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors,"sf":"$sfDir"}"""
+
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath), json.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
+    // bare last line — after spark.stop() so no shutdown logs can follow it
+    println(json)
   }
 }

@@ -26,7 +26,10 @@ import graft.geo.Mercator
   *
   * Cluster IDs: cell-derived `(cellX << 27 | cellY) << 5 | (z+1)` offset by
   * `totalPoints` — same leaf/cluster ID-space split as [[graft.ids.ClusterId]]
-  * (leaves = row ids < totalPoints), decodable without a lookup.
+  * (leaves = row ids < totalPoints), decodable without a lookup. `build`
+  * rejects configurations whose finest grid exceeds 2^27 cells per axis
+  * (maxZoom ≳ 24 at defaults) — distinct cells would alias otherwise — and
+  * wraps lng into [-180, 180) so cell indices are never negative.
   */
 object GridHierarchy {
 
@@ -45,9 +48,24 @@ object GridHierarchy {
     // mode (ClusterEngine) supports arbitrary minPoints
     require(opts.minPoints <= 2,
       "GridHierarchy fuses any multi-member cell; minPoints > 2 needs ClusterEngine")
+    // the 27-bit-per-axis cell-ID packing below is collision-free only while
+    // the finest grid has < 2^27 cells per axis (maxZoom ≲ 23 at the default
+    // radius/extent) — beyond that distinct cells would silently alias
+    val maxCellsPerAxis =
+      math.ceil(opts.extent * math.pow(2.0, opts.maxZoom.toDouble) / opts.radius).toLong
+    require(maxCellsPerAxis < (1L << 27),
+      s"cell-ID packing holds ${1L << 27} cells per axis but " +
+        s"maxZoom=${opts.maxZoom} radius=${opts.radius} extent=${opts.extent} " +
+        s"needs $maxCellsPerAxis — lower maxZoom (<= 23 at defaults) or use ClusterEngine")
     val spark = points.sparkSession
-    val lng = col(lngCol)
     val lat = col(latCol)
+    // wrap lng into [-180, 180) — exact identity for in-range values (the
+    // subtracted term folds to 0.0), keeps mx in [0, 1) so cell indices are
+    // never negative (a negative cellX would break the leaf/cluster ID split)
+    val lng = {
+      val d = col(lngCol).cast("double")
+      d - lit(360.0) * floor((d + lit(180.0)) / lit(360.0))
+    }
 
     val totalPoints = points.count()
 
@@ -56,9 +74,9 @@ object GridHierarchy {
       .where(lng.isNotNull && lat.isNotNull && !isnan(lng) && !isnan(lat))
       .select(
         col(idCol).cast("long").as("id"),
-        Mercator.froundCol(Mercator.lngXCol(lng.cast("double"))).as("mx"),
+        Mercator.froundCol(Mercator.lngXCol(lng)).as("mx"),
         Mercator.froundCol(Mercator.latYCol(lat.cast("double"))).as("my"),
-        lng.cast("double").as("lng"),
+        lng.as("lng"),
         lat.cast("double").as("lat"))
       .withColumn("point_count", lit(1L))
       .withColumn("is_cluster", lit(false))

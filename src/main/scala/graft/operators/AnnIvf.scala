@@ -83,9 +83,15 @@ object AnnIvf {
       .drop("_sims")
   }
 
+  /** NaN-guarded: a zero-norm vector yields 0/0 = NaN for every centroid,
+    * which would make `array_position(_, array_max(_))` return 0 and
+    * `element_at(_, 0)` throw under ANSI mode — map it to -2.0 (below any
+    * real cosine) so argmax always lands on a valid position.
+    */
   private def approxCosine(a: Column, b: Column): Column =
-    VectorFunctions.dotApprox(a, b) /
-      (sqrt(VectorFunctions.dotApprox(a, a)) * sqrt(VectorFunctions.dotApprox(b, b)))
+    nanvl(VectorFunctions.dotApprox(a, b) /
+      (sqrt(VectorFunctions.dotApprox(a, a)) * sqrt(VectorFunctions.dotApprox(b, b))),
+      lit(-2.0))
 
   /** Top-`topK` neighbours for each query vector, probing `nprobe`
     * centroid lists; exact decimal-cosine rescore within the probed lists.

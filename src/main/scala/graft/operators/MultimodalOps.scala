@@ -46,13 +46,18 @@ object MultimodalOps {
   }
 
   /** Stub-decoded feature batch (rows-only: byte-level decode has no SQL
-    * analogue; exact values are locked by MultimodalSpec).
+    * analogue; exact values are locked by MultimodalSpec). Features are
+    * emitted CSV-encoded (fixed 7-decimal format) — scalar columns only, so
+    * the harness's sort/hash works on the result.
     */
   val mediaFeatures: GraftQuery = GraftQuery.rowsOnly("q40_media_features") { (spark, dir) =>
     import spark.implicits._
     Multimodal.decodeFeatures(media(spark, dir), dim = 8)
       .toDF()
-      .select(col("media_id"), col("n_bytes"), col("features"))
+      .select(col("media_id"), col("n_bytes"),
+        concat_ws(",",
+          transform(col("features"), f => format_string("%.7f", f.cast("double"))))
+          .as("features_csv"))
       .orderBy("media_id")
   }
 

@@ -346,13 +346,15 @@ object Relational {
   val propsExtract: GraftQuery = GraftQuery.sql(
     "q14_props_extract",
     """SELECT event_type,
-      |  COUNT(DISTINCT CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER)) AS n_k,
-      |  CAST(SUM(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS BIGINT) AS sum_k,
-      |  CAST(SUM(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+      |  COUNT(DISTINCT TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER)) AS n_k,
+      |  CAST(SUM(TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(SUM(TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (spark, dir) =>
-    val k = regexp_extract(col("props"), "[0-9]+", 0)
+    // no-digit props extract to '' — NULL it out so the cast can't throw
+    // under ANSI mode (TRY_CAST symmetrically on the DuckDB side)
+    val k = nullif(regexp_extract(col("props"), "[0-9]+", 0), lit(""))
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(

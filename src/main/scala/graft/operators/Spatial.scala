@@ -33,10 +33,19 @@ object Spatial {
     * it (the reference's engine-rebuild gating, C1 — build cost is paid once,
     * queries are pruned scans of the persisted level table).
     */
-  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, ClusterIndex]
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, ClusterIndex)]
   private def index(spark: SparkSession, dir: String): ClusterIndex =
-    indexCache.getOrElseUpdate(dir,
-      ClusterEngine.load(pointsDf(spark, dir), ClusterOptions(), idCol = Some("event_id")).persist())
+    indexCache.get(dir) match {
+      // the cached index holds Datasets bound to the session that built it —
+      // a cache hit from a different/stopped session would serve stale plans
+      case Some((s, idx)) if (s eq spark) && !s.sparkContext.isStopped => idx
+      case _ =>
+        val idx = ClusterEngine.load(
+          pointsDf(spark, dir), ClusterOptions(), idCol = Some("event_id")).persist()
+        indexCache.put(dir, (spark, idx))
+        idx
+    }
 
   /** Largest cluster at `zoom` — a deterministic probe target for the
     * navigation queries (ties broken by id).
@@ -48,7 +57,7 @@ object Spatial {
       .limit(1).collect()(0).getLong(0)
 
   /** Shared synthetic point cloud: lng/lat as exact centesimal grids. */
-  private def pointsDf(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def pointsDf(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
       col("event_id"),
       ((col("event_id") % 36000) / 100.0 - 180.0).as("lng"),
@@ -112,7 +121,13 @@ object Spatial {
       .orderBy("cell_x", "cell_y")
   }
 
-  /** D2/D4/D5 styling columns over grid clusters (log radius f32-quantized). */
+  /** D1-D5 styling columns over grid clusters (log radius f32-quantized;
+    * fill/text colors CSV-encoded so the harness hashes scalar columns).
+    * The priority CASE (D1) and the WCAG-luminance text choice (D3) are
+    * mirrored formula-for-formula in the oracle — pow() 1-ulp noise cannot
+    * flip the > 0.5 branch because the three candidate luminances are far
+    * from the threshold.
+    */
   val styleColumns: GraftQuery = GraftQuery.sql(
     "q17_style_columns",
     s"""WITH grid AS (
@@ -120,12 +135,26 @@ object Spatial {
        |    CAST(FLOOR(my / $CellZ6) AS BIGINT) AS cell_y,
        |    COUNT(*) AS point_count
        |  FROM ($projectedSql) GROUP BY 1, 2
-       |), tot AS (SELECT COUNT(*) AS total FROM events)
+       |), tot AS (SELECT COUNT(*) AS total FROM events),
+       |f AS (
+       |  SELECT cell_x, cell_y, point_count,
+       |    CASE WHEN point_count >= 3 THEN 255 WHEN point_count >= 2 THEN 0 ELSE 230 END AS fr,
+       |    CASE WHEN point_count >= 3 THEN 140 WHEN point_count >= 2 THEN 180 ELSE 230 END AS fg,
+       |    CASE WHEN point_count >= 3 THEN 0 WHEN point_count >= 2 THEN 255 ELSE 230 END AS fb,
+       |    CASE WHEN point_count >= 3 THEN 255 WHEN point_count >= 2 THEN 255 ELSE 200 END AS fa
+       |  FROM grid
+       |)
        |SELECT cell_x, cell_y, point_count,
        |  CAST(CAST(4.0 + LN(point_count + 1.0) / LN(total + 1.0) * 50.0 AS REAL) AS DOUBLE) AS radius,
        |  CASE WHEN point_count > 1 THEN CAST(point_count AS VARCHAR) END AS label,
-       |  point_count > 1 AS is_cluster
-       |FROM grid, tot
+       |  point_count > 1 AS is_cluster,
+       |  CONCAT(fr, ',', fg, ',', fb, ',', fa) AS fill_color,
+       |  CASE WHEN
+       |      0.2126 * (CASE WHEN fr/255.0 <= 0.03928 THEN fr/255.0/12.92 ELSE POWER((fr/255.0+0.055)/1.055, 2.4) END)
+       |    + 0.7152 * (CASE WHEN fg/255.0 <= 0.03928 THEN fg/255.0/12.92 ELSE POWER((fg/255.0+0.055)/1.055, 2.4) END)
+       |    + 0.0722 * (CASE WHEN fb/255.0 <= 0.03928 THEN fb/255.0/12.92 ELSE POWER((fb/255.0+0.055)/1.055, 2.4) END)
+       |    > 0.5 THEN '0,0,0,255' ELSE '255,255,255,255' END AS text_color
+       |FROM f, tot
        |ORDER BY cell_x, cell_y""".stripMargin) { (spark, dir) =>
     val grid = projected(spark, dir)
       .groupBy(
@@ -134,6 +163,11 @@ object Spatial {
       .agg(count(lit(1)).as("point_count"))
     val tot = Tables.events(spark, dir).agg(count(lit(1)).as("total"))
     val isCluster = col("point_count") > 1
+    // D1 priority CASE driven by cluster size (selected > focused > primary);
+    // light primary so BOTH text-color branches are exercised
+    val fill = Style.fillColorWhen(
+      col("point_count") >= 3, col("point_count") >= 2,
+      primary = (230, 230, 230, 200))
     grid.join(broadcast(tot))
       .select(
         col("cell_x"), col("cell_y"), col("point_count"),
@@ -141,7 +175,9 @@ object Spatial {
           lit(4.0) + log(col("point_count") + 1.0) / log(col("total") + 1.0) * 50.0)
           .as("radius"),
         Style.labelText(isCluster, col("point_count")).as("label"),
-        isCluster.as("is_cluster"))
+        isCluster.as("is_cluster"),
+        concat_ws(",", fill.cast("array<string>")).as("fill_color"),
+        concat_ws(",", Style.textColor(fill).cast("array<string>")).as("text_color"))
       .orderBy("cell_x", "cell_y")
   }
 

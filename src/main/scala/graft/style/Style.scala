@@ -21,10 +21,23 @@ object Style {
       selected: Rgba = (255, 140, 0, 255),
       focused: Rgba = (0, 180, 255, 255),
       primary: Rgba = (51, 136, 255, 200)): Column = {
-    def arr(c: Rgba): Column = array(lit(c._1), lit(c._2), lit(c._3), lit(c._4))
     val isSelected = selectedId.map(id === _).getOrElse(lit(false))
     val isFocused = focusedId.map(id === _).getOrElse(lit(false)) ||
       (if (descendantIds.nonEmpty) id.isInCollection(descendantIds) else lit(false))
+    fillColorWhen(isSelected, isFocused, selected, focused, primary)
+  }
+
+  /** D1 core as arbitrary predicates (the id-based variant above is the
+    * reference's exact surface; this one lets callers drive selection from
+    * any column expression — both hit the same priority CASE).
+    */
+  def fillColorWhen(
+      isSelected: Column,
+      isFocused: Column,
+      selected: Rgba = (255, 140, 0, 255),
+      focused: Rgba = (0, 180, 255, 255),
+      primary: Rgba = (51, 136, 255, 200)): Column = {
+    def arr(c: Rgba): Column = array(lit(c._1), lit(c._2), lit(c._3), lit(c._4))
     when(isSelected, arr(selected)).when(isFocused, arr(focused)).otherwise(arr(primary))
   }
 

@@ -80,6 +80,29 @@ class GridHierarchySpec extends AnyFunSuite {
     assert(nDesc >= 0)
   }
 
+  test("rejects maxZoom that would overflow the 27-bit cell packing") {
+    // at defaults (radius 40, extent 512) zoom 24 needs ~2.1e8 cells/axis > 2^27
+    val e = intercept[IllegalArgumentException] {
+      GridHierarchy.build(pointsDf(10), ClusterOptions(maxZoom = 24))
+    }
+    assert(e.getMessage.contains("cells per axis"))
+  }
+
+  test("out-of-range lng wraps into [-180, 180) instead of corrupting cell ids") {
+    val df = Seq((0L, 190.0, 10.0), (1L, -170.0, 10.0), (2L, 550.0, 10.0))
+      .toDF("row_id", "lng", "lat")
+    val lvl = GridHierarchy.build(df, ClusterOptions())
+    val base = lvl.where($"zoom" === 17).select($"id", $"lng", $"mx").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // 190 and 550 both wrap to -170 — all three points are the same location
+    assert(base(0L)._1 == -170.0 && base(2L)._1 == -170.0 && base(1L)._1 == -170.0)
+    assert(base.values.map(_._2).toSet.size == 1)
+    assert(base.values.forall { case (_, mx) => mx >= 0.0 && mx < 1.0 })
+    // and they fuse into one cluster at the top (same cell, valid id space)
+    val top = lvl.where($"zoom" === 0).select($"point_count").collect()
+    assert(top.length == 1 && top(0).getLong(0) == 3L)
+  }
+
   test("zoom monotonicity: record count never increases as zoom decreases") {
     val counts = levels.groupBy("zoom").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
