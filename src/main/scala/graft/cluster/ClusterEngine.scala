@@ -73,19 +73,55 @@ final class ClusterIndex private[cluster] (
     levels.filter($"zoom" === childZoom && $"parent_id" === clusterId)
   }
 
-  /** Q4: all leaves under a cluster with limit/offset
-    * (arrow-cluster-engine.ts:231-235,312-348). Iterative frontier expansion
-    * over the parent edges — bounded by the zoom-level count, each step a
-    * broadcast semi-join. Pagination is by ascending leaf id (deterministic;
-    * the reference paginates in DFS order — documented divergence, its own
-    * tests compare leaves as sorted sets).
+  /** Q4 core: every leaf under a cluster, tagged with its root-to-leaf child
+    * path — an iterative semi-join where frontier AND result stay DataFrames
+    * end-to-end (no driver materialization, so a 100M-leaf cluster never
+    * touches driver memory). Each parent edge is stamped at exactly one zoom
+    * (the parent's origin level), so one pruned scan per depth finds each
+    * child once; depth is bounded by the zoom-level count. `_path` holds the
+    * child ids walked from the root: lexicographic order on it IS the
+    * reference's DFS leaf order (arrow-cluster-engine.ts:312-348) with
+    * children visited in ascending-id order (documented divergence: the
+    * reference walks children in kd-tree traversal order — same membership,
+    * different deterministic order).
     */
-  def getLeaves(clusterId: Long, limit: Int = 10, offset: Int = 0): DataFrame = {
-    val leafIds = subtreeEdges(Seq(clusterId)).filter(!_.isCluster).map(_.id).sorted
-    val page = leafIds.slice(offset, offset + limit).toSeq
-    // the base level (maxZoom+1) holds every original point exactly once
-    levels.filter($"zoom" === opts.maxZoom + 1 && $"id".isInCollection(page))
-      .orderBy($"id")
+  private def leavesWithPath(clusterId: Long): DataFrame = {
+    val maxIter = opts.maxZoom - opts.minZoom + 2
+    var frontier = levels.sparkSession.range(1).select(
+      lit(clusterId).as("_pid"), typedLit(Array.empty[Long]).as("_path"))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var depth = 0
+    var more = true
+    while (more && depth <= maxIter) {
+      // localCheckpoint: truncates the per-depth lineage (bounded depth) and
+      // lets the frontier emptiness probe reuse the materialized result
+      val kids = levels.join(frontier, $"parent_id" === $"_pid")
+        .select($"id", $"point_count", $"is_cluster", $"lng", $"lat",
+          concat($"_path", array($"id")).as("_path"))
+        .localCheckpoint()
+      parts += kids.where(!$"is_cluster")
+      frontier = kids.where($"is_cluster").select($"id".as("_pid"), $"_path")
+      more = frontier.limit(1).count() > 0
+      depth += 1
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Q4: all leaves under a cluster with limit/offset
+    * (arrow-cluster-engine.ts:231-235,312-348). Pagination orders by
+    * ascending leaf id, or by DFS position (`dfsOrder = true`) matching the
+    * reference's subtree-pruned DFS pagination with ascending-id child
+    * order. Both are a distributed sort + offset/limit — Spark plans the
+    * page as top-K, so the driver only ever sees `limit` rows.
+    */
+  def getLeaves(clusterId: Long, limit: Int = 10, offset: Int = 0,
+      dfsOrder: Boolean = false): DataFrame = {
+    val all = leavesWithPath(clusterId)
+    val sortKey = if (dfsOrder) col("_path") else col("id")
+    val page =
+      if (limit == Int.MaxValue) all.sort(sortKey).offset(offset)
+      else all.sort(sortKey).offset(offset).limit(limit)
+    page.sort(sortKey)
       .select($"id".as("row_id"), $"lng", $"lat", $"point_count")
   }
 

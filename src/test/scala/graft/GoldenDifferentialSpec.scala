@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cluster.{ClusterEngine, ClusterOptions}
+
+/** Reference-differential test: the greedy hierarchy vs committed goldens
+  * produced by an independent implementation of the published Supercluster
+  * algorithm (`tools/golden_supercluster.mjs`) on the reference test suite's
+  * own fixture — LCG seed 42, 500 points, radius 75 (tests/test-utils.ts:
+  * 51-65, engine.test.ts:12). Mirrors the reference's differential checks
+  * (engine.test.ts:25-131): per-zoom cardinality, cluster count, sorted
+  * count-multiset, sorted positions, plus — stronger than the reference —
+  * bit-exact cluster-ID sets, expansion zooms for every z2 cluster, and full
+  * DFS leaf sequences.
+  */
+class GoldenDifferentialSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private case class LevelGolden(
+      n: Int, nClusters: Int, counts: Seq[Long], ids: Seq[Long],
+      pos: Seq[(Double, Double)])
+
+  private lazy val golden: (Map[Int, LevelGolden], Map[Long, Int], Map[Long, Seq[Long]]) = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden_supercluster_500.tsv"), "UTF-8")
+    val lines = try src.getLines().filterNot(_.startsWith("#")).toVector finally src.close()
+    val fields = lines.map(_.split("\t", -1))
+    def byTag(tag: String) = fields.filter(_.head == tag)
+    val levels = byTag("level").map(f => f(1).toInt -> (f(2).toInt, f(3).toInt)).toMap
+    val counts = byTag("counts").map(f => f(1).toInt -> f(2).split(",").map(_.toLong).toSeq).toMap
+    val ids = byTag("ids").map(f => f(1).toInt -> f(2).split(",").map(_.toLong).toSeq).toMap
+    val pos = byTag("pos").map { f =>
+      f(1).toInt -> f(2).split(";").map { p =>
+        val Array(lng, lat) = p.split(":"); (lng.toDouble, lat.toDouble)
+      }.toSeq
+    }.toMap
+    val lvl = levels.map { case (z, (n, nc)) =>
+      z -> LevelGolden(n, nc, counts(z), ids(z), pos(z))
+    }
+    val expansion = byTag("expansion").map(f => f(1).toLong -> f(2).toInt).toMap
+    val leafdfs = byTag("leafdfs")
+      .map(f => f(1).toLong -> f(2).split(",").map(_.toLong).toSeq).toMap
+    (lvl, expansion, leafdfs)
+  }
+
+  private lazy val idx = {
+    import spark.implicits._
+    val pts = PointFixtures.uniform(500).toSeq.toDF("row_id", "lng", "lat")
+    ClusterEngine.load(pts, ClusterOptions(radius = 75.0), idCol = Some("row_id")).persist()
+  }
+
+  test("per-zoom cardinality, cluster count, count-multiset, and ids match") {
+    val (lvls, _, _) = golden
+    (0 to 16).foreach { z =>
+      val rows = idx.level(z)
+        .select("id", "point_count", "is_cluster").collect()
+      val g = lvls(z)
+      assert(rows.length == g.n, s"cardinality at z=$z")
+      assert(rows.count(_.getBoolean(2)) == g.nClusters, s"cluster count at z=$z")
+      assert(rows.map(_.getLong(1)).sorted.toSeq == g.counts, s"count multiset at z=$z")
+      // bit-exact id parity: same visiting order, same (index<<5)+zoom packing
+      assert(rows.map(_.getLong(0)).sorted.toSeq == g.ids, s"id set at z=$z")
+    }
+  }
+
+  test("per-zoom positions match the golden to 1e-7 (reference asserts 1e-4)") {
+    val (lvls, _, _) = golden
+    (0 to 16).foreach { z =>
+      val pos = idx.level(z).select("lng", "lat").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      val g = lvls(z).pos
+      assert(pos.length == g.length)
+      pos.zip(g).foreach { case ((lng, lat), (glng, glat)) =>
+        assert(math.abs(lng - glng) < 1e-7 && math.abs(lat - glat) < 1e-7,
+          s"position at z=$z: ($lng,$lat) vs golden ($glng,$glat)")
+      }
+    }
+  }
+
+  test("expansion zoom matches for every cluster at zoom 2") {
+    val (_, expansion, _) = golden
+    assert(expansion.nonEmpty)
+    val got = idx.navigationSummary(expansion.keys.toSeq.sorted)
+      .map { case (cid, ez, _) => cid -> ez }.toMap
+    expansion.foreach { case (cid, ez) =>
+      assert(got(cid) == ez, s"expansion zoom of cluster $cid")
+    }
+  }
+
+  test("DFS leaf sequences and paginated pages match") {
+    val (_, _, leafdfs) = golden
+    assert(leafdfs.nonEmpty)
+    leafdfs.foreach { case (cid, seq) =>
+      val full = idx.getLeaves(cid, limit = Int.MaxValue, offset = 0, dfsOrder = true)
+        .select("row_id").collect().map(_.getLong(0)).toSeq
+      assert(full == seq, s"DFS leaf order of cluster $cid")
+      // subtree-pruned offset pagination ≡ slicing the full DFS sequence
+      val page = idx.getLeaves(cid, limit = 10, offset = 7, dfsOrder = true)
+        .select("row_id").collect().map(_.getLong(0)).toSeq
+      assert(page == seq.slice(7, 17), s"DFS page of cluster $cid")
+      // id-order pagination = sorted membership slice
+      val idPage = idx.getLeaves(cid, limit = 10, offset = 7)
+        .select("row_id").collect().map(_.getLong(0)).toSeq
+      assert(idPage == seq.sorted.slice(7, 17), s"id-order page of cluster $cid")
+    }
+  }
+}
