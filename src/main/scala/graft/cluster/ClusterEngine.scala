@@ -85,27 +85,89 @@ final class ClusterIndex private[cluster] (
     * reference walks children in kd-tree traversal order — same membership,
     * different deterministic order).
     */
-  private def leavesWithPath(clusterId: Long): DataFrame = {
-    val maxIter = opts.maxZoom - opts.minZoom + 2
-    var frontier = levels.sparkSession.range(1).select(
-      lit(clusterId).as("_pid"), typedLit(Array.empty[Long]).as("_path"))
+  /** Subtree walk core shared by getLeaves / subtreeEdges: every parent edge
+    * is stamped at exactly ONE zoom — the parent's origin level — and origin
+    * levels strictly increase down any path, so ONE ascending sweep over the
+    * levels discovers the whole subtree. Each step scans ONLY that zoom's
+    * slice of the persisted level table (`zoom === l` prunes cached batches
+    * by min/max stats) and joins the pending-cluster frontier; everything
+    * stays a DataFrame (no driver materialization). Lineage is checkpointed
+    * every 3rd level — between checkpoints the chained joins recompute, but
+    * only against pruned single-level scans, which is cheaper than a
+    * materialization barrier per level.
+    *
+    * Output: one row per subtree record with `_path` = child ids walked from
+    * the root; lexicographic `_path` order IS DFS order with ascending-id
+    * children.
+    */
+  /** Memo of completed subtree walks (the reference's cluster-structure
+    * memoization, C2): q-level consumers often hit the same probe cluster —
+    * e.g. paginate then materialize — and the walk's checkpointed RDDs stay
+    * valid for the life of the index.
+    */
+  private val subtreeMemo =
+    scala.collection.concurrent.TrieMap.empty[(Seq[Long], Boolean), DataFrame]
+
+  private def subtreeRows(roots: Seq[Long], withPath: Boolean = true): DataFrame =
+    subtreeMemo.getOrElseUpdate((roots, withPath), subtreeRowsUncached(roots, withPath))
+
+  private def subtreeRowsUncached(roots: Seq[Long], withPath: Boolean): DataFrame = {
+    val total = numPoints
+    val pathCols =
+      if (withPath) Seq(concat($"_path", array($"id")).as("_path")) else Seq.empty
+    val emptyOut = levels.toDF().where(lit(false))
+      .select(Seq($"id", $"parent_id", $"point_count", $"is_cluster", $"lng", $"lat")
+        ++ (if (withPath) Seq(typedLit(Array.empty[Long]).as("_path")) else Seq.empty): _*)
+    val origins = roots.map(r => graft.ids.ClusterId.originLevel(r, total))
+      .filter(l => l >= opts.minZoom && l <= opts.maxZoom + 1)
+    if (origins.isEmpty) return emptyOut
+    val fromLevel = origins.min
+
+    // Every `kids` step is eagerly checkpointed, so `pending` is only ever a
+    // lazy union/filter chain over MATERIALIZED rdds — re-evaluating it is a
+    // cheap scan, never a join recompute. A probe every 3rd level (one tiny
+    // scan job) drives loop exit and the join strategy: a frontier known to
+    // be small ships as a broadcast (the pruned level scan never shuffles),
+    // while a degenerate huge one — deep trees at extreme scale — falls back
+    // to a shuffle join instead of OOMing the driver with a broadcast build.
+    var pending = roots.toDF("_pid")
+      .withColumn("_path", typedLit(Array.empty[Long]))
+      .withColumn("_oz", ((col("_pid") - total) % 32).cast("int"))
+      .localCheckpoint()
+    var pendingSmall = roots.size <= 100000
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var depth = 0
-    var more = true
-    while (more && depth <= maxIter) {
-      // localCheckpoint: truncates the per-depth lineage (bounded depth) and
-      // lets the frontier emptiness probe reuse the materialized result
-      val kids = levels.join(frontier, $"parent_id" === $"_pid")
-        .select($"id", $"point_count", $"is_cluster", $"lng", $"lat",
-          concat($"_path", array($"id")).as("_path"))
+    var l = fromLevel
+    var live = true
+    var sinceProbe = 0
+    while (live && l <= opts.maxZoom + 1) {
+      val f0 = pending.where($"_oz" === l).select($"_pid", $"_path")
+      val f = if (pendingSmall) broadcast(f0) else f0
+      val kids = levels.toDF().where($"zoom" === l)
+        .join(f, $"parent_id" === $"_pid")
+        .select(Seq($"id", $"parent_id", $"point_count", $"is_cluster", $"lng", $"lat")
+          ++ pathCols :+ (($"id" - total) % 32).cast("int").as("_koz"): _*)
         .localCheckpoint()
-      parts += kids.where(!$"is_cluster")
-      frontier = kids.where($"is_cluster").select($"id".as("_pid"), $"_path")
-      more = frontier.limit(1).count() > 0
-      depth += 1
+      parts += kids.drop("_koz")
+      val pendSel =
+        if (withPath) Seq($"id".as("_pid"), $"_path", $"_koz".as("_oz"))
+        else Seq($"id".as("_pid"),
+          typedLit(Array.empty[Long]).as("_path"), $"_koz".as("_oz"))
+      pending = pending.where($"_oz" > l)
+        .unionByName(kids.where($"is_cluster").select(pendSel: _*))
+      sinceProbe += 1
+      if (sinceProbe >= 3 || l == opts.maxZoom + 1) {
+        val c = pending.limit(100001).count()
+        live = c > 0
+        pendingSmall = c <= 100000
+        sinceProbe = 0
+      }
+      l += 1
     }
-    parts.reduce(_ unionByName _)
+    if (parts.isEmpty) emptyOut else parts.reduce(_ unionByName _)
   }
+
+  private def leavesWithPath(clusterId: Long): DataFrame =
+    subtreeRows(Seq(clusterId)).where(!$"is_cluster")
 
   /** Q4: all leaves under a cluster with limit/offset
     * (arrow-cluster-engine.ts:231-235,312-348). Pagination orders by
@@ -146,27 +208,16 @@ final class ClusterIndex private[cluster] (
     expansionZoom
   }
 
-  /** Batched subtree walk for MANY roots at once: one pruned scan per depth
-    * level regardless of root count (the per-root BFS would cost
-    * roots × depth driver round-trips). Returns every child edge reachable
-    * from any root.
+  /** Batched subtree walk for MANY roots at once — the [[subtreeRows]]
+    * sweep with ONE final collect of the edge set. Edge count is cluster
+    * metadata (bounded by the cluster count, not the leaf count); callers
+    * needing leaf-scale data use the DataFrame paths instead.
     */
-  def subtreeEdges(roots: Seq[Long]): Array[ChildEdge] = {
-    var frontier: Array[Long] = roots.toArray
-    val acc = scala.collection.mutable.ArrayBuffer.empty[ChildEdge]
-    var iter = 0
-    val maxIter = opts.maxZoom - opts.minZoom + 2
-    while (frontier.nonEmpty && iter <= maxIter) {
-      val kids = levels.filter($"parent_id".isInCollection(frontier.toSeq))
-        .select($"id", $"parent_id", $"is_cluster", $"point_count")
-        .collect()
-        .map(r => ChildEdge(r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
-      acc ++= kids
-      frontier = kids.filter(_.isCluster).map(_.id)
-      iter += 1
-    }
-    acc.toArray
-  }
+  def subtreeEdges(roots: Seq[Long]): Array[ChildEdge] =
+    subtreeRows(roots, withPath = false)
+      .select($"id", $"parent_id", $"is_cluster", $"point_count")
+      .collect()
+      .map(r => ChildEdge(r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
 
   /** Q8: all descendant cluster ids (BFS over parent edges,
     * arrow-cluster-layer.ts:305-334).

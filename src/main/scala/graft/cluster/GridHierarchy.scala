@@ -123,23 +123,28 @@ object GridHierarchy {
         when(isFused, lit(true)).otherwise(col("_single_is_cluster")).as("is_cluster"))
       // localCheckpoint TRUNCATES the lineage — 17 chained levels would
       // otherwise grow the logical plan exponentially (SURVEY §7.5 #3).
-      // (A lazy RDD-rebase + persist was measured SLOWER here: the
-      // materialized checkpoint keeps each level's consumers on codegen'd
+      // Cadence was MEASURED at sf0.1 (q44, local[32]): every level 15.8 s,
+      // every 3rd 22 s, every 6th 48 s, never 63 s — the un-checkpointed agg
+      // chains recompute for every consumer and dwarf the barrier cost, so
+      // EVERY level is checkpointed. (A lazy RDD-rebase + persist was also
+      // measured slower: eager checkpoints keep consumers on codegen'd
       // cached blocks.)
       val next = nextPlan.localCheckpoint()
 
-      // stamp parent edges on the CURRENT level: parent = the fused cell's
-      // id, or -1 when the record passed through. Equi-join on the cell id —
-      // both sides hash-partition on it (exchange reuse with the groupBy
-      // above); AQE broadcasts when the cluster set is small
-      val fusedCells = next.where(col("is_cluster") && col("id") >= totalPoints)
-        .select(col("id").as("_fused_id"))
+      // stamp parent edges on the CURRENT level: a record's parent is its
+      // own cell id iff the cell fused (>= 2 members — minPoints <= 2 is
+      // enforced above, so a multi-member cell ALWAYS fuses). A window count
+      // over the cell key answers that in the same single hash-shuffle the
+      // aggregation uses — no join against the next level needed, and no
+      // broadcast whose build side grows with the cluster count at scale
+      val memberCount = count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_cell_id")))
       val emitted = prev
         .withColumn("_cell_id", cellId)
-        .join(fusedCells, col("_cell_id") === col("_fused_id"), "left")
+        .withColumn("_n_in_cell", memberCount)
         .select(
           lit(z + 1).as("zoom"), col("mx"), col("my"), col("id"),
-          coalesce(col("_fused_id"), lit(-1L)).as("parent_id"),
+          when(col("_n_in_cell") >= 2, col("_cell_id")).otherwise(lit(-1L)).as("parent_id"),
           col("point_count"), col("is_cluster"), col("lng"), col("lat"))
       levels += emitted
 

@@ -1,0 +1,109 @@
+package graft.io
+
+import org.apache.arrow.vector.VectorSchemaRoot
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graftbridge.ArrowBridge
+import org.apache.spark.sql.types.StructType
+
+/** Arrow IPC stream source/sink (reference S2/S3: arrow-supercluster's
+  * native input format, `tests/test-utils.ts:14-31` builds IPC tables and
+  * `multi-chunk.test.ts` feeds multi-batch streams).
+  *
+  * Files are standard Arrow IPC *stream* format — one `part-NNNNN.arrows`
+  * per Spark partition, multiple record batches per file (the multi-chunk
+  * layout the reference tests exercise). Rows are converted with Spark's own
+  * `ArrowWriter`/`ArrowColumnVector` (via [[ArrowBridge]]), so every Spark
+  * type Arrow supports round-trips. Both directions stream batch-by-batch:
+  * memory is bounded by `maxRecordsPerBatch`, never the partition size, and
+  * each partition is read/written by the executor that owns it — at 100 TB
+  * the driver only lists files.
+  */
+object ArrowIpc {
+
+  /** Write `df` as Arrow IPC stream files under `dir` (one per partition). */
+  def write(df: DataFrame, dir: String, maxRecordsPerBatch: Int = 4096): Unit = {
+    val schema = df.schema
+    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val out = new Path(dir)
+    val fsConf = out.getFileSystem(new Configuration())
+    fsConf.mkdirs(out)
+    ArrowBridge.toRdd(df).mapPartitionsWithIndex { (idx, rows) =>
+      val allocator = ArrowBridge.newChildAllocator(s"graft-ipc-write-$idx")
+      val arrowSchema = ArrowBridge.toArrowSchema(schema, tz)
+      val root = VectorSchemaRoot.create(arrowSchema, allocator)
+      val path = new Path(dir, f"part-$idx%05d.arrows")
+      val fs = path.getFileSystem(new Configuration())
+      val os = fs.create(path, true)
+      val writer = new ArrowStreamWriter(root, null, os)
+      try {
+        writer.start()
+        val vecWriter = new ArrowBridge.RowVectorWriter(root)
+        var n = 0
+        while (rows.hasNext) {
+          vecWriter.write(rows.next())
+          n += 1
+          if (n == maxRecordsPerBatch) {
+            vecWriter.finish(); writer.writeBatch(); vecWriter.reset(); n = 0
+          }
+        }
+        if (n > 0) { vecWriter.finish(); writer.writeBatch() }
+        writer.end()
+      } finally {
+        writer.close(); os.close(); root.close(); allocator.close()
+      }
+      Iterator.single(idx)
+    }.count()
+  }
+
+  /** Read a directory of Arrow IPC stream files; the schema comes from the
+    * first file's stream header.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(".arrows")).map(_.toString).sorted
+    require(files.nonEmpty, s"no .arrows files under $dir")
+
+    val schema = {
+      val in = fs.open(new Path(files.head))
+      val alloc = ArrowBridge.newChildAllocator("graft-ipc-schema")
+      val reader = new ArrowStreamReader(in, alloc)
+      try ArrowBridge.fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+      finally { reader.close(); in.close(); alloc.close() }
+    }
+
+    val rdd = spark.sparkContext
+      .parallelize(files.toIndexedSeq, files.length)
+      .mapPartitions(_.flatMap(f => readFile(f, schema)))
+    ArrowBridge.internalCreateDataFrame(spark, rdd, schema)
+  }
+
+  /** Read one IPC stream file batch-by-batch (executor-side). */
+  private def readFile(
+      file: String, schema: StructType): Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val path = new Path(file)
+    val fs = path.getFileSystem(new Configuration())
+    val in = fs.open(path)
+    val alloc = ArrowBridge.newChildAllocator(s"graft-ipc-read")
+    val reader = new ArrowStreamReader(in, alloc)
+    val root = reader.getVectorSchemaRoot
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var current: Iterator[org.apache.spark.sql.catalyst.InternalRow] = Iterator.empty
+      private var open = true
+      private def advance(): Unit = {
+        while (open && !current.hasNext) {
+          if (reader.loadNextBatch()) current = ArrowBridge.batchRows(root, schema)
+          else { reader.close(); in.close(); alloc.close(); open = false }
+        }
+      }
+      def hasNext: Boolean = { advance(); current.hasNext }
+      def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        advance(); current.next()
+      }
+    }
+  }
+}

@@ -41,18 +41,25 @@ object AnnIvf {
       .select((col(idCol) / stride).cast("int").as("_c"),
         col(vecCol).cast("array<double>").as("_cv"))
 
+    // embedding dimensionality (fixed per table) — lets the Lloyd step
+    // aggregate per-dimension sums as `dim` scalar aggregates over the
+    // ORIGINAL rows instead of a posexplode (which shuffles dim× rows and
+    // needs a second groupBy to reassemble the array)
+    val dim = emb.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
     var it = 0
-    while (it < iters) {
+    while (it < iters && dim > 0) {
       val assigned = assign(emb, centroids, idCol, vecCol)
-      // Lloyd step: per-dimension mean of member vectors — explode to
-      // (centroid, dim, value), ONE shuffle, rebuild the array ordered
+      // Lloyd step: ONE hash-shuffle of k×(dim+1) partial aggregates
+      val sums = (1 to dim).map(i =>
+        sum(element_at(col(vecCol), i).cast("double")).as(s"_s$i"))
+      val aggs = count(lit(1)).as("_n") +: sums
       centroids = assigned
-        .select(col("_centroid").as("_c"), posexplode(col(vecCol)))
-        .groupBy(col("_c"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("v"))
-        .groupBy(col("_c"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-        .select(col("_c"), expr("transform(pv, x -> x.v)").as("_cv"))
+        .groupBy(col("_centroid").as("_c"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("_c"),
+          array((1 to dim).map(i => col(s"_s$i") / col("_n")): _*).as("_cv"))
       it += 1
     }
     (assign(emb, centroids, idCol, vecCol), centroids)

@@ -27,7 +27,9 @@ object Spatial {
   def all: Seq[GraftQuery] = Seq(
     mercatorProject, gridCluster, styleColumns, greedyHierarchy, hierarchyLevels,
     clusterChildren, clusterLeaves, hierarchyNavigation, materializedLeaves,
-    geoParquetRoundtrip, gridHierarchyProfile)
+    geoParquetRoundtrip, gridHierarchyProfile,
+    distChildren, distLeaves, distNavigation, distMaterialize,
+    arrowIpcRoundtrip)
 
   /** The hierarchy is built once per data dir and shared by every query on
     * it (the reference's engine-rebuild gating, C1 — build cost is paid once,
@@ -55,6 +57,34 @@ object Spatial {
       .where(col("is_cluster"))
       .orderBy(desc("point_count"), col("id"))
       .limit(1).collect()(0).getLong(0)
+
+  /** The distributed (GridHierarchy) build behind the same ClusterIndex
+    * surface — the 100 TB navigation path, shared across q55-q58.
+    */
+  private val distIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, ClusterIndex)]
+  private def distIndex(spark: SparkSession, dir: String): ClusterIndex =
+    distIndexCache.get(dir) match {
+      case Some((s, idx)) if (s eq spark) && !s.sparkContext.isStopped => idx
+      case _ =>
+        val idx = ClusterEngine.loadDistributed(
+          pointsDf(spark, dir), ClusterOptions(), idCol = "event_id")
+        distIndexCache.put(dir, (spark, idx))
+        idx
+    }
+
+  /** Largest cluster CREATED at pass z (origin level z+1) on the distributed
+    * build — restricting to that pass makes the probe expressible in the
+    * DuckDB level fold (its children all live in lvl(z+1)).
+    */
+  private def largestDistClusterAt(idx: ClusterIndex, z: Int): Long = {
+    val tot = idx.numPoints
+    idx.level(z).toDF()
+      .where(col("is_cluster") && col("id") >= tot &&
+        ((col("id") - tot) % 32) === (z + 1))
+      .orderBy(desc("point_count"), col("id"))
+      .limit(1).collect()(0).getLong(3)
+  }
 
   /** Shared synthetic point cloud: lng/lat as exact centesimal grids. */
   private[graft] def pointsDf(spark: SparkSession, dir: String): DataFrame =
@@ -248,13 +278,38 @@ object Spatial {
       .withColumn("geo_version", lit(version.orNull))
   }
 
+  /** S2/S3: Arrow IPC stream sink + source round-trip — write the events
+    * projection as multi-batch `.arrows` files, read them back, aggregate.
+    * The oracle recomputes the aggregates from the source table, so a
+    * lossy serialize/deserialize (dropped rows, mangled values) fails the
+    * hash compare.
+    */
+  val arrowIpcRoundtrip: GraftQuery = GraftQuery.sql(
+    "q59_arrow_ipc_roundtrip",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |  CAST(MIN(event_id) AS BIGINT) AS min_id,
+      |  CAST(MAX(event_id) AS BIGINT) AS max_id
+      |FROM events""".stripMargin) { (spark, dir) =>
+    val out = java.nio.file.Files.createTempDirectory("graft_ipc_rt").toString
+    val src = Tables.events(spark, dir).select(col("event_id"), col("value"))
+    graft.io.ArrowIpc.write(src, out)
+    graft.io.ArrowIpc.read(spark, out).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("event_id")).cast("long").as("sum_id"),
+      sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"),
+      min(col("event_id")).cast("long").as("min_id"),
+      max(col("event_id")).cast("long").as("max_id"))
+  }
+
   /** DuckDB mirror of [[graft.cluster.GridHierarchy]]: 17 chained
     * grid-snap aggregations, each level consuming the previous. The whole
     * DISTRIBUTED hierarchy build is oracle-checked level by level
     * (f32-quantized centroids make the fold engine- and
     * partitioning-independent).
     */
-  private def gridProfileSql: String = {
+  private def gridLevelCtes: Seq[String] = {
     val tot = "(SELECT COUNT(*) FROM events)"
     val base =
       s"""lvl17 AS (
@@ -289,6 +344,10 @@ object Spatial {
          |  GROUP BY cell_id
          |)""".stripMargin
     }
+    base +: lvls
+  }
+
+  private def gridProfileSql: String = {
     val profiles = (17 to 0 by -1).map { z =>
       s"""SELECT $z AS zoom, CAST(COUNT(*) AS BIGINT) AS n_records,
          |  CAST(SUM(CASE WHEN is_cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters,
@@ -298,18 +357,98 @@ object Spatial {
          |  CAST(SUM(CAST(FLOOR(my * 1048576.0) AS BIGINT)) AS BIGINT) AS my_sum
          |FROM lvl$z""".stripMargin
     }
-    s"WITH ${(base +: lvls).mkString(",\n")}\n" +
+    s"WITH ${gridLevelCtes.mkString(",\n")}\n" +
       s"SELECT * FROM (\n${profiles.mkString("\nUNION ALL\n")}\n) ORDER BY zoom"
+  }
+
+  /** DuckDB mirror of Q3-on-the-distributed-build: replay the level fold,
+    * pick the largest cluster created at pass 3, and select the lvl4 rows
+    * whose pass-3 cell id equals it (= its children).
+    */
+  private def distChildrenSql: String = {
+    val tot = "(SELECT COUNT(*) FROM events)"
+    val r3 = 40.0 / (512.0 * 8.0) // cell size at pass z=3
+    // NOTE: the CTE bodies contain literal `|` operators — assemble with
+    // plain concatenation, never an outer stripMargin over them
+    val tail =
+      s"""l4c AS (
+         |  SELECT *,
+         |    ((CAST(FLOOR(mx / $r3) AS BIGINT) << 27
+         |      @PIPE@ (CAST(FLOOR(my / $r3) AS BIGINT) & 134217727)) << 5
+         |      @PIPE@ 4) + $tot AS cid
+         |  FROM lvl4
+         |),
+         |target AS (
+         |  SELECT id FROM lvl3
+         |  WHERE is_cluster AND id >= $tot AND (id - $tot) % 32 = 4
+         |  ORDER BY point_count DESC, id LIMIT 1
+         |)
+         |SELECT l4c.id AS id, mx, my,
+         |  CAST(point_count AS BIGINT) AS point_count, is_cluster
+         |FROM l4c, target WHERE l4c.cid = target.id
+         |ORDER BY id""".stripMargin.replace("@PIPE@", "|")
+    s"WITH ${gridLevelCtes.mkString(",\n")},\n" + tail
+  }
+
+  /** Q3 on the 100 TB path: direct children of the largest pass-3 cluster in
+    * the DISTRIBUTED hierarchy, hash-matched against DuckDB replaying the
+    * identical fold (f32-quantized centroids keep both engines bit-equal).
+    */
+  val distChildren: GraftQuery = GraftQuery.sql(
+    "q55_dist_children", distChildrenSql) { (spark, dir) =>
+    val idx = distIndex(spark, dir)
+    idx.getChildren(largestDistClusterAt(idx, 3)).toDF()
+      .select(col("id"), col("mx"), col("my"), col("point_count"), col("is_cluster"))
+      .orderBy("id")
+  }
+
+  /** Q4 on the distributed build: paginated leaves via the iterative
+    * semi-join path (no SQL analogue for the subtree closure → rows-only;
+    * membership/pagination semantics are locked by GoldenDifferentialSpec
+    * and GridHierarchySpec).
+    */
+  val distLeaves: GraftQuery = GraftQuery.rowsOnly("q56_dist_leaves") { (spark, dir) =>
+    val idx = distIndex(spark, dir)
+    idx.getLeaves(largestDistClusterAt(idx, 3), limit = 25, offset = 5)
+  }
+
+  /** Q5 + Q8 on the distributed build: expansion zoom and descendant-closure
+    * size for the 5 largest pass-2 clusters.
+    */
+  val distNavigation: GraftQuery = GraftQuery.rowsOnly("q57_dist_nav") { (spark, dir) =>
+    import spark.implicits._
+    val idx = distIndex(spark, dir)
+    val tot = idx.numPoints
+    val tops = idx.level(2).toDF()
+      .where(col("is_cluster") && col("id") >= tot && ((col("id") - tot) % 32) === 3)
+      .orderBy(desc("point_count"), col("id"))
+      .limit(5).select(col("id"), col("point_count"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val counts = tops.toMap
+    idx.navigationSummary(tops.map(_._1).toSeq)
+      .map { case (cid, ez, nDesc) => (cid, counts(cid), ez, nDesc) }
+      .toDF("cluster_id", "point_count", "expansion_zoom", "n_descendants")
+      .orderBy("cluster_id")
+  }
+
+  /** Q7 on the distributed build: leaves joined back to the source rows. */
+  val distMaterialize: GraftQuery = GraftQuery.rowsOnly("q58_dist_materialize") { (spark, dir) =>
+    val idx = distIndex(spark, dir)
+    idx.materializeLeaves(largestDistClusterAt(idx, 3), pointsDf(spark, dir), "event_id",
+        limit = 25, offset = 0)
+      .select(col("event_id"), col("lng"), col("lat"))
+      .orderBy("event_id")
   }
 
   /** Distributed (shuffle-parallel) hierarchy build, profiled per zoom —
     * the 100 TB clustering path, hash-matched against DuckDB running the
-    * identical 17-level fold.
+    * identical 17-level fold. The build is shared with the q55-q58
+    * navigation queries through [[distIndex]] (C1 rebuild gating: one build,
+    * many queries).
     */
   val gridHierarchyProfile: GraftQuery = GraftQuery.sql(
     "q44_grid_hierarchy_profile", gridProfileSql) { (spark, dir) =>
-    val levels = GridHierarchy.build(
-      pointsDf(spark, dir), ClusterOptions(), idCol = "event_id")
+    val levels = distIndex(spark, dir).levels.toDF()
     levels.groupBy(col("zoom"))
       .agg(
         count(lit(1)).as("n_records"),
