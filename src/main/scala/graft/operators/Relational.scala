@@ -461,13 +461,14 @@ object Relational {
       |FROM orders
       |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
       |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
-    val qty = Tables.lineitem(spark, dir)
+    // one aggregation, ONE join: the filtered aggregate is unique per
+    // l_orderkey, so the inner join alone is the semi-join + lookup fused
+    val big = Tables.lineitem(spark, dir)
       .groupBy("l_orderkey")
       .agg(sum(money(col("l_quantity"))).as("qsum"))
-    val big = qty.where(col("qsum") > 300)
+      .where(col("qsum") > 300)
     Tables.orders(spark, dir)
-      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
-      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         col("qsum").cast("double").as("total_qty"))
       .orderBy("o_orderkey")

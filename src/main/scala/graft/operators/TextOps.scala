@@ -20,7 +20,7 @@ object TextOps {
   def all: Seq[GraftQuery] = Seq(
     tokenStats, qualityScores, langId, fingerprints, exactDedup,
     minhashSignatures, ngramJaccardPairs, simhash, minhashLshPairs,
-    bpeAndRollingHash)
+    bpeAndRollingHash, nearDupComponents)
 
   private val Stop = DefaultStopwords.map(s => s"'$s'").mkString(", ")
 
@@ -192,14 +192,15 @@ object TextOps {
       .limit(20)
   }
 
-  /** End-to-end MinHash+LSH near-dup detection: band signatures →
-    * equi-join on (band, min_hash) → distinct candidate pairs → exact
-    * Jaccard rescore. This is the 100 TB dedup shape: the only shuffles are
-    * the bucket equi-join and the final pair dedup — no cross join anywhere.
+  /** End-to-end MinHash+LSH near-dup detection as a shared CTE chain:
+    * band signatures → equi-join on (band, min_hash) → distinct candidate
+    * pairs → exact Jaccard rescore. This is the 100 TB dedup shape: the
+    * only shuffles are the bucket equi-join and the final pair dedup — no
+    * cross join anywhere. Reused by the pair listing (q35) and the
+    * component clustering (q60).
     */
-  val minhashLshPairs: GraftQuery = GraftQuery.sql(
-    "q35_minhash_lsh_pairs",
-    """WITH s AS (
+  private val lshPairCtes =
+    """s AS (
       |  SELECT doc_id,
       |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
       |      list_transform(range(1, len(string_split(text, ' ')) - 1),
@@ -223,14 +224,19 @@ object TextOps {
       |    AND a.doc_id < b.doc_id
       |), d AS (
       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents
-      |)
-      |SELECT id_a, id_b,
-      |  CAST(len(list_intersect(da.tk, db.tk)) AS DOUBLE)
-      |    / len(list_distinct(list_concat(da.tk, db.tk))) AS jaccard
-      |FROM cand
-      |JOIN d da ON da.doc_id = id_a
-      |JOIN d db ON db.doc_id = id_b
-      |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+      |), pairs AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_intersect(da.tk, db.tk)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(da.tk, db.tk))) AS jaccard
+      |  FROM cand
+      |  JOIN d da ON da.doc_id = id_a
+      |  JOIN d db ON db.doc_id = id_b
+      |)""".stripMargin
+
+  /** The q35 pair pipeline as a DataFrame (no final ordering) — shared by
+    * the pair listing (q35) and the component clustering (q60).
+    */
+  private def lshPairsDf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = Tables.documents(spark, dir)
     val withMins = docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
@@ -250,7 +256,71 @@ object TextOps {
       .join(d.select(col("doc_id").as("id_a"), col("tk").as("ta")), Seq("id_a"))
       .join(d.select(col("doc_id").as("id_b"), col("tk").as("tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("ta"), col("tb")).as("jaccard"))
-      .orderBy("id_a", "id_b")
+  }
+
+  val minhashLshPairs: GraftQuery = GraftQuery.sql(
+    "q35_minhash_lsh_pairs",
+    s"WITH $lshPairCtes\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b") {
+    (spark, dir) => lshPairsDf(spark, dir).orderBy("id_a", "id_b")
+  }
+
+  /** Near-dup CLUSTERING: the step that turns pair detection into dedup —
+    * connected components over the jaccard >= 0.5 pair graph via iterative
+    * min-label propagation (each round: one join + one min-agg, eagerly
+    * checkpointed; converges in diameter rounds — near-dup components are
+    * tight, so a handful), then a canonical representative per component
+    * (longest text, ties by id). The oracle computes the same components
+    * with a recursive-CTE transitive closure. At extreme scale the rounds
+    * would switch to large-star/small-star; the per-round plan (edge join +
+    * hash agg, no driver data) is already that shape.
+    */
+  val nearDupComponents: GraftQuery = GraftQuery.sql(
+    "q60_neardup_components",
+    // assembled by concatenation: an outer stripMargin would re-strip the
+    // interpolated CTE block and corrupt its literal `||` operators
+    s"WITH RECURSIVE $lshPairCtes,\n" +
+      """p AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+        |und AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM und
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+        |),
+        |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+        |SELECT c.doc_id AS doc_id, c.component AS component,
+        |  (ROW_NUMBER() OVER (PARTITION BY c.component
+        |                      ORDER BY length(doc.text) DESC, c.doc_id) = 1) AS is_representative
+        |FROM comp c JOIN documents doc ON doc.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val pairs = lshPairsDf(spark, dir).where(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val und = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("u", "v").localCheckpoint()
+    var labels = und.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val nbr = und.join(labels.select(col("id").as("v"), col("comp").as("vcomp")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min(col("vcomp")).as("nmin"))
+      val upd = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"), col("comp").as("_old"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = upd.where(col("comp") =!= col("_old")).count()
+      labels = upd.drop("_old")
+      iter += 1
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("_len"))
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("component"),
+        (row_number().over(Window.partitionBy(col("component"))
+          .orderBy(desc("_len"), col("doc_id"))) === 1).as("is_representative"))
+      .orderBy("doc_id")
   }
 
   /** BPE-ish regex token counts + Rabin-Karp rolling-hash fingerprint
