@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale properties that make the 100 TB
+  * story true — filters reaching the parquet scan, projections pruning
+  * columns, small sides broadcast, and no accidental cartesian products —
+  * asserted on the EXECUTED plan (after AQE) so a refactor that silently
+  * turns a pruned scan into a full scan fails CI, not a cluster bill.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.count() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: shipdate filter is pushed to the parquet scan; partial aggregation runs map-side") {
+    val p = executedPlan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_sum"))
+    assert(p.contains("Batched: true"))
+  }
+
+  test("q20: scan reads only the two referenced columns of documents") {
+    val p = executedPlan("q20_token_stats")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("q02: dimension tables join as broadcasts, not shuffles") {
+    val p = executedPlan("q02_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+  }
+
+  test("q35/q60 LSH pipeline: no cartesian product anywhere") {
+    assert(!executedPlan("q35_minhash_lsh_pairs").contains("CartesianProduct"))
+  }
+
+  test("q49: exactly one join after the semi-join fusion") {
+    val p = executedPlan("q49_large_orders")
+    assert("Join".r.findAllIn(p).size <= 2, "expected a single join (one hash-join pair of operators)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q39: media metadata scan prunes the payload-bearing text column to 2 columns") {
+    val p = executedPlan("q39_media_meta")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("q43 as-of join: one shuffle family, no range-join blowup") {
+    val p = executedPlan("q43_asof_last_error")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+}
