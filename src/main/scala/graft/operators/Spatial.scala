@@ -29,7 +29,7 @@ object Spatial {
     clusterChildren, clusterLeaves, hierarchyNavigation, materializedLeaves,
     geoParquetRoundtrip, gridHierarchyProfile,
     distChildren, distLeaves, distNavigation, distMaterialize,
-    arrowIpcRoundtrip)
+    arrowIpcRoundtrip, zorderProfile)
 
   /** The hierarchy is built once per data dir and shared by every query on
     * it (the reference's engine-rebuild gating, C1 — build cost is paid once,
@@ -301,6 +301,35 @@ object Spatial {
       sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"),
       min(col("event_id")).cast("long").as("min_id"),
       max(col("event_id")).cast("long").as("max_id"))
+  }
+
+  /** Z-order layout math (storage-side bbox pruning, [[graft.io.ZOrder]]):
+    * Morton codes + their coarse-bucket profile, bit-identical across
+    * engines (pure integer shift/mask fold). The layout writer itself is
+    * exercised in ZOrderSpec (disjoint per-file code ranges).
+    */
+  val zorderProfile: GraftQuery = GraftQuery.sql(
+    "q61_zorder_profile",
+    s"""WITH m AS (
+       |  SELECT event_id, ${graft.io.ZOrder.mortonSql("mx", "my")} AS z
+       |  FROM ($projectedSql)
+       |)
+       |SELECT z // 1048576 AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(MIN(z) AS BIGINT) AS z_min,
+       |  CAST(MAX(z) AS BIGINT) AS z_max,
+       |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    projected(spark, dir)
+      .select(col("event_id"),
+        graft.io.ZOrder.mortonCol(col("mx"), col("my")).as("z"))
+      .groupBy((col("z") / 1048576L).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("z")).as("z_min"),
+        max(col("z")).as("z_max"),
+        sum(col("event_id")).cast("long").as("id_sum"))
+      .orderBy("bucket")
   }
 
   /** DuckDB mirror of [[graft.cluster.GridHierarchy]]: 17 chained

@@ -20,7 +20,7 @@ object TextOps {
   def all: Seq[GraftQuery] = Seq(
     tokenStats, qualityScores, langId, fingerprints, exactDedup,
     minhashSignatures, ngramJaccardPairs, simhash, minhashLshPairs,
-    bpeAndRollingHash, nearDupComponents)
+    bpeAndRollingHash, nearDupComponents, curationPipeline)
 
   private val Stop = DefaultStopwords.map(s => s"'$s'").mkString(", ")
 
@@ -54,9 +54,7 @@ object TextOps {
        |  CAST(len(tk) AS BIGINT) AS n_tokens,
        |  CAST(len(list_filter(tk, x -> x IN ($Stop))) AS DOUBLE) / len(tk) AS stop_ratio,
        |  CAST(nchar AS DOUBLE) / len(tk) AS avg_token_len,
-       |  LEAST(len(tk) / 50.0, 1.0)
-       |    * (1.0 - CAST(len(list_filter(tk, x -> x IN ($Stop))) AS DOUBLE) / len(tk))
-       |    * (0.5 + CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) * 0.5) AS quality
+       |  $qualitySql AS quality
        |FROM t
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     Tables.documents(spark, dir).select(
@@ -68,28 +66,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // lang-ID SQL building blocks (shared by q22 and the q62 pipeline)
+  private val langHitsSql = LangMarkers.map { case (lang, m) =>
+    s"len(list_filter(tk, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS h_$lang"
+  }.mkString(",\n    ")
+  private val langCaseSql = {
+    val langs = LangMarkers.map(_._1)
+    langs.zipWithIndex.map { case (lang, i) =>
+      val later = langs.drop(i + 1).map(l => s"h_$lang >= h_$l")
+      val cond = (s"h_$lang > 0" +: later).mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString("\n    ")
+  }
+  // quality formula over CTE t(doc_id, tk, nchar) (shared by q21 and q62)
+  private def qualitySql =
+    s"""LEAST(len(tk) / 50.0, 1.0)
+       |    * (1.0 - CAST(len(list_filter(tk, x -> x IN ($Stop))) AS DOUBLE) / len(tk))
+       |    * (0.5 + CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) * 0.5)""".stripMargin
+
   val langId: GraftQuery = GraftQuery.sql(
-    "q22_lang_id", {
-      val hitsSql = LangMarkers.map { case (lang, m) =>
-        s"len(list_filter(tk, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS h_$lang"
-      }.mkString(",\n    ")
-      val langs = LangMarkers.map(_._1)
-      val cases = langs.zipWithIndex.map { case (lang, i) =>
-        val later = langs.drop(i + 1).map(l => s"h_$lang >= h_$l")
-        val cond = (s"h_$lang > 0" +: later).mkString(" AND ")
-        s"WHEN $cond THEN '$lang'"
-      }.mkString("\n    ")
-      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
-         |h AS (SELECT doc_id, lang,
-         |    $hitsSql
-         |  FROM t)
-         |SELECT doc_id, lang,
-         |  CASE
-         |    $cases
-         |    ELSE 'und' END AS lang_pred
-         |FROM h
-         |ORDER BY doc_id""".stripMargin
-    }) { (spark, dir) =>
+    "q22_lang_id",
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |    $langHitsSql
+       |  FROM t)
+       |SELECT doc_id, lang,
+       |  CASE
+       |    $langCaseSql
+       |    ELSE 'und' END AS lang_pred
+       |FROM h
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"),
       languageId(col("text")).as("lang_pred"))
@@ -274,24 +280,35 @@ object TextOps {
     * would switch to large-star/small-star; the per-round plan (edge join +
     * hash agg, no driver data) is already that shape.
     */
-  val nearDupComponents: GraftQuery = GraftQuery.sql(
-    "q60_neardup_components",
-    // assembled by concatenation: an outer stripMargin would re-strip the
-    // interpolated CTE block and corrupt its literal `||` operators
-    s"WITH RECURSIVE $lshPairCtes,\n" +
-      """p AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
-        |und AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
-        |reach(u, v) AS (
-        |  SELECT u, v FROM und
-        |  UNION
-        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
-        |),
-        |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
-        |SELECT c.doc_id AS doc_id, c.component AS component,
-        |  (ROW_NUMBER() OVER (PARTITION BY c.component
-        |                      ORDER BY length(doc.text) DESC, c.doc_id) = 1) AS is_representative
-        |FROM comp c JOIN documents doc ON doc.doc_id = c.doc_id
-        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+  /** Component CTEs over the pair graph (jaccard >= 0.5): recursive-CTE
+    * transitive closure + per-component representative. Appended after
+    * [[lshPairCtes]] (requires the WITH to be RECURSIVE).
+    */
+  private val componentCtes =
+    """p AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+      |und AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM und
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+      |),
+      |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+      |rep AS (
+      |  SELECT c.doc_id AS doc_id, c.component AS component,
+      |    (ROW_NUMBER() OVER (PARTITION BY c.component
+      |                        ORDER BY length(doc.text) DESC, c.doc_id) = 1) AS is_representative
+      |  FROM comp c JOIN documents doc ON doc.doc_id = c.doc_id
+      |)""".stripMargin
+
+  /** (doc_id, component, is_representative) for every doc in a jaccard>=0.5
+    * near-dup component — iterative min-label propagation: each round is one
+    * edge join + one min-aggregation, eagerly checkpointed (converges in
+    * component-diameter rounds; near-dup components are tight). At extreme
+    * scale the rounds would switch to large-star/small-star; the per-round
+    * plan (join + hash agg, no driver data) is already that shape.
+    */
+  private def nearDupComponentsDf(
+      spark: org.apache.spark.sql.SparkSession, dir: String) = {
     import org.apache.spark.sql.expressions.Window
     val pairs = lshPairsDf(spark, dir).where(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b")).localCheckpoint()
@@ -320,6 +337,55 @@ object TextOps {
       .select(col("doc_id"), col("component"),
         (row_number().over(Window.partitionBy(col("component"))
           .orderBy(desc("_len"), col("doc_id"))) === 1).as("is_representative"))
+  }
+
+  /** Near-dup CLUSTERING: the step that turns pair detection into dedup —
+    * see [[nearDupComponentsDf]]; oracle = recursive-CTE transitive closure.
+    */
+  val nearDupComponents: GraftQuery = GraftQuery.sql(
+    "q60_neardup_components",
+    // assembled by concatenation: an outer stripMargin would re-strip the
+    // interpolated CTE block and corrupt its literal `||` operators
+    s"WITH RECURSIVE $lshPairCtes,\n$componentCtes\n" +
+      "SELECT doc_id, component, is_representative FROM rep ORDER BY doc_id") {
+    (spark, dir) => nearDupComponentsDf(spark, dir).orderBy("doc_id")
+  }
+
+  /** The end-to-end CURATION pipeline a training-data user actually runs,
+    * composed from the building blocks in ONE declarative plan: language-ID
+    * gate (en) → quality-score gate (>= 0.45) → near-dup removal (keep only
+    * component representatives). Catalyst fuses the per-doc scoring into a
+    * single scan; the only joins are the LSH machinery and one left join of
+    * the (small) component table. Thresholds pick identical sets on both
+    * engines because q21/q22 already prove the scores bit-identical.
+    */
+  val curationPipeline: GraftQuery = GraftQuery.sql(
+    "q62_curation_pipeline",
+    s"WITH RECURSIVE $lshPairCtes,\n$componentCtes,\n" +
+      s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+         |    length(replace(text, ' ', '')) AS nchar
+         |  FROM documents),
+         |q AS (SELECT doc_id, $qualitySql AS quality FROM t),
+         |lh AS (SELECT doc_id, $langHitsSql FROM t),
+         |l AS (SELECT doc_id, CASE $langCaseSql ELSE 'und' END AS lang_pred FROM lh)
+         |SELECT d.doc_id AS doc_id, l.lang_pred AS lang_pred, q.quality AS quality,
+         |  rep.component AS component
+         |FROM documents d
+         |JOIN q ON q.doc_id = d.doc_id
+         |JOIN l ON l.doc_id = d.doc_id
+         |LEFT JOIN rep ON rep.doc_id = d.doc_id
+         |WHERE l.lang_pred = 'en' AND q.quality >= 0.45
+         |  AND COALESCE(rep.is_representative, TRUE)
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      languageId(col("text")).as("lang_pred"),
+      qualityScore(col("text")).as("quality"))
+    scored
+      .join(nearDupComponentsDf(spark, dir), Seq("doc_id"), "left")
+      .where(col("lang_pred") === "en" && col("quality") >= 0.45 &&
+        coalesce(col("is_representative"), lit(true)))
+      .select(col("doc_id"), col("lang_pred"), col("quality"), col("component"))
       .orderBy("doc_id")
   }
 
