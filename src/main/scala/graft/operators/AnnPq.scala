@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the compressed-index rung of the ANN ladder
+  * (brute-force → LSH buckets → IVF lists → PQ codes): vectors are split
+  * into `m` subspaces, each subvector replaced by the id of its nearest
+  * per-subspace centroid, so a d-float vector stores as m small codes and
+  * query time uses asymmetric distance computation (ADC): one m×k distance
+  * TABLE per query, then each candidate costs m table lookups instead of a
+  * d-dim dot product.
+  *
+  * Spark shape: training runs ALL subspaces in one shuffle per Lloyd step
+  * (explode to (id, j, subvec), argmin against broadcast-literal codebooks,
+  * per-dimension sums); codebooks are k·d floats total — driver/broadcast
+  * data by construction, never scale-bound. Encode is a pure map; search
+  * computes the ADC table once per query row, then joins candidates the
+  * same bounded-probe way as the brute-force baseline. At 100 TB PQ codes
+  * would sit inside IVF lists (compose with [[AnnIvf]]); the per-operator
+  * plans here are already that shape.
+  */
+object AnnPq {
+
+  /** Split `vec` into m subvectors of length dsub (1-based slice). */
+  private def subvec(vec: Column, j: Column, dsub: Int): Column =
+    slice(vec, j * dsub + 1, lit(dsub))
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Train per-subspace codebooks: deterministic seeds (the k lowest ids'
+    * subvectors) + `iters` Lloyd steps. Returns codebooks(j)(c) = centroid
+    * vector — m·k·dsub doubles, intentionally driver-side (broadcast as
+    * literals by encode/search).
+    */
+  def train(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 2): Array[Array[Array[Double]]] = {
+    val dim = emb.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+
+    // rows (id, j, subvec): every subspace trains in the same jobs
+    val sub = emb.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .select(col("_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          j => subvec(col("_v"), j, dsub))))
+      .select(col("_id"), col("pos").as("_j"), col("col").as("_sv"))
+
+    // deterministic seeds: the k lowest ids' subvectors per subspace
+    val seedIds = emb.select(col(idCol)).orderBy(col(idCol)).limit(k)
+      .collect().map(_.getLong(0))
+    require(seedIds.length == k, s"need at least k=$k vectors to seed PQ codebooks")
+    var codebooks: Array[Array[Array[Double]]] =
+      sub.where(col("_id").isInCollection(seedIds.toSeq))
+        .collect()
+        .groupBy(_.getInt(1))
+        .toArray.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.sortBy(_.getLong(0)).map(_.getSeq[Double](2).toArray)
+        }
+
+    var it = 0
+    while (it < iters) {
+      val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      // nearest centroid of this row's subspace (NaN-safe argmin via
+      // array_position of the min)
+      val dists = transform(element_at(cbLit, col("_j") + 1),
+        c => sqDist(col("_sv"), c))
+      val assigned = sub.withColumn("_c",
+        (array_position(dists, array_min(dists)) - 1).cast("int"))
+      // per-dimension means, ONE shuffle for all (j, c) groups
+      val sums = (1 to dsub).map(i =>
+        sum(element_at(col("_sv"), i)).as(s"_s$i"))
+      val aggs = count(lit(1)).as("_n") +: sums
+      val updated = assigned.groupBy(col("_j"), col("_c"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(2).toDouble
+          (r.getInt(0), r.getInt(1),
+            (1 to dsub).map(i => r.getDouble(2 + i) / n).toArray)
+        }
+      val next = codebooks.map(_.map(identity)) // keep empty centroids
+      updated.foreach { case (j, c, v) => next(j)(c) = v }
+      codebooks = next
+      it += 1
+    }
+    codebooks
+  }
+
+  /** Encode every vector as m codes (pure map, no shuffle). */
+  def encode(
+      emb: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val v = col(vecCol).cast("array<double>")
+    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
+      val dists = transform(element_at(cbLit, j + 1),
+        c => sqDist(subvec(v, j, dsub), c))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+    emb.select(col(idCol).as("vec_id"), codes.as("codes"))
+  }
+
+  /** ADC + exact re-rank: per query build the m×k distance table ONCE, rank
+    * every candidate by m lookups + adds (the PQ scan), keep a
+    * `topK × refine` shortlist, then re-rank the shortlist with exact L2
+    * against the original vectors (the standard PQ refine step — the
+    * shortlist is tiny, so the exact pass is a bounded join, and recall
+    * comes back even on high-entropy embeddings where quantization noise
+    * swamps raw ADC ranking). Returns (query_id, neighbor_id, dist, rk).
+    */
+  def search(
+      queries: DataFrame,
+      encoded: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      topK: Int = 3,
+      refine: Int = 10): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val qv = col(vecCol).cast("array<double>")
+    val table = transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(element_at(cbLit, j + 1), c => sqDist(subvec(qv, j, dsub), c)))
+    val q = queries.select(col(idCol).as("query_id"), table.as("_tab"))
+
+    val cand = encoded.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_dist",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(element_at(col("_tab"), j + 1),
+            element_at(col("codes"), j + 1) + 1)))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("neighbor_id"))
+    val shortlist = cand
+      .select(col("query_id"), col("neighbor_id"), col("approx_dist"))
+      .withColumn("_ark", row_number().over(wa))
+      .where(col("_ark") <= topK * refine)
+
+    // exact re-rank of the bounded shortlist
+    val qSide = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val nSide = emb.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_nv"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    shortlist
+      .join(broadcast(qSide), Seq("query_id"))
+      .join(nSide, Seq("neighbor_id"))
+      .withColumn("dist", sqDist(col("_qv"), col("_nv")))
+      .select(col("query_id"), col("neighbor_id"), col("dist"))
+      .withColumn("rk", row_number().over(we).cast("long"))
+      .where(col("rk") <= topK)
+  }
+}

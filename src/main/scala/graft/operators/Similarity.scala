@@ -17,7 +17,7 @@ import graft.functions.VectorFunctions
 object Similarity {
 
   def all: Seq[GraftQuery] = Seq(
-    knnBruteForce, embeddingNearDup, annLsh, annIvf, embeddingQuantize)
+    knnBruteForce, embeddingNearDup, annLsh, annIvf, embeddingQuantize, annPq)
 
   /** Int8 scalar quantization of embeddings (per-vector min/max range) —
     * THE storage lever for 100 TB embedding tables (4×–8× smaller than
@@ -88,6 +88,18 @@ object Similarity {
     val (indexed, centroids) = AnnIvf.buildIndex(emb)
     AnnIvf.search(
       emb.where(col("vec_id") < 20), indexed, centroids, nprobe = 6, topK = 3)
+      .orderBy("query_id", "rk")
+  }
+
+  /** Product-quantization ANN: m-subspace codebooks, ADC candidate scan,
+    * exact shortlist re-rank ([[AnnPq]]; recall locked by AnnPqSpec).
+    */
+  val annPq: GraftQuery = GraftQuery.rowsOnly("q63_ann_pq") { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val cb = AnnPq.train(emb, m = 8, k = 16, iters = 2)
+    val encoded = AnnPq.encode(emb, cb)
+    AnnPq.search(emb.where(col("vec_id") < 20), encoded, cb, emb,
+        topK = 3, refine = 10)
       .orderBy("query_id", "rk")
   }
 

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AnnPq
+
+/** Product quantization: codebook shape, exact ADC arithmetic on a tiny
+  * hand-checkable case, and recall@3 against exact L2 on real embeddings.
+  */
+class AnnPqSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("codes are within [0, k) and one per subspace") {
+    val cb = AnnPq.train(emb, m = 8, k = 16, iters = 2)
+    assert(cb.length == 8 && cb.forall(_.length == 16) && cb.forall(_.forall(_.length == 8)))
+    val codes = AnnPq.encode(emb, cb).collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16))
+    }
+  }
+
+  test("ADC distance equals the sum of per-subspace table entries (hand case)") {
+    import spark.implicits._
+    // 4-dim vectors, m=2, k=2: centroids land on the two point clusters,
+    // so ADC distance to a same-cluster vector is ~0
+    val df = Seq(
+      (0L, Array(0f, 0f, 10f, 10f)),
+      (1L, Array(0.1f, 0f, 10f, 10.1f)),
+      (2L, Array(5f, 5f, 0f, 0f)),
+      (3L, Array(5.1f, 5f, 0f, 0.1f))).toDF("vec_id", "embedding")
+    val cb = AnnPq.train(df, m = 2, k = 2, iters = 3)
+    val enc = AnnPq.encode(df, cb)
+    val res = AnnPq.search(df.where($"vec_id" === 0), enc, cb, df, topK = 1).collect()
+    assert(res.length == 1)
+    assert(res(0).getLong(1) == 1L) // nearest neighbor of 0 is 1
+    assert(res(0).getDouble(2) < 1.0) // same-cluster ADC distance is small
+  }
+
+  private def recallAt3(
+      data: org.apache.spark.sql.DataFrame, nQueries: Int, refine: Int): Double = {
+    import spark.implicits._
+    val cb = AnnPq.train(data, m = 8, k = 16, iters = 2)
+    val enc = AnnPq.encode(data, cb).cache()
+    val queries = data.orderBy("vec_id").limit(nQueries)
+
+    val approx = AnnPq.search(queries, enc, cb, data, topK = 3, refine = refine)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+    // exact L2 top-3 (brute force)
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".cast("array<double>").as("qv"))
+    val exact = data.select($"vec_id".as("neighbor_id"), $"embedding".cast("array<double>").as("nv"))
+      .join(broadcast(q))
+      .where($"query_id" =!= $"neighbor_id")
+      .withColumn("d", aggregate(zip_with($"qv", $"nv", (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, v) => a + v))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"d", $"neighbor_id")))
+      .where($"rk" <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (qq, rs) => qq -> rs.map(_.getLong(1)).toSet }
+
+    val recalls = exact.map { case (qq, truth) =>
+      approx.get(qq).map(a => (a & truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    recalls.sum / recalls.size
+  }
+
+  test("recall@3 is high on clustered vectors (PQ's contract)") {
+    import spark.implicits._
+    // 20 well-separated centers, 10 points each with small noise — the
+    // regime PQ is built for (real embedding spaces cluster)
+    var seed = 7L
+    def rand(): Double = { seed = (seed * 16807) % 2147483647L; seed.toDouble / 2147483647.0 }
+    val centers = Array.fill(20, 64)(rand() * 10.0)
+    val pts = (0 until 200).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(v => (v + (rand() - 0.5) * 0.2).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val r = recallAt3(df, nQueries = 10, refine = 5)
+    assert(r >= 0.9, s"clustered mean recall@3 = $r")
+  }
+
+  test("recall@3 beats the shortlist baseline on the (high-entropy) sf0.001 embeddings") {
+    // synthetic embeddings are near-uniform random — the worst case for any
+    // quantizer; with exact re-rank of a refine×topK shortlist, recall is
+    // bounded below by shortlist quality. Locks the pipeline end-to-end.
+    val r = recallAt3(emb, nQueries = 10, refine = 10)
+    assert(r >= 0.5, s"mean recall@3 = $r")
+  }
+}
