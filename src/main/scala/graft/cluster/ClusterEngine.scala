@@ -108,8 +108,12 @@ final class ClusterIndex private[cluster] (
   private val subtreeMemo =
     scala.collection.concurrent.TrieMap.empty[(Seq[Long], Boolean), DataFrame]
 
-  private def subtreeRows(roots: Seq[Long], withPath: Boolean = true): DataFrame =
+  private def subtreeRows(roots: Seq[Long], withPath: Boolean = true): DataFrame = {
+    // bounded: a long-lived index probed at many distinct roots must not pin
+    // checkpointed rdds forever (ContextCleaner reclaims them once dropped)
+    if (subtreeMemo.size > 64) subtreeMemo.clear()
     subtreeMemo.getOrElseUpdate((roots, withPath), subtreeRowsUncached(roots, withPath))
+  }
 
   private def subtreeRowsUncached(roots: Seq[Long], withPath: Boolean): DataFrame = {
     val total = numPoints

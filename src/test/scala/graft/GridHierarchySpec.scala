@@ -78,6 +78,19 @@ class GridHierarchySpec extends AnyFunSuite {
     val Seq((_, ez, nDesc)) = idx.navigationSummary(Seq(cid))
     assert(ez >= 3 && ez <= 17)
     assert(nDesc >= 0)
+
+    // DFS pagination on the distributed build: pages slice the full DFS
+    // sequence, and membership equals the id-order page set
+    val dfsFull = idx.getLeaves(cid, limit = Int.MaxValue, offset = 0, dfsOrder = true)
+      .select("row_id").collect().map(_.getLong(0)).toSeq
+    assert(dfsFull.length == cnt)
+    assert(dfsFull.toSet.size == dfsFull.length)
+    val dfsPage = idx.getLeaves(cid, limit = 7, offset = 3, dfsOrder = true)
+      .select("row_id").collect().map(_.getLong(0)).toSeq
+    assert(dfsPage == dfsFull.slice(3, 10))
+    val idPage = idx.getLeaves(cid, limit = 7, offset = 3)
+      .select("row_id").collect().map(_.getLong(0)).toSeq
+    assert(idPage == dfsFull.sorted.slice(3, 10))
   }
 
   test("rejects maxZoom that would overflow the 27-bit cell packing") {
