@@ -50,13 +50,17 @@ object Bench {
     }
 
     // filterMask load-scaling: exact greedy build at three mask selectivities
-    // (reference benchmarks/run.ts:491-538 — its only published scaling claim)
+    // (reference benchmarks/run.ts:491-538 — its only published scaling
+    // claim). Honors the focus filter: a run narrowed to other queries
+    // skips the three full hierarchy builds.
     import graft.cluster.{ClusterEngine, ClusterOptions}
     val maskTimes = Seq(
       "mask_none" -> None,
       "mask_50pct" -> Some(col("event_id") % 2 === 0),
       "mask_10pct" -> Some(col("event_id") % 10 === 0)
-    ).map { case (name, mask) =>
+    ).filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }.map { case (name, mask) =>
       val t0 = System.nanoTime()
       val ok = try {
         val idx = ClusterEngine.load(

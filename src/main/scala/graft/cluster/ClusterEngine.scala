@@ -142,7 +142,6 @@ final class ClusterIndex private[cluster] (
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var l = fromLevel
     var live = true
-    var sinceProbe = 0
     while (live && l <= opts.maxZoom + 1) {
       val f0 = pending.where($"_oz" === l).select($"_pid", $"_path")
       val f = if (pendingSmall) broadcast(f0) else f0
@@ -158,13 +157,13 @@ final class ClusterIndex private[cluster] (
           typedLit(Array.empty[Long]).as("_path"), $"_koz".as("_oz"))
       pending = pending.where($"_oz" > l)
         .unionByName(kids.where($"is_cluster").select(pendSel: _*))
-      sinceProbe += 1
-      if (sinceProbe >= 3 || l == opts.maxZoom + 1) {
-        val c = pending.limit(100001).count()
-        live = c > 0
-        pendingSmall = c <= 100000
-        sinceProbe = 0
-      }
+      // probe EVERY level (a tiny scan of materialized rdds): the broadcast
+      // decision must never act on a stale count — a frontier can fan out
+      // orders of magnitude in one level, and broadcasting it then would be
+      // exactly the driver-OOM this guard exists to prevent
+      val c = pending.limit(100001).count()
+      live = c > 0
+      pendingSmall = c <= 100000
       l += 1
     }
     if (parts.isEmpty) emptyOut else parts.reduce(_ unionByName _)

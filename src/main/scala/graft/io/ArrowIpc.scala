@@ -4,6 +4,7 @@ import org.apache.arrow.vector.VectorSchemaRoot
 import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graftbridge.ArrowBridge
 import org.apache.spark.sql.types.StructType
@@ -19,23 +20,45 @@ import org.apache.spark.sql.types.StructType
   * type Arrow supports round-trips. Both directions stream batch-by-batch:
   * memory is bounded by `maxRecordsPerBatch`, never the partition size, and
   * each partition is read/written by the executor that owns it — at 100 TB
-  * the driver only lists files.
+  * the driver only lists files. The session's Hadoop configuration ships to
+  * the tasks (as a serializable key/value snapshot — `Configuration` itself
+  * is not serializable), so `spark.hadoop.*` filesystem settings (s3a
+  * credentials, defaultFS, ...) apply on executors too.
   */
 object ArrowIpc {
+
+  /** Snapshot of a Hadoop config that survives closure serialization. */
+  private def confSnapshot(conf: Configuration): Array[(String, String)] = {
+    val it = conf.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+    buf.toArray
+  }
+
+  private def restoreConf(snapshot: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    snapshot.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 
   /** Write `df` as Arrow IPC stream files under `dir` (one per partition). */
   def write(df: DataFrame, dir: String, maxRecordsPerBatch: Int = 4096): Unit = {
     val schema = df.schema
     val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
+    val snapshot = confSnapshot(hadoopConf)
+    // overwrite-directory semantics: stale part files from a previous run
+    // with a different partition count must not survive into a re-read
     val out = new Path(dir)
-    val fsConf = out.getFileSystem(new Configuration())
-    fsConf.mkdirs(out)
+    val outFs = out.getFileSystem(hadoopConf)
+    outFs.delete(out, true)
+    outFs.mkdirs(out)
     ArrowBridge.toRdd(df).mapPartitionsWithIndex { (idx, rows) =>
       val allocator = ArrowBridge.newChildAllocator(s"graft-ipc-write-$idx")
       val arrowSchema = ArrowBridge.toArrowSchema(schema, tz)
       val root = VectorSchemaRoot.create(arrowSchema, allocator)
       val path = new Path(dir, f"part-$idx%05d.arrows")
-      val fs = path.getFileSystem(new Configuration())
+      val fs = path.getFileSystem(restoreConf(snapshot))
       val os = fs.create(path, true)
       val writer = new ArrowStreamWriter(root, null, os)
       try {
@@ -62,8 +85,9 @@ object ArrowIpc {
     * first file's stream header.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(hadoopConf)
     val files = fs.listStatus(root).map(_.getPath)
       .filter(_.getName.endsWith(".arrows")).map(_.toString).sorted
     require(files.nonEmpty, s"no .arrows files under $dir")
@@ -76,28 +100,41 @@ object ArrowIpc {
       finally { reader.close(); in.close(); alloc.close() }
     }
 
+    val snapshot = confSnapshot(hadoopConf)
     val rdd = spark.sparkContext
       .parallelize(files.toIndexedSeq, files.length)
-      .mapPartitions(_.flatMap(f => readFile(f, schema)))
+      .mapPartitions(_.flatMap(f => readFile(f, schema, snapshot)))
     ArrowBridge.internalCreateDataFrame(spark, rdd, schema)
   }
 
-  /** Read one IPC stream file batch-by-batch (executor-side). */
+  /** Read one IPC stream file batch-by-batch (executor-side). Resources are
+    * released both on exhaustion AND via a task-completion listener, so a
+    * partially-consumed iterator (limit/take/early join exit) cannot leak
+    * the Arrow allocator or the input stream.
+    */
   private def readFile(
-      file: String, schema: StructType): Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+      file: String, schema: StructType,
+      confSnapshot: Array[(String, String)]): Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     val path = new Path(file)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(restoreConf(confSnapshot))
     val in = fs.open(path)
     val alloc = ArrowBridge.newChildAllocator(s"graft-ipc-read")
     val reader = new ArrowStreamReader(in, alloc)
     val root = reader.getVectorSchemaRoot
+
+    var open = true
+    def closeAll(): Unit = if (open) {
+      open = false
+      reader.close(); in.close(); alloc.close()
+    }
+    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+
     new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
       private var current: Iterator[org.apache.spark.sql.catalyst.InternalRow] = Iterator.empty
-      private var open = true
       private def advance(): Unit = {
         while (open && !current.hasNext) {
           if (reader.loadNextBatch()) current = ArrowBridge.batchRows(root, schema)
-          else { reader.close(); in.close(); alloc.close(); open = false }
+          else closeAll()
         }
       }
       def hasNext: Boolean = { advance(); current.hasNext }

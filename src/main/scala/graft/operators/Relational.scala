@@ -352,15 +352,16 @@ object Relational {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (spark, dir) =>
-    // no-digit props extract to '' — NULL it out so the cast can't throw
-    // under ANSI mode (TRY_CAST symmetrically on the DuckDB side)
-    val k = nullif(regexp_extract(col("props"), "[0-9]+", 0), lit(""))
+    // try_cast on BOTH engines: a no-digit extract ('') or a digit run past
+    // int/long range becomes NULL instead of an ANSI cast error
+    val kInt = expr("try_cast(nullif(regexp_extract(props, '[0-9]+', 0), '') AS INT)")
+    val kLong = expr("try_cast(nullif(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT)")
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(
-        countDistinct(k.cast("int")).as("n_k"),
-        sum(k.cast("long")).cast("long").as("sum_k"),
-        (sum(k.cast("long")).cast("double") / count(lit(1))).as("avg_k"))
+        countDistinct(kInt).as("n_k"),
+        sum(kLong).cast("long").as("sum_k"),
+        (sum(kLong).cast("double") / count(lit(1))).as("avg_k"))
       .orderBy("event_type")
   }
 

@@ -37,17 +37,30 @@ object Spatial {
     */
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[String, (SparkSession, ClusterIndex)]
-  private def index(spark: SparkSession, dir: String): ClusterIndex =
-    indexCache.get(dir) match {
-      // the cached index holds Datasets bound to the session that built it —
-      // a cache hit from a different/stopped session would serve stale plans
-      case Some((s, idx)) if (s eq spark) && !s.sparkContext.isStopped => idx
-      case _ =>
-        val idx = ClusterEngine.load(
-          pointsDf(spark, dir), ClusterOptions(), idCol = Some("event_id")).persist()
-        indexCache.put(dir, (spark, idx))
-        idx
+
+  /** Session-validated per-dir cache: the cached index holds Datasets bound
+    * to the session that built it — a hit from a different/stopped session
+    * would serve stale plans. Synchronized so concurrent first queries build
+    * once instead of racing two expensive builds (one of which would leak
+    * its persisted levels).
+    */
+  private def cachedIndex(
+      cache: scala.collection.concurrent.TrieMap[String, (SparkSession, ClusterIndex)],
+      spark: SparkSession, dir: String)(load: => ClusterIndex): ClusterIndex =
+    cache.synchronized {
+      cache.get(dir) match {
+        case Some((s, idx)) if (s eq spark) && !s.sparkContext.isStopped => idx
+        case _ =>
+          val idx = load
+          cache.put(dir, (spark, idx))
+          idx
+      }
     }
+
+  private def index(spark: SparkSession, dir: String): ClusterIndex =
+    cachedIndex(indexCache, spark, dir)(
+      ClusterEngine.load(
+        pointsDf(spark, dir), ClusterOptions(), idCol = Some("event_id")).persist())
 
   /** Largest cluster at `zoom` — a deterministic probe target for the
     * navigation queries (ties broken by id).
@@ -64,14 +77,9 @@ object Spatial {
   private val distIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, (SparkSession, ClusterIndex)]
   private def distIndex(spark: SparkSession, dir: String): ClusterIndex =
-    distIndexCache.get(dir) match {
-      case Some((s, idx)) if (s eq spark) && !s.sparkContext.isStopped => idx
-      case _ =>
-        val idx = ClusterEngine.loadDistributed(
-          pointsDf(spark, dir), ClusterOptions(), idCol = "event_id")
-        distIndexCache.put(dir, (spark, idx))
-        idx
-    }
+    cachedIndex(distIndexCache, spark, dir)(
+      ClusterEngine.loadDistributed(
+        pointsDf(spark, dir), ClusterOptions(), idCol = "event_id"))
 
   /** Largest cluster CREATED at pass z (origin level z+1) on the distributed
     * build — restricting to that pass makes the probe expressible in the
@@ -264,7 +272,9 @@ object Spatial {
        |  MAX(lng) AS max_lng, MAX(lat) AS max_lat,
        |  '1.1.0' AS geo_version
        |FROM ($pointsSql)""".stripMargin) { (spark, dir) =>
-    val out = java.nio.file.Files.createTempDirectory("graft_geo_rt").toString + "/pts"
+    // deterministic per-dataset scratch dir, overwritten each run — repeated
+    // verify/bench invocations must not accumulate temp copies of the data
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_geo_rt_${math.abs(dir.hashCode)}/pts"
     val src = pointsDf(spark, dir)
       .select(col("event_id"), array(col("lng"), col("lat")).as("geometry"))
     graft.io.GeoParquet.write(src, out)
@@ -292,7 +302,8 @@ object Spatial {
       |  CAST(MIN(event_id) AS BIGINT) AS min_id,
       |  CAST(MAX(event_id) AS BIGINT) AS max_id
       |FROM events""".stripMargin) { (spark, dir) =>
-    val out = java.nio.file.Files.createTempDirectory("graft_ipc_rt").toString
+    // deterministic per-dataset scratch dir (ArrowIpc.write overwrites it)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_ipc_rt_${math.abs(dir.hashCode)}"
     val src = Tables.events(spark, dir).select(col("event_id"), col("value"))
     graft.io.ArrowIpc.write(src, out)
     graft.io.ArrowIpc.read(spark, out).agg(

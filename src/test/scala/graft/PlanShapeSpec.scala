@@ -14,7 +14,9 @@ class PlanShapeSpec extends AnyFunSuite {
 
   private def executedPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, dir)
-    df.count() // let AQE finalize
+    // execute THIS DataFrame's own QueryExecution (count() would execute a
+    // different one and leave this adaptive plan un-finalized)
+    df.collect()
     df.queryExecution.executedPlan.toString
   }
 
