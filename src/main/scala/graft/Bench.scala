@@ -72,14 +72,40 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
 
+    // wire size: Arrow IPC stream vs stringified GeoJSON features for the
+    // point cloud (BASELINE row 4 — the reference publishes "84% smaller";
+    // measurement mirrors benchmarks/pipeline.ts:115-125)
+    import org.apache.spark.sql.functions.{array, length, lit, struct, sum, to_json}
+    val wire: Option[(Long, Long)] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").forall(_.split(",").exists("wire_size".startsWith)))
+        try {
+          val pts = graft.operators.Spatial.pointsDf(spark, sfDir)
+          val ipcDir = s"${System.getProperty("java.io.tmpdir")}/graft_wire_ipc"
+          graft.io.ArrowIpc.write(pts.select(col("event_id"), col("lng"), col("lat")), ipcDir)
+          val ipcBytes = new java.io.File(ipcDir).listFiles()
+            .filter(_.getName.endsWith(".arrows")).map(_.length).sum
+          val geojsonBytes = pts.select(to_json(struct(
+            lit("Feature").as("type"),
+            struct(lit("Point").as("type"),
+              array(col("lng"), col("lat")).as("coordinates")).as("geometry"),
+            struct(col("event_id").as("id")).as("properties"))).as("j"))
+            .agg(sum(length(col("j")) + 1)).collect()(0).getLong(0)
+          Some((ipcBytes, geojsonBytes))
+        } catch { case _: Throwable => None }
+      else None
+
     def jmap(xs: Seq[(String, Double, Boolean)]): String =
       xs.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errors = (results ++ maskTimes).collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val wireJson = wire.map { case (ipc, gj) =>
+      val pct = (1.0 - ipc.toDouble / gj) * 100.0
+      s""","wire_size":{"ipc_bytes":$ipc,"geojson_bytes":$gj,"reduction_pct":$pct}"""
+    }.getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors,"sf":"$sfDir"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$wireJson,"sf":"$sfDir"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(
