@@ -307,7 +307,26 @@ object TextOps {
     * scale the rounds would switch to large-star/small-star; the per-round
     * plan (join + hash agg, no driver data) is already that shape.
     */
+  /** Session-validated per-dir cache: the propagation result is built over
+    * localCheckpointed rdds, valid for the session's lifetime — q60 and q62
+    * share one build.
+    */
+  private val componentsCache = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)]
+
   private def nearDupComponentsDf(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    componentsCache.synchronized {
+      componentsCache.get(dir) match {
+        case Some((s, df)) if (s eq spark) && !s.sparkContext.isStopped => df
+        case _ =>
+          val df = nearDupComponentsUncached(spark, dir)
+          componentsCache.put(dir, (spark, df))
+          df
+      }
+    }
+
+  private def nearDupComponentsUncached(
       spark: org.apache.spark.sql.SparkSession, dir: String) = {
     import org.apache.spark.sql.expressions.Window
     val pairs = lshPairsDf(spark, dir).where(col("jaccard") >= 0.5)
