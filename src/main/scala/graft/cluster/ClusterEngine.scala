@@ -73,100 +73,100 @@ final class ClusterIndex private[cluster] (
     levels.filter($"zoom" === childZoom && $"parent_id" === clusterId)
   }
 
-  /** Q4 core: every leaf under a cluster, tagged with its root-to-leaf child
-    * path — an iterative semi-join where frontier AND result stay DataFrames
-    * end-to-end (no driver materialization, so a 100M-leaf cluster never
-    * touches driver memory). Each parent edge is stamped at exactly one zoom
-    * (the parent's origin level), so one pruned scan per depth finds each
-    * child once; depth is bounded by the zoom-level count. `_path` holds the
-    * child ids walked from the root: lexicographic order on it IS the
-    * reference's DFS leaf order (arrow-cluster-engine.ts:312-348) with
-    * children visited in ascending-id order (documented divergence: the
-    * reference walks children in kd-tree traversal order — same membership,
-    * different deterministic order).
-    */
-  /** Subtree walk core shared by getLeaves / subtreeEdges: every parent edge
-    * is stamped at exactly ONE zoom — the parent's origin level — and origin
-    * levels strictly increase down any path, so ONE ascending sweep over the
-    * levels discovers the whole subtree. Each step scans ONLY that zoom's
-    * slice of the persisted level table (`zoom === l` prunes cached batches
-    * by min/max stats) and joins the pending-cluster frontier; everything
-    * stays a DataFrame (no driver materialization). Lineage is checkpointed
-    * every 3rd level — between checkpoints the chained joins recompute, but
-    * only against pruned single-level scans, which is cheaper than a
-    * materialization barrier per level.
+  /** Full hierarchy closure (the reference's cluster-structure memoization,
+    * arrow-cluster-layer.ts:305-334, made whole-table instead of per-probe):
+    * ONE top-down sweep from the minZoom roots computes every record's
+    * absolute root-to-record `_path`; every subtree query — leaves,
+    * descendants, navigation — is then a narrow filter over this single set
+    * of materialized per-level RDDs. At 100 TB the closure costs one
+    * build-shaped job set, paid once per index, after which navigation is a
+    * scan, not a walk; repeated probes (paginate → materialize the same
+    * cluster, or q56/q57/q58 probing overlapping subtrees) share it for
+    * free, with no per-probe memo to size or evict.
     *
-    * Output: one row per subtree record with `_path` = child ids walked from
-    * the root; lexicographic `_path` order IS DFS order with ascending-id
-    * children.
+    * Each parent edge is stamped at exactly one zoom — the parent's origin
+    * level — and origin levels strictly increase down any path, so one
+    * ascending sweep over the levels discovers each record exactly once.
+    * Each step scans only that zoom's slice of the persisted level table
+    * (`zoom === l` prunes cached batches by min/max stats) and joins the
+    * pending-cluster frontier. The frontier count per origin level is
+    * tracked driver-side from each level's own materialized output, so the
+    * broadcast-vs-shuffle choice acts on an exact, never-stale number (a
+    * frontier beyond 100k rows ships as a shuffle join instead of OOMing
+    * the driver with a broadcast build), levels with an empty frontier are
+    * skipped outright, and no probe job over the growing pending chain is
+    * ever launched.
+    *
+    * Lexicographic order on `_path` IS the reference's DFS leaf order
+    * (arrow-cluster-engine.ts:312-348) with children visited in
+    * ascending-id order (documented divergence: the reference walks
+    * children in kd-tree insertion order — same membership, different
+    * deterministic order). Within any subtree, absolute paths share the
+    * root-to-subtree prefix, so sorting by the absolute path equals
+    * sorting by the subtree-relative one.
     */
-  /** Memo of completed subtree walks (the reference's cluster-structure
-    * memoization, C2): q-level consumers often hit the same probe cluster —
-    * e.g. paginate then materialize — and the walk's checkpointed RDDs stay
-    * valid for the life of the index.
-    */
-  private val subtreeMemo =
-    scala.collection.concurrent.TrieMap.empty[(Seq[Long], Boolean), DataFrame]
-
-  private def subtreeRows(roots: Seq[Long], withPath: Boolean = true): DataFrame = {
-    // bounded: a long-lived index probed at many distinct roots must not pin
-    // checkpointed rdds forever (ContextCleaner reclaims them once dropped)
-    if (subtreeMemo.size > 64) subtreeMemo.clear()
-    subtreeMemo.getOrElseUpdate((roots, withPath), subtreeRowsUncached(roots, withPath))
-  }
-
-  private def subtreeRowsUncached(roots: Seq[Long], withPath: Boolean): DataFrame = {
+  private lazy val fullWalk: DataFrame = {
     val total = numPoints
-    val pathCols =
-      if (withPath) Seq(concat($"_path", array($"id")).as("_path")) else Seq.empty
-    val emptyOut = levels.toDF().where(lit(false))
-      .select(Seq($"id", $"parent_id", $"point_count", $"is_cluster", $"lng", $"lat")
-        ++ (if (withPath) Seq(typedLit(Array.empty[Long]).as("_path")) else Seq.empty): _*)
-    val origins = roots.map(r => graft.ids.ClusterId.originLevel(r, total))
-      .filter(l => l >= opts.minZoom && l <= opts.maxZoom + 1)
-    if (origins.isEmpty) return emptyOut
-    val fromLevel = origins.min
-
-    // Every `kids` step is eagerly checkpointed, so `pending` is only ever a
-    // lazy union/filter chain over MATERIALIZED rdds — re-evaluating it is a
-    // cheap scan, never a join recompute. A probe every 3rd level (one tiny
-    // scan job) drives loop exit and the join strategy: a frontier known to
-    // be small ships as a broadcast (the pruned level scan never shuffles),
-    // while a degenerate huge one — deep trees at extreme scale — falls back
-    // to a shuffle join instead of OOMing the driver with a broadcast build.
-    var pending = roots.toDF("_pid")
-      .withColumn("_path", typedLit(Array.empty[Long]))
-      .withColumn("_oz", ((col("_pid") - total) % 32).cast("int"))
+    val roots = levels.toDF()
+      .where($"zoom" === opts.minZoom && $"is_cluster")
+      // the seed path is [rootId], not [] — a minZoom root has no edge row
+      // of its own, so its id must enter descendants' paths here or
+      // subtreeRows could never match it
+      .select($"id".as("_pid"), array($"id").as("_path"),
+        (($"id" - total) % 32).cast("int").as("_oz"))
       .localCheckpoint()
-    var pendingSmall = roots.size <= 100000
+    var pendCounts: Map[Int, Long] = roots.groupBy($"_oz").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .filter { case (oz, n) => n > 0 && oz >= opts.minZoom && oz <= opts.maxZoom + 1 }
+    var pending: DataFrame = roots
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var l = fromLevel
-    var live = true
-    while (live && l <= opts.maxZoom + 1) {
+    while (pendCounts.nonEmpty) {
+      val l = pendCounts.keys.min
+      val small = pendCounts(l) <= 100000
       val f0 = pending.where($"_oz" === l).select($"_pid", $"_path")
-      val f = if (pendingSmall) broadcast(f0) else f0
+      val f = if (small) broadcast(f0) else f0
+      // lazy checkpoint: the per-origin count aggregation below is the first
+      // action on `kids` and materializes its blocks — one job per level
+      // (join + count fused), not a checkpoint job plus a count job
       val kids = levels.toDF().where($"zoom" === l)
         .join(f, $"parent_id" === $"_pid")
-        .select(Seq($"id", $"parent_id", $"point_count", $"is_cluster", $"lng", $"lat")
-          ++ pathCols :+ (($"id" - total) % 32).cast("int").as("_koz"): _*)
-        .localCheckpoint()
+        .select($"id", $"parent_id", $"point_count", $"is_cluster", $"lng", $"lat",
+          concat($"_path", array($"id")).as("_path"),
+          (($"id" - total) % 32).cast("int").as("_koz"))
+        .localCheckpoint(false)
+      val kidClusters = kids.where($"is_cluster")
+      val newCounts = kidClusters.groupBy($"_koz").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
       parts += kids.drop("_koz")
-      val pendSel =
-        if (withPath) Seq($"id".as("_pid"), $"_path", $"_koz".as("_oz"))
-        else Seq($"id".as("_pid"),
-          typedLit(Array.empty[Long]).as("_path"), $"_koz".as("_oz"))
+      pendCounts = newCounts.foldLeft(pendCounts - l) { case (m, (oz, n)) =>
+        // cluster children always originate strictly deeper than the level
+        // that discovered them; anything else would be a malformed id
+        if (oz > l && oz <= opts.maxZoom + 1) m.updated(oz, m.getOrElse(oz, 0L) + n)
+        else m
+      }
       pending = pending.where($"_oz" > l)
-        .unionByName(kids.where($"is_cluster").select(pendSel: _*))
-      // probe EVERY level (a tiny scan of materialized rdds): the broadcast
-      // decision must never act on a stale count — a frontier can fan out
-      // orders of magnitude in one level, and broadcasting it then would be
-      // exactly the driver-OOM this guard exists to prevent
-      val c = pending.limit(100001).count()
-      live = c > 0
-      pendingSmall = c <= 100000
-      l += 1
+        .unionByName(kidClusters.select($"id".as("_pid"), $"_path", $"_koz".as("_oz")))
     }
-    if (parts.isEmpty) emptyOut else parts.reduce(_ unionByName _)
+    if (parts.isEmpty) emptyWalk else parts.reduce(_ unionByName _)
+  }
+
+  private def emptyWalk: DataFrame =
+    levels.toDF().where(lit(false))
+      .select($"id", $"parent_id", $"point_count", $"is_cluster", $"lng", $"lat")
+      .withColumn("_path", typedLit(Array.empty[Long]))
+
+  /** Subtree rows for a set of roots = filter of [[fullWalk]]: a record is
+    * under one of `roots` iff its ancestor path contains that root. The
+    * roots' own rows (their edge to THEIR parent) are excluded — a subtree
+    * is its strict descendants.
+    */
+  private def subtreeRows(roots: Seq[Long], withPath: Boolean = true): DataFrame = {
+    val base =
+      if (roots.isEmpty) emptyWalk
+      else fullWalk.where(
+        arrays_overlap($"_path", typedLit(roots.toArray)) &&
+          !$"id".isInCollection(roots))
+    if (withPath) base else base.drop("_path")
   }
 
   private def leavesWithPath(clusterId: Long): DataFrame =
