@@ -442,20 +442,103 @@ object Spatial {
       .orderBy("id")
   }
 
-  /** Q4 on the distributed build: paginated leaves via the iterative
-    * semi-join path (no SQL analogue for the subtree closure → rows-only;
-    * membership/pagination semantics are locked by GoldenDifferentialSpec
-    * and GridHierarchySpec).
+  /** Parent-edge CTEs replaying [[graft.cluster.GridHierarchy]]'s merge
+    * decisions in DuckDB: at pass z, a lvl(z+1) record's parent is its cell
+    * id iff >= 2 records share the cell (the window-count QUALIFY mirrors
+    * the fold's fuse test, GridHierarchy.scala:140-148). `edges` is the
+    * union over all passes — the whole hierarchy's parent→child edge set,
+    * which a recursive CTE can then walk for any subtree.
     */
-  val distLeaves: GraftQuery = GraftQuery.rowsOnly("q56_dist_leaves") { (spark, dir) =>
+  private def edgeCtes: Seq[String] = {
+    val tot = "(SELECT COUNT(*) FROM events)"
+    // literal `|` (bitwise OR) inside — assemble via @PIPE@, never an outer
+    // stripMargin over the interpolated bodies
+    val perPass = (16 to 0 by -1).map { z =>
+      val r = 40.0 / (512.0 * math.pow(2.0, z.toDouble))
+      s"""edg$z AS (
+         |  SELECT id AS child, is_cluster AS child_is_cluster,
+         |    ((CAST(FLOOR(mx / $r) AS BIGINT) << 27
+         |      @PIPE@ (CAST(FLOOR(my / $r) AS BIGINT) & 134217727)) << 5
+         |      @PIPE@ ${z + 1}) + $tot AS parent
+         |  FROM lvl${z + 1}
+         |  QUALIFY COUNT(*) OVER (PARTITION BY parent) >= 2
+         |)""".stripMargin.replace("@PIPE@", "|")
+    }
+    perPass :+ ("edges AS (" +
+      (16 to 0 by -1).map(z => s"SELECT * FROM edg$z").mkString(" UNION ALL ") + ")")
+  }
+
+  /** Shared oracle target: the same largest-pass-3 cluster
+    * [[largestDistClusterAt]] probes on the Spark side.
+    */
+  private def distTargetCte: String = {
+    val tot = "(SELECT COUNT(*) FROM events)"
+    s"""target AS (
+       |  SELECT id FROM lvl3
+       |  WHERE is_cluster AND id >= $tot AND (id - $tot) % 32 = 4
+       |  ORDER BY point_count DESC, id LIMIT 1
+       |)""".stripMargin
+  }
+
+  /** Q4 on the distributed build: paginated leaves of the largest pass-3
+    * cluster, hash-matched against DuckDB replaying the fold, deriving the
+    * parent edges, and walking the subtree with a recursive CTE. Leaves are
+    * subtree nodes that join the source points (cluster ids exceed every
+    * row id by construction); the page is the same ORDER BY id
+    * OFFSET/LIMIT the Spark side plans as a distributed top-K.
+    */
+  private def distLeavesSql: String =
+    s"WITH RECURSIVE ${(gridLevelCtes ++ edgeCtes).mkString(",\n")},\n" +
+      distTargetCte + ",\n" +
+      """sub(node) AS (
+        |  SELECT id FROM target
+        |  UNION
+        |  SELECT e.child FROM sub s JOIN edges e ON e.parent = s.node
+        |)""".stripMargin + "\n" +
+      s"""SELECT s.node AS row_id, p.lng, p.lat, CAST(1 AS BIGINT) AS point_count
+         |FROM sub s JOIN ($pointsSql) p ON p.event_id = s.node
+         |ORDER BY row_id LIMIT 25 OFFSET 5""".stripMargin
+
+  val distLeaves: GraftQuery = GraftQuery.sql(
+    "q56_dist_leaves", distLeavesSql) { (spark, dir) =>
     val idx = distIndex(spark, dir)
     idx.getLeaves(largestDistClusterAt(idx, 3), limit = 25, offset = 5)
   }
 
   /** Q5 + Q8 on the distributed build: expansion zoom and descendant-closure
-    * size for the 5 largest pass-2 clusters.
+    * size for the 5 largest pass-2 clusters, oracle-checked end-to-end.
+    * Expansion zoom: in the grid fold a cell fuses only with >= 2 members,
+    * so every cluster has >= 2 children and the reference's expansion loop
+    * (ClusterEngine.navigationSummary) always exits on its first step — at
+    * the root's origin level, `(id - total) % 32`. The descendant-cluster
+    * count is the recursive closure restricted to cluster children.
     */
-  val distNavigation: GraftQuery = GraftQuery.rowsOnly("q57_dist_nav") { (spark, dir) =>
+  private def distNavSql: String = {
+    val tot = "(SELECT COUNT(*) FROM events)"
+    s"WITH RECURSIVE ${(gridLevelCtes ++ edgeCtes).mkString(",\n")},\n" +
+      s"""tops AS (
+         |  SELECT id, point_count FROM lvl2
+         |  WHERE is_cluster AND id >= $tot AND (id - $tot) % 32 = 3
+         |  ORDER BY point_count DESC, id LIMIT 5
+         |),
+         |nav(root, node, node_is_cluster) AS (
+         |  SELECT id, id, FALSE FROM tops
+         |  UNION
+         |  SELECT n.root, e.child, e.child_is_cluster
+         |  FROM nav n JOIN edges e ON e.parent = n.node
+         |)
+         |SELECT t.id AS cluster_id,
+         |  CAST(t.point_count AS BIGINT) AS point_count,
+         |  CAST((t.id - $tot) % 32 AS INT) AS expansion_zoom,
+         |  CAST(SUM(CASE WHEN n.node_is_cluster THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_descendants
+         |FROM nav n JOIN tops t ON t.id = n.root
+         |GROUP BY t.id, t.point_count
+         |ORDER BY cluster_id""".stripMargin
+  }
+
+  val distNavigation: GraftQuery = GraftQuery.sql(
+    "q57_dist_nav", distNavSql) { (spark, dir) =>
     import spark.implicits._
     val idx = distIndex(spark, dir)
     val tot = idx.numPoints
@@ -471,8 +554,27 @@ object Spatial {
       .orderBy("cluster_id")
   }
 
-  /** Q7 on the distributed build: leaves joined back to the source rows. */
-  val distMaterialize: GraftQuery = GraftQuery.rowsOnly("q58_dist_materialize") { (spark, dir) =>
+  /** Q7 on the distributed build: the first 25 leaves (by id) of the same
+    * target cluster joined back to the source rows — the oracle pages the
+    * recursive closure identically, then re-reads lng/lat from the points.
+    */
+  private def distMaterializeSql: String =
+    s"WITH RECURSIVE ${(gridLevelCtes ++ edgeCtes).mkString(",\n")},\n" +
+      distTargetCte + ",\n" +
+      """sub(node) AS (
+        |  SELECT id FROM target
+        |  UNION
+        |  SELECT e.child FROM sub s JOIN edges e ON e.parent = s.node
+        |)""".stripMargin + "\n" +
+      s"""SELECT page.node AS event_id, p.lng, p.lat
+         |FROM (
+         |  SELECT s.node FROM sub s JOIN ($pointsSql) q ON q.event_id = s.node
+         |  ORDER BY s.node LIMIT 25 OFFSET 0
+         |) page JOIN ($pointsSql) p ON p.event_id = page.node
+         |ORDER BY event_id""".stripMargin
+
+  val distMaterialize: GraftQuery = GraftQuery.sql(
+    "q58_dist_materialize", distMaterializeSql) { (spark, dir) =>
     val idx = distIndex(spark, dir)
     idx.materializeLeaves(largestDistClusterAt(idx, 3), pointsDf(spark, dir), "event_id",
         limit = 25, offset = 0)
