@@ -14,6 +14,10 @@ run / fork := true
 // pass the forked process's stdout through verbatim — the bench/verify mains
 // emit machine-parsed JSON lines that must not be wrapped in "[info]"
 run / outputStrategy := Some(StdoutOutput)
+// ...and keep that JSON the LAST stdout line: sbt's "[success] Total time"
+// banner would otherwise print after the forked process exits and break the
+// round driver's last-line parse of the bench metrics
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -94,6 +94,35 @@ object Bench {
         } catch { case _: Throwable => None }
       else None
 
+    // memory: per-stage JVM heap deltas mirroring the reference's
+    // measurement discipline (benchmarks/run.ts:185-226 — gc, snapshot,
+    // run the full pipeline keeping refs alive, snapshot, report the
+    // delta). The JVM has no heap/external/arrayBuffers split, so the
+    // heap-used delta is the whole number; System.gc() is advisory but
+    // settles the heap enough for the MB-scale deltas reported here.
+    // Stages mirror the reference's pipeline pair: the exact greedy build
+    // (its Supercluster baseline) vs the grid build (its Arrow engine).
+    def heapUsed(): Long = {
+      System.gc(); Thread.sleep(300); System.gc(); Thread.sleep(100)
+      java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed
+    }
+    val memory: Option[(Double, Double)] =
+      if (only.forall(_.exists("memory".startsWith)))
+        try {
+          val pts = graft.operators.Spatial.pointsDf(spark, sfDir)
+          val world = (-180.0, -85.0, 180.0, 85.0)
+          val h0 = heapUsed()
+          val exact = ClusterEngine.load(pts, ClusterOptions(), idCol = Some("event_id"))
+          exact.getClusters(world, 0).count()
+          val h1 = heapUsed()
+          val grid = ClusterEngine.loadDistributed(pts, ClusterOptions(), idCol = "event_id")
+          grid.getClusters(world, 0).count()
+          val h2 = heapUsed()
+          exact.unpersist(); grid.unpersist()
+          Some(((h1 - h0) / 1048576.0, (h2 - h1) / 1048576.0))
+        } catch { case _: Throwable => None }
+      else None
+
     def jmap(xs: Seq[(String, Double, Boolean)]): String =
       xs.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errors = (results ++ maskTimes).collect { case (k, _, false) => "\"" + k + "\"" }
@@ -103,9 +132,12 @@ object Bench {
       val pct = (1.0 - ipc.toDouble / gj) * 100.0
       s""","wire_size":{"ipc_bytes":$ipc,"geojson_bytes":$gj,"reduction_pct":$pct}"""
     }.getOrElse("")
+    val memJson = memory.map { case (exactMb, gridMb) =>
+      s""","memory":{"exact_build_heap_mb":$exactMb,"grid_build_heap_mb":$gridMb}"""
+    }.getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$wireJson,"sf":"$sfDir"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$wireJson$memJson,"sf":"$sfDir"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(

@@ -274,6 +274,36 @@ final class ClusterIndex private[cluster] (
   def unpersist(): this.type = { levels.unpersist(); this }
 }
 
+/** Rebuild-gating cache for one index kind (C1,
+  * arrow-cluster-layer.ts:94-106 + comparator at :46-55): the reference
+  * rebuilds when ANY cluster option changes, holding exactly one live index
+  * per data source. Keyed by data dir; a hit must match the building session
+  * (a stopped/replaced session would serve stale plans) AND the full
+  * [[ClusterOptions]] — a caller re-loading the same dir with, say, a
+  * different radius gets a fresh build, and the superseded index's persisted
+  * levels are freed instead of leaking. Synchronized so concurrent first
+  * queries build once instead of racing two expensive builds.
+  */
+private[graft] final class IndexCache {
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[String, (SparkSession, ClusterOptions, ClusterIndex)]
+
+  def get(spark: SparkSession, dir: String, opts: ClusterOptions)(
+      load: => ClusterIndex): ClusterIndex = synchronized {
+    cache.get(dir) match {
+      case Some((s, o, idx)) if (s eq spark) && !s.sparkContext.isStopped && o == opts =>
+        idx
+      case prev =>
+        prev.foreach { case (s, _, idx) =>
+          if ((s eq spark) && !s.sparkContext.isStopped) idx.unpersist()
+        }
+        val idx = load
+        cache.put(dir, (spark, opts, idx))
+        idx
+    }
+  }
+}
+
 object ClusterEngine {
 
   /** Build the hierarchy (reference `load`, SURVEY §3.1).

@@ -31,36 +31,20 @@ object Spatial {
     distChildren, distLeaves, distNavigation, distMaterialize,
     arrowIpcRoundtrip, zorderProfile)
 
-  /** The hierarchy is built once per data dir and shared by every query on
-    * it (the reference's engine-rebuild gating, C1 — build cost is paid once,
-    * queries are pruned scans of the persisted level table).
+  /** The hierarchy is built once per (data dir, session, options) and shared
+    * by every query on it (the reference's engine-rebuild gating, C1 — build
+    * cost is paid once, queries are pruned scans of the persisted level
+    * table; ANY option change triggers a rebuild and frees the old index,
+    * see [[graft.cluster.IndexCache]]).
     */
-  private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, ClusterIndex)]
+  private val indexCache = new graft.cluster.IndexCache
 
-  /** Session-validated per-dir cache: the cached index holds Datasets bound
-    * to the session that built it — a hit from a different/stopped session
-    * would serve stale plans. Synchronized so concurrent first queries build
-    * once instead of racing two expensive builds (one of which would leak
-    * its persisted levels).
-    */
-  private def cachedIndex(
-      cache: scala.collection.concurrent.TrieMap[String, (SparkSession, ClusterIndex)],
-      spark: SparkSession, dir: String)(load: => ClusterIndex): ClusterIndex =
-    cache.synchronized {
-      cache.get(dir) match {
-        case Some((s, idx)) if (s eq spark) && !s.sparkContext.isStopped => idx
-        case _ =>
-          val idx = load
-          cache.put(dir, (spark, idx))
-          idx
-      }
-    }
-
-  private def index(spark: SparkSession, dir: String): ClusterIndex =
-    cachedIndex(indexCache, spark, dir)(
+  private def index(spark: SparkSession, dir: String): ClusterIndex = {
+    val opts = ClusterOptions()
+    indexCache.get(spark, dir, opts)(
       ClusterEngine.load(
-        pointsDf(spark, dir), ClusterOptions(), idCol = Some("event_id")).persist())
+        pointsDf(spark, dir), opts, idCol = Some("event_id")).persist())
+  }
 
   /** Largest cluster at `zoom` — a deterministic probe target for the
     * navigation queries (ties broken by id).
@@ -72,14 +56,15 @@ object Spatial {
       .limit(1).collect()(0).getLong(0)
 
   /** The distributed (GridHierarchy) build behind the same ClusterIndex
-    * surface — the 100 TB navigation path, shared across q55-q58.
+    * surface — the 100 TB navigation path, shared across q44 + q55-q58.
     */
-  private val distIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, ClusterIndex)]
-  private def distIndex(spark: SparkSession, dir: String): ClusterIndex =
-    cachedIndex(distIndexCache, spark, dir)(
+  private val distIndexCache = new graft.cluster.IndexCache
+  private def distIndex(spark: SparkSession, dir: String): ClusterIndex = {
+    val opts = ClusterOptions()
+    distIndexCache.get(spark, dir, opts)(
       ClusterEngine.loadDistributed(
-        pointsDf(spark, dir), ClusterOptions(), idCol = "event_id"))
+        pointsDf(spark, dir), opts, idCol = "event_id"))
+  }
 
   /** Largest cluster CREATED at pass z (origin level z+1) on the distributed
     * build — restricting to that pass makes the probe expressible in the
