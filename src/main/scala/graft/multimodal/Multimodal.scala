@@ -25,14 +25,29 @@ final case class Frame(
     frame_idx: Int,
     frame_bytes: Array[Byte])
 
+/** Decoded-image facts re-derived from the pixel data itself (not the
+  * metadata columns): real dimensions, channel count, per-channel means.
+  */
+final case class ImageMeta(
+    media_id: Long,
+    dec_width: Long,
+    dec_height: Long,
+    n_channels: Long,
+    mean_r: Long,
+    mean_g: Long,
+    mean_b: Long)
+
 /** Multimodal (image/audio/video-as-binary) pipeline plumbing.
   *
   * The Spark-side mechanics are real — schema, partition-preserving
-  * `mapPartitions` batches, column pruning, typed encoders. The codec call
-  * itself is STUBBED with a deterministic fake (this environment has no
-  * image/audio libraries): every stub is marked `STUB:` and confined to one
-  * private function, so swapping in a real decoder (JNI codec, ONNX
-  * runtime, ...) touches exactly that function and nothing in the plan.
+  * `mapPartitions` batches, column pruning, typed encoders. The IMAGE codec
+  * is real too: `javax.imageio` ships in every JDK, so PNG/JPEG/BMP
+  * encode/decode/resize run as genuine per-partition executor work
+  * ([[encodePng]]/[[decodeImageMeta]]/[[resizeImage]]). Only the
+  * audio/model-feature step remains a deterministic STUB (no audio/ML
+  * libraries in this environment), confined to one marked private function
+  * so swapping in a real backend (JNI codec, ONNX runtime, ...) touches
+  * exactly that function and nothing in the plan.
   */
 object Multimodal {
 
@@ -49,7 +64,101 @@ object Multimodal {
       (col("doc_id") % 480 + 16).cast("int").as("height"),
       col("text").cast("binary").as("payload"))
 
-  /** STUB: a real implementation decodes the image/audio payload with a
+  /** Encode a `width`×`height` PNG filled with one constant RGB color —
+    * deterministic pixel content, so decoded facts (dimensions, channel
+    * count, per-channel means) are pure arithmetic over the generator
+    * inputs and therefore oracle-checkable even though PNG byte streams
+    * themselves are encoder-specific.
+    */
+  def encodePng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r & 0xff) << 16 | (g & 0xff) << 8 | (b & 0xff)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic IMAGE table: real PNG payloads generated per row on the
+    * executors, dimensions and fill color derived from `doc_id` — the
+    * decode path can then be verified against plain arithmetic.
+    */
+  def synthesizeImages(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 64 + 16).toInt
+        val h = (id % 48 + 16).toInt
+        MediaRow(id, "image", w, h,
+          encodePng(w, h,
+            (id % 256).toInt, ((id * 7 + 31) % 256).toInt, ((id * 13 + 7) % 256).toInt))
+      }
+    }
+  }
+
+  /** REAL image decode (`javax.imageio` — PNG/JPEG/BMP in every JDK):
+    * re-derive dimensions, channel count, and exact per-channel pixel means
+    * from the payload bytes alone. Batched per partition like every other
+    * codec step; `getRGB` normalizes any raster layout to packed sRGB.
+    */
+  def decodeImageMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"payload of media ${m.media_id} is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        ImageMeta(m.media_id, w, h, img.getRaster.getNumBands,
+          sr / n, sg / n, sb / n)
+      }
+    }
+  }
+
+  /** REAL image resize (AWT `Graphics2D`, bilinear): decode, scale, re-encode
+    * PNG, with the metadata columns updated to the actual new dimensions.
+    */
+  def resizeImage(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    require(w > 0 && h > 0, "target dimensions must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        require(src != null, s"payload of media ${m.media_id} is not a decodable image")
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gfx = dst.createGraphics()
+        try {
+          gfx.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          gfx.drawImage(src, 0, 0, w, h, null)
+        } finally gfx.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        m.copy(width = w, height = h, payload = bos.toByteArray)
+      }
+    }
+  }
+
+  /** STUB: a real implementation decodes the audio/video payload with a
     * codec and computes model features. The fake is a 256-bin byte
     * histogram folded to `dim` floats — deterministic, order-independent,
     * and shaped exactly like a real embedding batch.
@@ -96,12 +205,4 @@ object Multimodal {
     }
   }
 
-  /** STUB: a real implementation resizes the decoded image. The fake keeps
-    * the byte stream but rewrites the metadata — plan shape (project +
-    * mapPartitions, payload untouched) is what a real resize does too.
-    */
-  def resizeStub(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
-    import media.sparkSession.implicits._
-    media.map(m => m.copy(width = w, height = h))
-  }
 }

@@ -45,19 +45,29 @@ object MultimodalOps {
       .orderBy("media_id")
   }
 
-  /** Stub-decoded feature batch (rows-only: byte-level decode has no SQL
-    * analogue; exact values are locked by MultimodalSpec). Features are
-    * emitted CSV-encoded (fixed 7-decimal format) — scalar columns only, so
-    * the harness's sort/hash works on the result.
+  /** REAL image decode, end-to-end oracle-checked: per-row PNGs are
+    * generated on the executors (dimensions + constant fill color derived
+    * from `doc_id`), then `javax.imageio` decodes the payload bytes back to
+    * dimensions, channel count, and exact per-channel pixel means. PNG byte
+    * streams are encoder-specific, but every DECODED fact is pure arithmetic
+    * over the generator inputs — so DuckDB verifies a genuine encode→decode
+    * round-trip without ever seeing a PNG. (The audio/model-feature path
+    * stays a spec-locked stub: [[Multimodal.decodeFeatures]].)
     */
-  val mediaFeatures: GraftQuery = GraftQuery.rowsOnly("q40_media_features") { (spark, dir) =>
-    import spark.implicits._
-    Multimodal.decodeFeatures(media(spark, dir), dim = 8)
+  val mediaFeatures: GraftQuery = GraftQuery.sql(
+    "q40_media_features",
+    """SELECT doc_id AS media_id,
+      |  CAST(doc_id % 64 + 16 AS BIGINT) AS dec_width,
+      |  CAST(doc_id % 48 + 16 AS BIGINT) AS dec_height,
+      |  CAST(3 AS BIGINT) AS n_channels,
+      |  CAST(doc_id % 256 AS BIGINT) AS mean_r,
+      |  CAST((doc_id * 7 + 31) % 256 AS BIGINT) AS mean_g,
+      |  CAST((doc_id * 13 + 7) % 256 AS BIGINT) AS mean_b
+      |FROM documents
+      |ORDER BY media_id""".stripMargin) { (spark, dir) =>
+    Multimodal.decodeImageMeta(
+        Multimodal.synthesizeImages(Tables.documents(spark, dir)))
       .toDF()
-      .select(col("media_id"), col("n_bytes"),
-        concat_ws(",",
-          transform(col("features"), f => format_string("%.7f", f.cast("double"))))
-          .as("features_csv"))
       .orderBy("media_id")
   }
 

@@ -52,9 +52,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.count() == 20)
   }
 
-  test("resize stub rewrites metadata, keeps payload") {
-    val out = Multimodal.resizeStub(fixture.toDS(), 8, 8).collect().sortBy(_.media_id)
-    assert(out.forall(m => m.width == 8 && m.height == 8))
-    assert(out.map(_.payload.length).toSeq == fixture.map(_.payload.length))
+  test("png encode → decode recovers exact dimensions, channels, and fill color") {
+    val rows = Seq(3L, 17L, 254L).map { id =>
+      MediaRow(id, "image", (id % 64 + 16).toInt, (id % 48 + 16).toInt,
+        Multimodal.encodePng((id % 64 + 16).toInt, (id % 48 + 16).toInt,
+          (id % 256).toInt, ((id * 7 + 31) % 256).toInt, ((id * 13 + 7) % 256).toInt))
+    }
+    val got = Multimodal.decodeImageMeta(rows.toDS()).collect().sortBy(_.media_id)
+    got.zip(rows.sortBy(_.media_id)).foreach { case (m, src) =>
+      assert(m.dec_width == src.width && m.dec_height == src.height)
+      assert(m.n_channels == 3)
+      assert(m.mean_r == src.media_id % 256)
+      assert(m.mean_g == (src.media_id * 7 + 31) % 256)
+      assert(m.mean_b == (src.media_id * 13 + 7) % 256)
+    }
+  }
+
+  test("real resize re-encodes at the target dimensions, preserving a constant fill") {
+    val src = Seq(MediaRow(1L, "image", 40, 30,
+      Multimodal.encodePng(40, 30, 120, 7, 200))).toDS()
+    val out = Multimodal.decodeImageMeta(Multimodal.resizeImage(src, 8, 8))
+      .collect()(0)
+    assert(out.dec_width == 8 && out.dec_height == 8)
+    // bilinear interpolation of a constant image is the same constant
+    assert(out.mean_r == 120 && out.mean_g == 7 && out.mean_b == 200)
   }
 }
