@@ -106,48 +106,82 @@ final class ClusterIndex private[cluster] (
     * sorting by the subtree-relative one.
     */
   private lazy val fullWalk: DataFrame = {
-    val total = numPoints
-    val roots = levels.toDF()
-      .where($"zoom" === opts.minZoom && $"is_cluster")
-      // the seed path is [rootId], not [] — a minZoom root has no edge row
-      // of its own, so its id must enter descendants' paths here or
-      // subtreeRows could never match it
-      .select($"id".as("_pid"), array($"id").as("_path"),
-        (($"id" - total) % 32).cast("int").as("_oz"))
+    val walkT0 = System.nanoTime()
+    val debug = sys.env.contains("GRAFT_WALK_DEBUG")
+
+    // ── Phase A: CLUSTER ancestor paths by pointer doubling. Every merged
+    // cluster has exactly ONE stamped edge row (parent's origin level), so
+    // the cluster edge set is one pruned scan of the level table — a small
+    // fraction of the records (branching ≥ 2 ⇒ ≤ half, typically ~5%).
+    // Doubling then resolves every cluster's full root path in
+    // ceil(log2(depth)) self-joins of that small set, instead of one join
+    // per zoom level: sequential depth ~5 rather than ~17, independent of
+    // maxZoom, with each round an ordinary shuffle (or broadcast, chosen on
+    // the exact driver-known cluster count) join — the shape that holds
+    // when the cluster table itself is billions of rows.
+    //
+    // State per cluster: `_top` = furthest ancestor not yet folded into
+    // `_seg`; `_seg` = ids from _top's child down to the cluster itself.
+    // A root's seed is (_top = -1, _seg = [id]) — the seed path is [id],
+    // not [], because a minZoom root has no edge row of its own, so its id
+    // must enter descendants' paths here or subtreeRows could never match
+    // it. When a pending row joins a finished ancestor, its path closes.
+    val stamped = levels.toDF().where($"is_cluster" && $"parent_id" =!= -1L)
+    val rootsDf = levels.toDF().where($"zoom" === opts.minZoom && $"is_cluster")
+    // unions SUM their inputs' partition counts — left unchecked, each
+    // round would double the task count (32 → 512 across four rounds) and
+    // drown the job in scheduling overhead; coalesce (narrow, no shuffle)
+    // pins every round at the configured parallelism
+    val nParts = math.max(1,
+      levels.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    var st = stamped.select($"id", $"parent_id".as("_top"), array($"id").as("_seg"))
+      .unionByName(rootsDf.select($"id", lit(-1L).as("_top"), array($"id").as("_seg")))
+      .coalesce(nParts)
       .localCheckpoint()
-    var pendCounts: Map[Int, Long] = roots.groupBy($"_oz").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      .filter { case (oz, n) => n > 0 && oz >= opts.minZoom && oz <= opts.maxZoom + 1 }
-    var pending: DataFrame = roots
-    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    while (pendCounts.nonEmpty) {
-      val l = pendCounts.keys.min
-      val small = pendCounts(l) <= 100000
-      val f0 = pending.where($"_oz" === l).select($"_pid", $"_path")
-      val f = if (small) broadcast(f0) else f0
-      // lazy checkpoint: the per-origin count aggregation below is the first
-      // action on `kids` and materializes its blocks — one job per level
-      // (join + count fused), not a checkpoint job plus a count job
-      val kids = levels.toDF().where($"zoom" === l)
-        .join(f, $"parent_id" === $"_pid")
-        .select($"id", $"parent_id", $"point_count", $"is_cluster", $"lng", $"lat",
-          concat($"_path", array($"id")).as("_path"),
-          (($"id" - total) % 32).cast("int").as("_koz"))
-        .localCheckpoint(false)
-      val kidClusters = kids.where($"is_cluster")
-      val newCounts = kidClusters.groupBy($"_koz").count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1))
-      parts += kids.drop("_koz")
-      pendCounts = newCounts.foldLeft(pendCounts - l) { case (m, (oz, n)) =>
-        // cluster children always originate strictly deeper than the level
-        // that discovered them; anything else would be a malformed id
-        if (oz > l && oz <= opts.maxZoom + 1) m.updated(oz, m.getOrElse(oz, 0L) + n)
-        else m
-      }
-      pending = pending.where($"_oz" > l)
-        .unionByName(kidClusters.select($"id".as("_pid"), $"_path", $"_koz".as("_oz")))
+    // lazy checkpoints: each round's count aggregation is the first action
+    // and materializes the blocks — one job per round
+    val counts0 = st
+      .agg(count(lit(1)), count(when($"_top" =!= -1L, 1))).collect()(0)
+    val clusterCount = counts0.getLong(0)
+    var pendCnt = counts0.getLong(1)
+    if (debug) println(f"[walk] cluster edges: $clusterCount ($pendCnt pending) " +
+      f"${(System.nanoTime() - walkT0) / 1e9}%.2f s")
+    var iter = 0
+    while (pendCnt > 0) {
+      require(iter < 8, s"cluster hierarchy deeper than 2^8 — malformed parent edges")
+      val t0 = System.nanoTime()
+      val b0 = st.select($"id".as("_tid"), $"_top".as("_ttop"), $"_seg".as("_tseg"))
+      val b = if (clusterCount <= 100000) broadcast(b0) else b0
+      val stepped = st.where($"_top" =!= -1L)
+        .join(b, $"_top" === $"_tid")
+        .select($"id", $"_ttop".as("_top"), concat($"_tseg", $"_seg").as("_seg"))
+      st = st.where($"_top" === -1L).unionByName(stepped)
+        .coalesce(nParts).localCheckpoint()
+      pendCnt = st.agg(count(when($"_top" =!= -1L, 1))).collect()(0).getLong(0)
+      if (debug) println(f"[walk] doubling round $iter pending=$pendCnt " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      iter += 1
     }
-    if (parts.isEmpty) emptyWalk else parts.reduce(_ unionByName _)
+    val clusterPaths0 = st.select($"id".as("_cid"), $"_seg".as("_path"))
+    val clusterPaths =
+      if (clusterCount <= 100000) broadcast(clusterPaths0) else clusterPaths0
+
+    // ── Phase B: attach everything in two flat joins. A record's parent
+    // edge is stamped on exactly one of its level rows, so one scan of the
+    // level table joined to the cluster-path table yields every record's
+    // path in a single job — the leaf mass is touched once, not per level.
+    val walk =
+      if (clusterCount == 0) emptyWalk
+      else {
+        val edges = levels.toDF().where($"parent_id" =!= -1L)
+          .join(clusterPaths, $"parent_id" === $"_cid")
+          // uniformly path(x) = path(parent(x)) ++ [x], cluster or leaf
+          .select($"id", $"parent_id", $"point_count", $"is_cluster", $"lng", $"lat",
+            concat($"_path", array($"id")).as("_path"))
+        edges.localCheckpoint(false)
+      }
+    if (debug) println(f"[walk] total: ${(System.nanoTime() - walkT0) / 1e9}%.2f s")
+    walk
   }
 
   private def emptyWalk: DataFrame =

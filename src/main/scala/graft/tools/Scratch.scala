@@ -17,90 +17,32 @@ object Scratch {
       println(f"[scratch] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
+    // full-walk profile on the distributed build (GRAFT_WALK_DEBUG=1 prints
+    // per-level frontier sizes + times from inside ClusterEngine)
+    val pts = graft.operators.Spatial.pointsDf(spark, dir)
+    val idx = time("loadDistributed") {
+      graft.cluster.ClusterEngine.loadDistributed(
+        pts, graft.cluster.ClusterOptions(), idCol = "event_id")
+    }
+    val tot = idx.numPoints
     import org.apache.spark.sql.functions._
-    import graft.functions.TextFunctions._
-
-    // ---- plan audit: pushdown / broadcast / codegen / exchange reuse ----
-    def audit(name: String, df: org.apache.spark.sql.DataFrame, checks: (String, String => Boolean)*): Unit = {
-      df.count() // let AQE finalize
-      val plan = df.queryExecution.executedPlan.toString
-      checks.foreach { case (desc, f) =>
-        println(s"[audit] $name | $desc: ${if (f(plan)) "PASS" else "FAIL"}")
-      }
+    val target = idx.level(3).toDF()
+      .where(col("is_cluster") && col("id") >= tot && ((col("id") - tot) % 32) === 4)
+      .orderBy(desc("point_count"), col("id"))
+      .limit(1).collect()(0).getLong(3)
+    time("first getLeaves (pays fullWalk)") {
+      idx.getLeaves(target, limit = 25, offset = 5).collect()
     }
-    val S = graft.SparkEntry.queries
-    audit("q01 pushdown+codegen", S("q01_pricing_summary")(spark, dir),
-      ("shipdate filter pushed", _.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")),
-      // vectorized batched scan + hash agg are codegen'd; the AQE
-      // pre-final toString doesn't print stage markers
-      ("vectorized+partial agg", p => p.contains("Batched: true") && p.contains("partial_sum")))
-
-    // GreedyCore alone, no Spark (driver-side): isolates algorithm cost
-    // at the reference's bench ladder sizes (200k default; 1M like --1m)
-    Seq(200000, 1000000).foreach { sz =>
-      val pts = (0 until sz).map { i =>
-        val (lng, lat) = graft.io.SyntheticPoints.pointAt(42L, i.toLong)
-        (i.toLong, lng, lat)
-      }.toArray
-      (1 to 3).foreach { run =>
-        val t0 = System.nanoTime()
-        val n = graft.cluster.GreedyCore.buildLevels(pts, graft.cluster.ClusterOptions()).length
-        println(f"[audit] GreedyCore alone $sz run$run: ${(System.nanoTime() - t0) / 1e9}%.2f s, rows=$n")
-      }
+    time("second getLeaves (filter only)") {
+      idx.getLeaves(target, limit = 25, offset = 5).collect()
     }
-
-    // reference-comparable load benchmark: 200k uniform seeded points
-    // (BASELINE: reference loads 200k at ~Supercluster parity)
-    locally {
-      val pts = graft.io.SyntheticPoints.uniform(spark, 200000)
-      pts.count() // materialize input outside the timed section? no — load includes read
-      val t0 = System.nanoTime()
-      val idx = graft.cluster.ClusterEngine.load(pts, idCol = Some("row_id"))
-      println(f"[audit] greedy load 200k: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
-        s"points=${idx.numPoints}")
-      val t1 = System.nanoTime()
-      val n = idx.getClusters((-180.0, -85.0, 180.0, 85.0), 4).count()
-      println(f"[audit] getClusters z4: ${(System.nanoTime() - t1) / 1e9}%.2f s, rows=$n")
-      val t2 = System.nanoTime()
-      val levels = graft.cluster.GridHierarchy.build(pts)
-      println(f"[audit] grid build 200k: ${(System.nanoTime() - t2) / 1e9}%.2f s, " +
-        s"records=${levels.count()}")
+    time("navigationSummary 5 roots (filter + collect)") {
+      val tops = idx.level(2).toDF()
+        .where(col("is_cluster") && col("id") >= tot && ((col("id") - tot) % 32) === 3)
+        .orderBy(desc("point_count"), col("id"))
+        .limit(5).collect().map(_.getLong(3)).toSeq
+      idx.navigationSummary(tops)
     }
-    audit("q02 broadcasts", S("q02_revenue_by_nation")(spark, dir),
-      ("dims broadcast", p => "BroadcastHashJoin".r.findAllIn(p).size >= 3))
-    audit("q20 column pruning", S("q20_token_stats")(spark, dir),
-      ("reads only doc_id+text", p =>
-        p.contains("ReadSchema: struct<doc_id:bigint,text:string>")))
-    audit("q28 probe broadcast", S("q28_knn_bruteforce")(spark, dir),
-      ("small side broadcast", _.contains("BroadcastNestedLoopJoin")))
-    audit("q35 exchange reuse", S("q35_minhash_lsh_pairs")(spark, dir),
-      ("sig computed once or reused", p =>
-        p.contains("ReusedExchange") || "ShingleBandMins|graft_minhash".r.findAllIn(p).size <= 4))
-    audit("q43 single shuffle", S("q43_asof_last_error")(spark, dir),
-      ("no range join", p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
-    audit("q39 payload prune", S("q39_media_meta")(spark, dir),
-      ("text+doc_id only", _.contains("ReadSchema: struct<doc_id:bigint,text:string>")))
-    val docs = graft.Tables.documents(spark, dir)
-    time("docs count")(docs.count())
-    time("tokens only")(docs.select(size(split(col("text"), " "))).agg(sum(col("size(split(text,  , -1))"))).collect())
-    val sh = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"), shingles(col("tk"), 3).as("sh"))
-    time("shingles")(sh.select(sum(size(col("sh")))).collect())
-    val hs = sh.where(size(col("sh")) > 0).select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
-    time("shingle md5")(hs.select(sum(size(col("hs")))).collect())
-    val bands = (0 until 4).map(b =>
-      struct(lit(b.toLong).as("band"), minhashBand(col("hs"), b).as("mh")))
-    val sig = hs.select(col("doc_id"), explode(array(bands: _*)).as("bm"))
-      .select(col("doc_id"), col("bm.band"), col("bm.mh"))
-    time("signatures")(sig.count())
-    val cand = sig.select(col("doc_id").as("id_a"), col("band"), col("mh"))
-      .join(sig.select(col("doc_id").as("id_b"), col("band"), col("mh")), Seq("band", "mh"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    println(s"[scratch] cand pairs: ${time("cand")(cand.count())}")
-    val q = graft.operators.TextOps.minhashLshPairs
-    val df = q.run(spark, dir)
-    time("q35 full")(df.count())
     spark.stop()
   }
 }
