@@ -94,6 +94,38 @@ object Bench {
         } catch { case _: Throwable => None }
       else None
 
+    // wire size on the MATCHED fixture: the reference's published "84%
+    // smaller" (README.md:131) is measured by pipeline.ts:115-125 on
+    // tests/test-utils.ts fixtures — 200k LCG-42 full-precision uniform
+    // points, Arrow = FixedSizeList<2,f64> geometry + Int32 id, GeoJSON =
+    // Feature objects with an id property — NOT on graft's 2-decimal
+    // synthetic grid, whose short JSON numbers understate the GeoJSON side.
+    // SyntheticPoints.uniform replays that exact LCG; Spark has no
+    // fixed-size-list type, so the byte-equivalent flat layout (two f64
+    // columns + int32 id — same buffer bytes as FixedSizeList<2>) is
+    // written instead.
+    val wireMatched: Option[(Long, Long)] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").forall(_.split(",").exists("wire_size".startsWith)))
+        try {
+          val pts = graft.io.SyntheticPoints.uniform(spark, 200000)
+            .select(col("lng"), col("lat"), col("row_id").cast("int").as("id"))
+          val ipcDir = s"${System.getProperty("java.io.tmpdir")}/graft_wire_ipc_matched"
+          graft.io.ArrowIpc.write(pts, ipcDir)
+          val ipcBytes = new java.io.File(ipcDir).listFiles()
+            .filter(_.getName.endsWith(".arrows")).map(_.length).sum
+          // mirrors test-utils buildGeoJSON + the FeatureCollection wrapper
+          // (pipeline.ts:117): per-feature JSON + the separating comma
+          val geojsonBytes = pts.select(to_json(struct(
+            lit("Feature").as("type"),
+            struct(col("id")).as("properties"),
+            struct(lit("Point").as("type"),
+              array(col("lng"), col("lat")).as("coordinates")).as("geometry"))).as("j"))
+            .agg(sum(length(col("j")) + 1)).collect()(0).getLong(0) +
+            """{"type":"FeatureCollection","features":[]}""".length - 1
+          Some((ipcBytes, geojsonBytes))
+        } catch { case _: Throwable => None }
+      else None
+
     // memory: per-stage JVM heap deltas mirroring the reference's
     // measurement discipline (benchmarks/run.ts:185-226 — gc, snapshot,
     // run the full pipeline keeping refs alive, snapshot, report the
@@ -132,12 +164,16 @@ object Bench {
       val pct = (1.0 - ipc.toDouble / gj) * 100.0
       s""","wire_size":{"ipc_bytes":$ipc,"geojson_bytes":$gj,"reduction_pct":$pct}"""
     }.getOrElse("")
+    val wireMatchedJson = wireMatched.map { case (ipc, gj) =>
+      val pct = (1.0 - ipc.toDouble / gj) * 100.0
+      s""","wire_size_matched":{"ipc_bytes":$ipc,"geojson_bytes":$gj,"reduction_pct":$pct}"""
+    }.getOrElse("")
     val memJson = memory.map { case (exactMb, gridMb) =>
       s""","memory":{"exact_build_heap_mb":$exactMb,"grid_build_heap_mb":$gridMb}"""
     }.getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$wireJson$memJson,"sf":"$sfDir"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$wireJson$wireMatchedJson$memJson,"sf":"$sfDir"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(
