@@ -12,7 +12,8 @@ object SparkEntry {
   private def registry: Seq[GraftQuery] =
     operators.Relational.all ++ operators.Spatial.all ++
       operators.TextOps.all ++ operators.Similarity.all ++
-      operators.Streaming.all ++ operators.MultimodalOps.all
+      operators.Streaming.all ++ operators.MultimodalOps.all ++
+      operators.PipelineOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

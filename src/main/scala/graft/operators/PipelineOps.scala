@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+
+/** Training-data curation operators beyond the reference surface — the
+  * pipeline steps a 100 TB pretraining corpus actually runs between raw
+  * scrape and tokenizer: deterministic splits, context-window packing,
+  * benchmark decontamination, and per-source quota sampling. All are
+  * single-scan or single-shuffle declarative plans, and every one is
+  * oracle-checked end-to-end (the hashes/window folds are pure arithmetic
+  * mirrored in DuckDB).
+  */
+object PipelineOps {
+
+  def all: Seq[GraftQuery] = Seq(trainSplit, sequencePacking, decontamination, sourceQuota)
+
+  /** Deterministic content-hash train/val/test split: the split key is the
+    * last md5 nibble of the TEXT (not the row id), so membership is stable
+    * under re-ingestion, re-partitioning, and id reassignment — the
+    * property a reproducible corpus split actually needs. 13/2/1 nibble
+    * buckets ≈ 81/12.5/6 %. One scan, one tiny aggregation.
+    */
+  val trainSplit: GraftQuery = GraftQuery.sql(
+    "q64_train_split",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1 AS nib,
+      |    len(string_split(text, ' ')) AS ntok
+      |  FROM documents
+      |)
+      |SELECT CASE WHEN nib <= 12 THEN 'train' WHEN nib <= 14 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+      |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+      |FROM t GROUP BY 1 ORDER BY split""".stripMargin) { (spark, dir) =>
+    val nib = expr("instr('0123456789abcdef', substring(md5(cast(text as binary)), 32, 1))") - 1
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nib.as("nib"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .select(col("doc_id"), col("ntok"),
+        when(col("nib") <= 12, "train").when(col("nib") <= 14, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("total_tokens"),
+        sum(col("doc_id")).as("id_checksum"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+  }
+
+  /** Context-window sequence packing: documents are greedily packed into
+    * 4096-token bins in deterministic id order WITHIN a shard — the shard
+    * key is what makes this a map-side-parallel plan at 100 TB (one
+    * window-function pass per shard partition, no global sort, no driver
+    * state). A document's bin is the window its starting offset falls in
+    * (the standard streaming-packing approximation: a bin may overflow by
+    * at most one document, never underflow by more than a document).
+    */
+  val sequencePacking: GraftQuery = GraftQuery.sql(
+    "q65_sequence_packing",
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    len(string_split(text, ' ')) AS ntok
+      |  FROM documents
+      |), c AS (
+      |  SELECT shard, doc_id, ntok,
+      |    SUM(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t
+      |)
+      |SELECT shard, (cum - ntok) // 4096 AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS bin_tokens,
+      |  CAST(SUM(ntok) AS DOUBLE) / 4096 AS fill_ratio,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .groupBy(col("shard"), floor((col("cum") - col("ntok")) / 4096).as("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("bin_tokens"),
+        (sum(col("ntok")).cast("double") / 4096).as("fill_ratio"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("shard", "bin")
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any 3-gram
+    * shingle with the (held-out) benchmark set — the GPT-3/Pile-style
+    * n-gram overlap check every serious pretraining corpus runs. The
+    * benchmark side is tiny by construction, so the plan is a broadcast
+    * semi-join of exploded distinct shingles: the corpus is scanned once
+    * and shuffled only by the final per-doc aggregation. (At 100 TB the
+    * shingle strings would be hashed first — q25's fused kernel — but the
+    * join shape is identical.)
+    */
+  val decontamination: GraftQuery = GraftQuery.sql(
+    "q66_decontamination",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |        i -> concat_ws(' ', string_split(text, ' ')[i],
+      |                       string_split(text, ' ')[i+1],
+      |                       string_split(text, ' ')[i+2]))
+      |    ELSE [] END AS sh
+      |  FROM documents
+      |), e AS (
+      |  SELECT doc_id, unnest(list_distinct(sh)) AS g FROM s
+      |), bench AS (
+      |  SELECT DISTINCT g FROM e WHERE doc_id % 97 = 0
+      |)
+      |SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      |FROM e JOIN bench USING (g)
+      |WHERE e.doc_id % 97 <> 0
+      |GROUP BY e.doc_id
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val e = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("tk"), 3))).as("g"))
+    val bench = e.where(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    e.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source quota sampling: cap every source (domain) at its 5 longest
+    * documents, ties broken by id — the "don't let one domain dominate the
+    * corpus" step. One window pass over a single hash shuffle on the
+    * source key; no global ordering anywhere.
+    */
+  val sourceQuota: GraftQuery = GraftQuery.sql(
+    "q67_source_quota",
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 50 AS source,
+      |    len(string_split(text, ' ')) AS ntok
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, source, ntok,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY ntok DESC, doc_id) AS rk
+      |  FROM t
+      |)
+      |SELECT doc_id, source, CAST(ntok AS BIGINT) AS n_tokens,
+      |  CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 5
+      |ORDER BY source, rk""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("source"))
+      .orderBy(desc("ntok"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 50).as("source"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 5)
+      .select(col("doc_id"), col("source"), col("ntok").as("n_tokens"), col("rk"))
+      .orderBy("source", "rk")
+  }
+}

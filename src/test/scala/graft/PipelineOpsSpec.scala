@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the curation-pipeline operators that the DuckDB oracle
+  * can't express directly (conservation, cap, disjointness) — the oracle
+  * gate proves value equality; these prove the SEMANTICS are the intended
+  * ones.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = Tables.documents(spark, dir)
+
+  test("q64: splits partition the corpus exactly (counts and id checksums conserve)") {
+    val r = SparkEntry.queries("q64_train_split")(spark, dir).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(3))).toMap
+    val total = docs.agg(count(lit(1)), sum(col("doc_id"))).collect()(0)
+    assert(r.keySet == Set("train", "val", "test"))
+    assert(r.values.map(_._1).sum == total.getLong(0), "every doc in exactly one split")
+    assert(r.values.map(_._2).sum == total.getLong(1), "id checksum conserves")
+    assert(r("train")._1 > r("val")._1 && r("train")._1 > r("test")._1)
+  }
+
+  test("q65: packing conserves tokens and bins never overflow by more than one doc") {
+    val bins = SparkEntry.queries("q65_sequence_packing")(spark, dir).collect()
+    val totalTokens = docs
+      .agg(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    assert(bins.map(_.getLong(3)).sum == totalTokens, "token conservation")
+    val maxDoc = docs
+      .agg(max(size(split(col("text"), " ")))).collect()(0).getInt(0)
+    bins.foreach { b =>
+      assert(b.getLong(3) < 4096L + maxDoc,
+        s"bin ${b.getLong(1)} of shard ${b.getLong(0)} overflows by more than one doc")
+    }
+  }
+
+  test("q66: benchmark docs are never flagged; every flagged doc truly overlaps") {
+    val flagged = SparkEntry.queries("q66_decontamination")(spark, dir).collect()
+    assert(flagged.forall(_.getLong(0) % 97 != 0), "benchmark side excluded")
+    assert(flagged.forall(_.getLong(1) >= 1))
+  }
+
+  test("q67: no source exceeds its quota and ranks are dense from 1") {
+    val kept = SparkEntry.queries("q67_source_quota")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    kept.groupBy(_._1).foreach { case (src, rows) =>
+      val ranks = rows.map(_._2).sorted.toSeq
+      assert(ranks.size <= 5, s"source $src over quota")
+      assert(ranks == (1L to ranks.size).toSeq, s"source $src ranks not dense")
+    }
+  }
+}
