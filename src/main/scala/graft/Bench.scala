@@ -77,7 +77,7 @@ object Bench {
     // measurement mirrors benchmarks/pipeline.ts:115-125)
     import org.apache.spark.sql.functions.{array, length, lit, struct, sum, to_json}
     val wire: Option[(Long, Long)] =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").forall(_.split(",").exists("wire_size".startsWith)))
+      if (only.forall(_.exists("wire_size".startsWith)))
         try {
           val pts = graft.operators.Spatial.pointsDf(spark, sfDir)
           val ipcDir = s"${System.getProperty("java.io.tmpdir")}/graft_wire_ipc"
@@ -105,7 +105,7 @@ object Bench {
     // columns + int32 id — same buffer bytes as FixedSizeList<2>) is
     // written instead.
     val wireMatched: Option[(Long, Long)] =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").forall(_.split(",").exists("wire_size".startsWith)))
+      if (only.forall(_.exists("wire_size_matched".startsWith)))
         try {
           val pts = graft.io.SyntheticPoints.uniform(spark, 200000)
             .select(col("lng"), col("lat"), col("row_id").cast("int").as("id"))

@@ -85,17 +85,13 @@ final class ClusterIndex private[cluster] (
     * free, with no per-probe memo to size or evict.
     *
     * Each parent edge is stamped at exactly one zoom — the parent's origin
-    * level — and origin levels strictly increase down any path, so one
-    * ascending sweep over the levels discovers each record exactly once.
-    * Each step scans only that zoom's slice of the persisted level table
-    * (`zoom === l` prunes cached batches by min/max stats) and joins the
-    * pending-cluster frontier. The frontier count per origin level is
-    * tracked driver-side from each level's own materialized output, so the
-    * broadcast-vs-shuffle choice acts on an exact, never-stale number (a
-    * frontier beyond 100k rows ships as a shuffle join instead of OOMing
-    * the driver with a broadcast build), levels with an empty frontier are
-    * skipped outright, and no probe job over the growing pending chain is
-    * ever launched.
+    * level — so every record has exactly one edge row and the closure is
+    * well-defined. Phase A resolves cluster paths by pointer doubling;
+    * phase B attaches every remaining record in one flat join (see the
+    * inline phase comments). The broadcast-vs-shuffle choice everywhere
+    * acts on the exact driver-known cluster count — a cluster table beyond
+    * 100k rows ships as shuffle joins instead of OOMing the driver with a
+    * broadcast build.
     *
     * Lexicographic order on `_path` IS the reference's DFS leaf order
     * (arrow-cluster-engine.ts:312-348) with children visited in
@@ -137,9 +133,10 @@ final class ClusterIndex private[cluster] (
     var st = stamped.select($"id", $"parent_id".as("_top"), array($"id").as("_seg"))
       .unionByName(rootsDf.select($"id", lit(-1L).as("_top"), array($"id").as("_seg")))
       .coalesce(nParts)
-      .localCheckpoint()
+      .localCheckpoint(false)
     // lazy checkpoints: each round's count aggregation is the first action
-    // and materializes the blocks — one job per round
+    // and materializes the blocks — one job per round, not a checkpoint job
+    // plus a count job
     val counts0 = st
       .agg(count(lit(1)), count(when($"_top" =!= -1L, 1))).collect()(0)
     val clusterCount = counts0.getLong(0)
@@ -156,7 +153,7 @@ final class ClusterIndex private[cluster] (
         .join(b, $"_top" === $"_tid")
         .select($"id", $"_ttop".as("_top"), concat($"_tseg", $"_seg").as("_seg"))
       st = st.where($"_top" === -1L).unionByName(stepped)
-        .coalesce(nParts).localCheckpoint()
+        .coalesce(nParts).localCheckpoint(false)
       pendCnt = st.agg(count(when($"_top" =!= -1L, 1))).collect()(0).getLong(0)
       if (debug) println(f"[walk] doubling round $iter pending=$pendCnt " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -190,16 +187,17 @@ final class ClusterIndex private[cluster] (
       .withColumn("_path", typedLit(Array.empty[Long]))
 
   /** Subtree rows for a set of roots = filter of [[fullWalk]]: a record is
-    * under one of `roots` iff its ancestor path contains that root. The
-    * roots' own rows (their edge to THEIR parent) are excluded — a subtree
-    * is its strict descendants.
+    * under one of `roots` iff a STRICT ancestor of it (its path minus its
+    * own trailing id) is that root. Probed roots' own rows are therefore
+    * excluded — a subtree is its strict descendants — but a root nested
+    * inside another probed root's subtree still appears as a descendant of
+    * the outer root, exactly like the old per-root walk.
     */
   private def subtreeRows(roots: Seq[Long], withPath: Boolean = true): DataFrame = {
     val base =
       if (roots.isEmpty) emptyWalk
-      else fullWalk.where(
-        arrays_overlap($"_path", typedLit(roots.toArray)) &&
-          !$"id".isInCollection(roots))
+      else fullWalk.where(arrays_overlap(
+        slice($"_path", lit(1), size($"_path") - 1), typedLit(roots.toArray)))
     if (withPath) base else base.drop("_path")
   }
 
@@ -311,28 +309,31 @@ final class ClusterIndex private[cluster] (
 /** Rebuild-gating cache for one index kind (C1,
   * arrow-cluster-layer.ts:94-106 + comparator at :46-55): the reference
   * rebuilds when ANY cluster option changes, holding exactly one live index
-  * per data source. Keyed by data dir; a hit must match the building session
-  * (a stopped/replaced session would serve stale plans) AND the full
-  * [[ClusterOptions]] — a caller re-loading the same dir with, say, a
-  * different radius gets a fresh build, and the superseded index's persisted
-  * levels are freed instead of leaking. Synchronized so concurrent first
-  * queries build once instead of racing two expensive builds.
+  * per data source. Keyed per (session, dir) — concurrent sessions each
+  * keep their own index instead of thrashing (and leaking) each other's —
+  * with a hit requiring the full [[ClusterOptions]] to match: a caller
+  * re-loading the same dir with, say, a different radius gets a fresh
+  * build, and the superseded index's persisted levels are freed instead of
+  * leaking. Entries of stopped sessions are dropped on every access.
+  * Synchronized so concurrent first queries build once instead of racing
+  * two expensive builds.
   */
 private[graft] final class IndexCache {
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[String, (SparkSession, ClusterOptions, ClusterIndex)]
+    .empty[(SparkSession, String), (ClusterOptions, ClusterIndex)]
 
   def get(spark: SparkSession, dir: String, opts: ClusterOptions)(
       load: => ClusterIndex): ClusterIndex = synchronized {
-    cache.get(dir) match {
-      case Some((s, o, idx)) if (s eq spark) && !s.sparkContext.isStopped && o == opts =>
+    cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    cache.get((spark, dir)) match {
+      case Some((o, idx)) if o == opts && !spark.sparkContext.isStopped =>
         idx
       case prev =>
-        prev.foreach { case (s, _, idx) =>
-          if ((s eq spark) && !s.sparkContext.isStopped) idx.unpersist()
+        prev.foreach { case (_, idx) =>
+          if (!spark.sparkContext.isStopped) idx.unpersist()
         }
         val idx = load
-        cache.put(dir, (spark, opts, idx))
+        cache.put((spark, dir), (opts, idx))
         idx
     }
   }

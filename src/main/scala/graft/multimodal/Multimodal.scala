@@ -92,6 +92,10 @@ object Multimodal {
   def synthesizeImages(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      // keep the codec fully in-memory: ImageIO's default stream cache
+      // writes a temp FILE per encode/decode — pure syscall overhead when
+      // every payload is already a byte array
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
         val w = (id % 64 + 16).toInt
         val h = (id % 48 + 16).toInt
@@ -110,6 +114,7 @@ object Multimodal {
   def decodeImageMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory codec, no temp files
       it.map { m =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
         require(img != null, s"payload of media ${m.media_id} is not a decodable image")
@@ -139,6 +144,7 @@ object Multimodal {
     require(w > 0 && h > 0, "target dimensions must be positive")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory codec, no temp files
       it.map { m =>
         val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
         require(src != null, s"payload of media ${m.media_id} is not a decodable image")

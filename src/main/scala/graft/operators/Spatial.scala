@@ -334,6 +334,20 @@ object Spatial {
     * (f32-quantized centroids make the fold engine- and
     * partitioning-independent).
     */
+  /** Cell-id packing at pass z — THE one SQL mirror of
+    * GridHierarchy.scala:92-93, shared by the level fold, the edge CTEs,
+    * and the children probe so the three can never drift apart. Contains
+    * literal `|` (bitwise OR): assembled via @PIPE@, never under an outer
+    * stripMargin.
+    */
+  private def cellIdSqlAtPass(z: Int): String = {
+    val r = 40.0 / (512.0 * math.pow(2.0, z.toDouble))
+    s"""((CAST(FLOOR(mx / $r) AS BIGINT) << 27
+       |      @PIPE@ (CAST(FLOOR(my / $r) AS BIGINT) & 134217727)) << 5
+       |      @PIPE@ ${z + 1}) + (SELECT COUNT(*) FROM events)""".stripMargin
+      .replace("@PIPE@", "|")
+  }
+
   private def gridLevelCtes: Seq[String] = {
     val tot = "(SELECT COUNT(*) FROM events)"
     val base =
@@ -347,7 +361,6 @@ object Spatial {
          |  FROM ($pointsSql)
          |)""".stripMargin
     val lvls = (16 to 0 by -1).map { z =>
-      val r = 40.0 / (512.0 * math.pow(2.0, z.toDouble))
       s"""lvl$z AS (
          |  SELECT
          |    CASE WHEN COUNT(*) >= 2 THEN cell_id ELSE MIN(id) END AS id,
@@ -361,13 +374,10 @@ object Spatial {
          |    CASE WHEN COUNT(*) >= 2 THEN TRUE
          |      ELSE CAST(MIN(CAST(is_cluster AS INT)) AS BOOLEAN) END AS is_cluster
          |  FROM (
-         |    SELECT *,
-         |      ((CAST(FLOOR(mx / $r) AS BIGINT) << 27
-         |        | (CAST(FLOOR(my / $r) AS BIGINT) & 134217727)) << 5
-         |        | ${z + 1}) + $tot AS cell_id
+         |    SELECT *, @CELLID@ AS cell_id
          |    FROM lvl${z + 1})
          |  GROUP BY cell_id
-         |)""".stripMargin
+         |)""".stripMargin.replace("@CELLID@", cellIdSqlAtPass(z))
     }
     base +: lvls
   }
@@ -391,27 +401,18 @@ object Spatial {
     * whose pass-3 cell id equals it (= its children).
     */
   private def distChildrenSql: String = {
-    val tot = "(SELECT COUNT(*) FROM events)"
-    val r3 = 40.0 / (512.0 * 8.0) // cell size at pass z=3
-    // NOTE: the CTE bodies contain literal `|` operators — assemble with
-    // plain concatenation, never an outer stripMargin over them
     val tail =
-      s"""l4c AS (
-         |  SELECT *,
-         |    ((CAST(FLOOR(mx / $r3) AS BIGINT) << 27
-         |      @PIPE@ (CAST(FLOOR(my / $r3) AS BIGINT) & 134217727)) << 5
-         |      @PIPE@ 4) + $tot AS cid
-         |  FROM lvl4
-         |),
-         |target AS (
-         |  SELECT id FROM lvl3
-         |  WHERE is_cluster AND id >= $tot AND (id - $tot) % 32 = 4
-         |  ORDER BY point_count DESC, id LIMIT 1
-         |)
-         |SELECT l4c.id AS id, mx, my,
-         |  CAST(point_count AS BIGINT) AS point_count, is_cluster
-         |FROM l4c, target WHERE l4c.cid = target.id
-         |ORDER BY id""".stripMargin.replace("@PIPE@", "|")
+      """l4c AS (
+        |  SELECT *, @CELLID@ AS cid
+        |  FROM lvl4
+        |),
+        |@TARGET@
+        |SELECT l4c.id AS id, mx, my,
+        |  CAST(point_count AS BIGINT) AS point_count, is_cluster
+        |FROM l4c, target WHERE l4c.cid = target.id
+        |ORDER BY id""".stripMargin
+        .replace("@CELLID@", cellIdSqlAtPass(3))
+        .replace("@TARGET@", distTargetCte)
     s"WITH ${gridLevelCtes.mkString(",\n")},\n" + tail
   }
 
@@ -435,19 +436,13 @@ object Spatial {
     * which a recursive CTE can then walk for any subtree.
     */
   private def edgeCtes: Seq[String] = {
-    val tot = "(SELECT COUNT(*) FROM events)"
-    // literal `|` (bitwise OR) inside — assemble via @PIPE@, never an outer
-    // stripMargin over the interpolated bodies
     val perPass = (16 to 0 by -1).map { z =>
-      val r = 40.0 / (512.0 * math.pow(2.0, z.toDouble))
       s"""edg$z AS (
          |  SELECT id AS child, is_cluster AS child_is_cluster,
-         |    ((CAST(FLOOR(mx / $r) AS BIGINT) << 27
-         |      @PIPE@ (CAST(FLOOR(my / $r) AS BIGINT) & 134217727)) << 5
-         |      @PIPE@ ${z + 1}) + $tot AS parent
+         |    @CELLID@ AS parent
          |  FROM lvl${z + 1}
          |  QUALIFY COUNT(*) OVER (PARTITION BY parent) >= 2
-         |)""".stripMargin.replace("@PIPE@", "|")
+         |)""".stripMargin.replace("@CELLID@", cellIdSqlAtPass(z))
     }
     perPass :+ ("edges AS (" +
       (16 to 0 by -1).map(z => s"SELECT * FROM edg$z").mkString(" UNION ALL ") + ")")
@@ -465,6 +460,16 @@ object Spatial {
        |)""".stripMargin
   }
 
+  /** Recursive closure of the target cluster's subtree over `edges` —
+    * shared by the q56/q58 oracles.
+    */
+  private val subClosureCte =
+    """sub(node) AS (
+      |  SELECT id FROM target
+      |  UNION
+      |  SELECT e.child FROM sub s JOIN edges e ON e.parent = s.node
+      |)""".stripMargin
+
   /** Q4 on the distributed build: paginated leaves of the largest pass-3
     * cluster, hash-matched against DuckDB replaying the fold, deriving the
     * parent edges, and walking the subtree with a recursive CTE. Leaves are
@@ -474,12 +479,7 @@ object Spatial {
     */
   private def distLeavesSql: String =
     s"WITH RECURSIVE ${(gridLevelCtes ++ edgeCtes).mkString(",\n")},\n" +
-      distTargetCte + ",\n" +
-      """sub(node) AS (
-        |  SELECT id FROM target
-        |  UNION
-        |  SELECT e.child FROM sub s JOIN edges e ON e.parent = s.node
-        |)""".stripMargin + "\n" +
+      distTargetCte + ",\n" + subClosureCte + "\n" +
       s"""SELECT s.node AS row_id, p.lng, p.lat, CAST(1 AS BIGINT) AS point_count
          |FROM sub s JOIN ($pointsSql) p ON p.event_id = s.node
          |ORDER BY row_id LIMIT 25 OFFSET 5""".stripMargin
@@ -545,12 +545,7 @@ object Spatial {
     */
   private def distMaterializeSql: String =
     s"WITH RECURSIVE ${(gridLevelCtes ++ edgeCtes).mkString(",\n")},\n" +
-      distTargetCte + ",\n" +
-      """sub(node) AS (
-        |  SELECT id FROM target
-        |  UNION
-        |  SELECT e.child FROM sub s JOIN edges e ON e.parent = s.node
-        |)""".stripMargin + "\n" +
+      distTargetCte + ",\n" + subClosureCte + "\n" +
       s"""SELECT page.node AS event_id, p.lng, p.lat
          |FROM (
          |  SELECT s.node FROM sub s JOIN ($pointsSql) q ON q.event_id = s.node

@@ -190,6 +190,22 @@ class ClusterEngineSpec extends AnyFunSuite {
     // every descendant must itself be a cluster id
     assert(desc0.forall(ClusterId.isCluster(_, 500L)))
   }
+
+  test("navigation with NESTED roots keeps the inner root's subtree intact") {
+    // outer root A and an inner root B ∈ descendants(A): batching them must
+    // not drop B's own edge row — A's summary has to match the A-only probe
+    val a = idx500.getClusters(world, 1).where($"is_cluster")
+      .orderBy(desc("point_count")).head().getAs[Long]("id")
+    val bOpt = idx500.getDescendants(a).headOption
+    assert(bOpt.nonEmpty, "fixture needs a nested cluster")
+    val b = bOpt.get
+    val alone = idx500.navigationSummary(Seq(a)).head
+    val batched = idx500.navigationSummary(Seq(a, b)).find(_._1 == a).get
+    assert(batched == alone,
+      "outer root's expansion zoom / descendant count must not change when an inner root is batched")
+    assert(idx500.subtreeEdges(Seq(a, b)).exists(_.id == b),
+      "the inner root's own edge row must stay in the batched edge set")
+  }
 }
 
 class MercatorSpec extends AnyFunSuite {
