@@ -33,6 +33,19 @@ import graft.geo.Mercator
   */
 object GridHierarchy {
 
+  /** Spread the low 32 bits of `v` so bit i lands at position 2i (64-bit
+    * Morton half — cell coords can reach 2^27, past [[graft.io.ZOrder]]'s
+    * 16-bit spread).
+    */
+  private def spread32(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    var x = v.bitwiseAND(lit(0xffffffffL))
+    x = (x.bitwiseOR(shiftleft(x, 16))).bitwiseAND(lit(0x0000ffff0000ffffL))
+    x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00ff00ff00ff00ffL))
+    x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0f0f0f0f0f0f0f0fL))
+    x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x3333333333333333L))
+    (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x5555555555555555L))
+  }
+
   /** Level schema: zoom, mx, my, id, parent_id, point_count, is_cluster,
     * lng, lat — identical to [[LevelRow]], so the query surface
     * (bbox/children/leaves scans) works on either build.
@@ -69,7 +82,9 @@ object GridHierarchy {
 
     val totalPoints = points.count()
 
-    // base level: one record per clean point, f32-quantized mercator coords
+    // base level: one record per clean point, f32-quantized mercator coords.
+    // Materialized once: the collision probe below, the identity-pass
+    // emissions, and the first fusing pass all re-read it.
     var prev = points
       .where(lng.isNotNull && lat.isNotNull && !isnan(lng) && !isnan(lat))
       .select(
@@ -80,10 +95,77 @@ object GridHierarchy {
         lat.cast("double").as("lat"))
       .withColumn("point_count", lit(1L))
       .withColumn("is_cluster", lit(false))
+      .localCheckpoint()
+
+    // ── identity-pass skip: z* = the deepest pass at which ANY two clean
+    // points share a grid cell. Cell grids nest dyadically across passes
+    // (cell index at z-1 = cellIndex(z) >> 1, exactly, by nested integer
+    // floor division), so "shares a cell at z" is "shares a bit prefix",
+    // and the deepest-colliding pair is ADJACENT in Morton order of the
+    // finest cell coords (longest-common-prefix pairs are lexicographic
+    // neighbors). One range-partitioned sort + a per-partition adjacency
+    // scan (partition boundary pairs stitched driver-side from nPartitions
+    // tiny summaries) finds z* EXACTLY. Every pass deeper than z* fuses
+    // nothing — its records are still raw points — so those passes skip
+    // their shuffle entirely and re-stamp the base level by projection.
+    // At petabyte scale the deepest passes are the most expensive ones and
+    // sparse data makes most of them identity; locally this removes ~5 of
+    // 17 shuffles at the default zoom ladder.
+    val zStar: Int = {
+      val rF = opts.radius / (opts.extent * math.pow(2.0, opts.maxZoom.toDouble))
+      val sorted = prev.select(
+        floor(col("mx") / rF).cast("long").as("cx"),
+        floor(col("my") / rF).cast("long").as("cy"))
+        .withColumn("m", spread32(col("cx")).bitwiseOR(shiftleft(spread32(col("cy")), 1)))
+        .repartitionByRange(col("m"))
+        .sortWithinPartitions(col("m"))
+      val maxZ = opts.maxZoom
+      // (partitionId, local max z, first cx/cy, last cx/cy) — one tiny row
+      // per partition reaches the driver
+      val partSummaries = sorted.select(col("cx"), col("cy")).toDF()
+        .mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val first = it.next()
+            var (pcx, pcy) = (first.getLong(0), first.getLong(1))
+            val (fcx, fcy) = (pcx, pcy)
+            var best = Int.MinValue
+            while (it.hasNext) {
+              val r = it.next()
+              val (cx2, cy2) = (r.getLong(0), r.getLong(1))
+              val x = (pcx ^ cx2) | (pcy ^ cy2)
+              val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(x)
+              best = math.max(best, maxZ - bitlen)
+              pcx = cx2; pcy = cy2
+            }
+            Iterator.single((best, fcx, fcy, pcx, pcy))
+          }
+        }(org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaInt,
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+        .collect()
+      val boundary = partSummaries.sliding(2).collect {
+        case Array((_, _, _, lcx, lcy), (_, fcx, fcy, _, _)) =>
+          val x = (lcx ^ fcx) | (lcy ^ fcy)
+          maxZ - (64 - java.lang.Long.numberOfLeadingZeros(x))
+      }
+      val all = partSummaries.map(_._1) ++ boundary
+      if (all.isEmpty) opts.minZoom - 1 else math.max(all.max, opts.minZoom - 1)
+    }
 
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     var z = opts.maxZoom
+    while (z > zStar && z >= opts.minZoom) {
+      // provably-identity pass: no two records share a cell, so the fold
+      // output equals its input — emit the level by projection, no shuffle
+      levels += prev.select(
+        lit(z + 1).as("zoom"), col("mx"), col("my"), col("id"),
+        lit(-1L).as("parent_id"), col("point_count"), col("is_cluster"),
+        col("lng"), col("lat"))
+      z -= 1
+    }
     while (z >= opts.minZoom) {
       val r = opts.radius / (opts.extent * math.pow(2.0, z.toDouble))
       val cellX = floor(col("mx") / r).cast("long")
