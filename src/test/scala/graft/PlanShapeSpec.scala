@@ -56,4 +56,24 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = executedPlan("q43_asof_last_error")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("q64 split: one pruned scan with map-side partial aggregation") {
+    val p = executedPlan("q64_train_split")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("q66 decontamination: benchmark side broadcasts, no cartesian product") {
+    val p = executedPlan("q66_decontamination")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q65/q67 window passes: pruned scans, no joins at all") {
+    Seq("q65_sequence_packing", "q67_source_quota").foreach { q =>
+      val p = executedPlan(q)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), q)
+      assert(!p.contains("Join"), s"$q should be join-free")
+    }
+  }
 }
