@@ -126,6 +126,36 @@ object Bench {
         } catch { case _: Throwable => None }
       else None
 
+    // interactive query ladder — the reference's HEADLINE query benchmark
+    // (benchmarks/run.ts:38-42 + README.md:129-130): world-bbox getClusters
+    // at zooms {0,2,...,16}, median of 10 runs after 3 warmups, on 200k
+    // LCG-42 seeded uniform points with the reference's engine options
+    // (radius 75, extent 512, minPoints 2). Reported in ms per zoom plus
+    // the cross-zoom average, directly comparable to BASELINE.md rows 2-3.
+    val queryLadder: Option[String] =
+      if (only.forall(_.exists("query_ladder".startsWith)))
+        try {
+          import graft.cluster.{ClusterEngine => CE}
+          val pts = graft.io.SyntheticPoints.uniform(spark, 200000)
+          val idx = CE.load(pts, ClusterOptions(radius = 75), idCol = Some("row_id"))
+          val world = (-180.0, -85.0, 180.0, 85.0)
+          val zooms = Seq(0, 2, 4, 6, 8, 10, 12, 14, 16)
+          val med = zooms.map { z =>
+            (1 to 3).foreach(_ => idx.getClusters(world, z).count())
+            val runs = (1 to 10).map { _ =>
+              val t0 = System.nanoTime()
+              idx.getClusters(world, z).count()
+              (System.nanoTime() - t0) / 1e6
+            }.sorted
+            z -> (runs(4) + runs(5)) / 2.0
+          }
+          idx.unpersist()
+          val avg = med.map(_._2).sum / med.size
+          Some(med.map { case (z, ms) => s""""z$z":$ms""" }.mkString("{", ",", "}")
+            + s""","query_avg_ms":$avg""")
+        } catch { case _: Throwable => None }
+      else None
+
     // memory: per-stage JVM heap deltas mirroring the reference's
     // measurement discipline (benchmarks/run.ts:185-226 — gc, snapshot,
     // run the full pipeline keeping refs alive, snapshot, report the
@@ -171,9 +201,12 @@ object Bench {
     val memJson = memory.map { case (exactMb, gridMb) =>
       s""","memory":{"exact_build_heap_mb":$exactMb,"grid_build_heap_mb":$gridMb}"""
     }.getOrElse("")
+    val ladderJson = queryLadder.map { l =>
+      s""","query_ladder_ms":$l"""
+    }.getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$wireJson$wireMatchedJson$memJson,"sf":"$sfDir"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$wireJson$wireMatchedJson$memJson$ladderJson,"sf":"$sfDir"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(
