@@ -46,4 +46,25 @@ class IndexCacheSpec extends AnyFunSuite {
     assert(builds == 3 && !(c eq a1))
     c.unpersist(); b.unpersist()
   }
+
+  test("concurrent sessions keep separate entries — no cross-session thrash or unpersist") {
+    val cache = new IndexCache
+    val spark2 = spark.newSession()
+    def load(s: org.apache.spark.sql.SparkSession) = cache.get(s, "memdir2", ClusterOptions()) {
+      ClusterEngine.load(
+        s.range(100).select(
+          col("id").as("row_id"),
+          (col("id") % 10 * 0.5).as("lng"), (col("id") % 5 * 0.5).as("lat")),
+        ClusterOptions(), idCol = Some("row_id")).persist()
+    }
+    val i1 = load(spark)
+    val i2 = load(spark2)
+    assert(!(i1 eq i2), "each session builds its own index")
+    // alternating sessions must hit, not rebuild+unpersist the other's
+    assert(load(spark) eq i1)
+    assert(load(spark2) eq i2)
+    assert(i1.levels.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    assert(i2.levels.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    i1.unpersist(); i2.unpersist()
+  }
 }
