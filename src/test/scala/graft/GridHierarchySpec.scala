@@ -116,6 +116,24 @@ class GridHierarchySpec extends AnyFunSuite {
     assert(top.length == 1 && top(0).getLong(0) == 3L)
   }
 
+  test("identity-pass skip extremes: fuse-at-deepest-pass and never-fuse") {
+    // two coincident points: the collision probe must find z* = maxZoom
+    // (no pass skipped) and the pair must fuse at the deepest pass
+    val dup = Seq((0L, 10.0, 20.0), (1L, 10.0, 20.0)).toDF("row_id", "lng", "lat")
+    val fused = GridHierarchy.build(dup, ClusterOptions())
+    assert(fused.where(col("zoom") === 16 && col("is_cluster")).count() == 1,
+      "coincident pair fuses at the deepest pass despite the skip probe")
+    assert(fused.where(col("zoom") === 17 && col("parent_id") =!= -1L).count() == 2)
+
+    // two far-apart points: every pass is identity — 18 levels of the same
+    // two untouched records, no parent ever stamped
+    val far = Seq((0L, -120.0, 40.0), (1L, 120.0, -40.0)).toDF("row_id", "lng", "lat")
+    val alone = GridHierarchy.build(far, ClusterOptions())
+    assert(alone.count() == 2 * 18)
+    assert(alone.where(col("is_cluster") || col("parent_id") =!= -1L).count() == 0)
+    assert(alone.groupBy(col("zoom")).count().where(col("count") =!= 2).count() == 0)
+  }
+
   test("zoom monotonicity: record count never increases as zoom decreases") {
     val counts = levels.groupBy("zoom").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
