@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
-import graft.streaming.{Event, StreamingOps}
+import graft.streaming.{Event, StreamDoc, StreamingOps}
 
 /** Streaming surface for the driver contract.
   *
@@ -14,7 +14,7 @@ import graft.streaming.{Event, StreamingOps}
   */
 object Streaming {
 
-  def all: Seq[GraftQuery] = Seq(sessionWindow, streamingHourly, typedSessions)
+  def all: Seq[GraftQuery] = Seq(sessionWindow, streamingHourly, typedSessions, streamingNearDup)
 
   /** Gap-based per-user sessions (strict-gap boundary = Spark
     * session_window semantics: a new session starts when the gap is ≥ 30
@@ -59,6 +59,35 @@ object Streaming {
       |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
     StreamingOps.runFileStream(spark, dir, StreamingOps.hourlyEventStats)
       .orderBy("hour_start", "event_type")
+  }
+
+  /** Streaming near-dup dedup (StreamingOps.nearDupBucketHits +
+    * flagNearDups) executed through the SAME code path on a batch frame —
+    * the stateful cross-micro-batch behavior is locked by
+    * StreamingNearDupSpec; this oracle proves the SEMANTICS: every doc is
+    * flagged against the smallest earlier doc sharing any MinHash band.
+    */
+  val streamingNearDup: GraftQuery = GraftQuery.sql(
+    "q68_streaming_neardup",
+    "WITH " + TextOps.bandSigCtes + ",\n" +
+      """e AS (
+        |  SELECT a.doc_id AS doc_id, MIN(b.doc_id) AS canonical_id
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh
+        |    AND b.doc_id < a.doc_id
+        |  GROUP BY a.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  e.canonical_id IS NOT NULL AS is_dup,
+        |  COALESCE(e.canonical_id, -1) AS canonical_id
+        |FROM documents d LEFT JOIN e USING (doc_id)
+        |WHERE len(string_split(d.text, ' ')) >= 3
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        lit(java.time.Instant.ofEpochSecond(1704067200L)).as("ts_t")).as[StreamDoc]
+    StreamingOps.flagNearDups(StreamingOps.nearDupBucketHits(docs))
+      .orderBy("doc_id")
   }
 
   /** Typed KeyValueGroupedDataset sessionization — same oracle as q36 (the

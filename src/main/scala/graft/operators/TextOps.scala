@@ -205,7 +205,11 @@ object TextOps {
     * cross join anywhere. Reused by the pair listing (q35) and the
     * component clustering (q60).
     */
-  private val lshPairCtes =
+  /** 3-gram shingles → md5 → 4 hex-rotation band signatures — the shared
+    * front half of every LSH oracle (q25, q35, q60, q62, and the streaming
+    * near-dup check q68).
+    */
+  private[operators] val bandSigCtes =
     """s AS (
       |  SELECT doc_id,
       |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
@@ -224,7 +228,10 @@ object TextOps {
       |                              || substr(x, 1, CAST(band * 8 AS INT))),
       |      'min') AS mh
       |  FROM h, range(0, 4) t(band)
-      |), cand AS (
+      |)""".stripMargin
+
+  private val lshPairCtes = bandSigCtes + ",\n" +
+    """cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh
       |    AND a.doc_id < b.doc_id

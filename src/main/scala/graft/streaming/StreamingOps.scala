@@ -35,6 +35,18 @@ final case class SessionState(
     n: Long,
     totalCents: Long) // value summed in cents — exact, order-independent
 
+/** One timestamped document flowing through streaming ingest. */
+final case class StreamDoc(doc_id: Long, text: String, ts_t: Instant)
+
+/** One LSH-bucket observation for a document: `earliest_id` is the smallest
+  * earlier doc seen in the same (band, min-hash) bucket, or -1 if this doc
+  * is the bucket's first.
+  */
+final case class BucketHit(doc_id: Long, band: Long, earliest_id: Long)
+
+/** Per-bucket dedup state: smallest doc id seen + latest event time. */
+final case class BucketState(minId: Long, lastUs: Long)
+
 /** Structured-Streaming surface (SURVEY §2.7: the reference has no streaming
   * concept; Spark's native primitives fill the gap).
   *
@@ -173,6 +185,88 @@ object StreamingOps {
       keyCols: Seq[String]): DataFrame =
     df.withWatermark(timeCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming NEAR-dup detection — the stateful shape of the q35 LSH
+    * pipeline: each incoming document's MinHash band signatures (the fused
+    * `ShingleBandMins` kernel, identical to the batch path) are checked
+    * against per-(band, min-hash)-bucket state holding the smallest doc id
+    * seen so far; a bucket collision with an earlier doc flags the row.
+    * State is ONE (long, long) per live bucket — O(distinct buckets), not
+    * O(docs) — and buckets idle past the watermark are evicted by
+    * event-time timeout, so the dedup horizon equals the watermark delay
+    * (the same contract as `dropDuplicatesWithinWatermark`, extended from
+    * exact keys to similarity buckets).
+    *
+    * Emits one [[BucketHit]] per (doc, band); a document is a near-dup of
+    * an earlier one iff ANY of its bands hit (`earliest_id != -1`) — that
+    * final per-doc fold is a plain aggregation ([[flagNearDups]]), kept
+    * OUT of this operator because chaining an aggregation after
+    * flatMapGroupsWithState in one streaming query is unsupported; run it
+    * downstream (foreachBatch, a second query, or batch).
+    *
+    * Requires `docs.withWatermark("ts_t", ...)` upstream for streaming
+    * input; on a batch Dataset the identical code runs without timeouts —
+    * which is how the spec cross-checks it against the batch LSH pairs.
+    */
+  def nearDupBucketHits(docs: Dataset[StreamDoc], bands: Int = 4,
+      stateTtl: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[BucketHit] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    val exploded = docs.toDF()
+      .select(col("doc_id"), col("ts_t"),
+        TextFunctions.tokens(col("text")).as("_tk"))
+      .where(size(col("_tk")) >= 3)
+      .select(col("doc_id"), col("ts_t"),
+        posexplode(TextFunctions.minhashBandMins(col("_tk"), 3, bands)))
+      .select(col("doc_id"), col("ts_t"),
+        col("pos").cast("long").as("band"), col("col").as("mh"))
+      .as[(Long, Instant, Long, String)]
+    exploded
+      .groupByKey { case (_, _, band, mh) => (band, mh) }
+      .flatMapGroupsWithState[BucketState, BucketHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), it: Iterator[(Long, Instant, Long, String)],
+            state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // ascending doc_id = arrival order within the batch: each doc
+            // sees the bucket minimum over state + earlier batch rows only
+            val rows = it.toArray.sortBy(_._1)
+            var minId = state.getOption.map(_.minId).getOrElse(Long.MaxValue)
+            var lastUs = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
+            val out = rows.map { case (docId, ts, band, _) =>
+              val hit = BucketHit(docId, band,
+                if (minId < docId) minId else -1L)
+              minId = math.min(minId, docId)
+              lastUs = math.max(lastUs, micros(ts))
+              hit
+            }
+            state.update(BucketState(minId, lastUs))
+            // evict idle buckets once the watermark passes last + TTL;
+            // getCurrentWatermarkMs throws when the query has no watermark
+            // (batch mode) — there timeouts never fire anyway
+            if (scala.util.Try(state.getCurrentWatermarkMs()).toOption.exists(_ >= 0))
+              state.setTimeoutTimestamp(lastUs / 1000L + stateTtl.toMillis)
+            out.iterator
+          }
+      }
+  }
+
+  /** Per-doc fold of [[nearDupBucketHits]]: `is_dup` iff any band hit an
+    * earlier doc; `canonical_id` = the smallest such earlier doc (-1 for
+    * originals). Plain aggregation — batch, foreachBatch, or a second
+    * streaming query.
+    */
+  def flagNearDups(hits: Dataset[BucketHit]): DataFrame =
+    hits.toDF()
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("earliest_id") =!= -1L).as("is_dup"),
+        min(when(col("earliest_id") =!= -1L, col("earliest_id"))).as("_canon"))
+      .select(col("doc_id"), col("is_dup"),
+        coalesce(col("_canon"), lit(-1L)).as("canonical_id"))
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
