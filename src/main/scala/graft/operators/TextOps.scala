@@ -333,14 +333,24 @@ object TextOps {
       }
     }
 
-  private def nearDupComponentsUncached(
-      spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    import org.apache.spark.sql.expressions.Window
-    val pairs = lshPairsDf(spark, dir).where(col("jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+  /** Connected components of an undirected pair graph by min-label
+    * propagation WITH pointer jumping: each round hooks every node to the
+    * minimum of its neighbors' labels AND jumps to its label's label
+    * (path compression). Hooking alone converges in O(diameter) rounds —
+    * a 30-link near-dup chain would exhaust a fixed round cap and
+    * silently mislabel; the jump makes convergence O(log diameter), so
+    * the 25-round cap covers diameters up to 2^25 and a non-converged
+    * exit is a hard error instead of a wrong answer. One join + min-agg
+    * (hook) and one self-join (jump) per round, everything checkpointed,
+    * no driver data.
+    */
+  private[graft] def connectedComponents(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val nParts = math.max(1,
+      pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val und = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("u", "v").localCheckpoint()
+      .toDF("u", "v").coalesce(nParts).localCheckpoint()
     var labels = und.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
@@ -348,14 +358,31 @@ object TextOps {
     while (changed > 0 && iter < 25) {
       val nbr = und.join(labels.select(col("id").as("v"), col("comp").as("vcomp")), Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("vcomp")).as("nmin"))
+      // jump: comp's own label (comp ids are node ids, so every comp is a key)
+      val jump = labels.select(col("id").as("_jid"), col("comp").as("jcomp"))
       val upd = labels.join(nbr, Seq("id"), "left")
+        .join(jump, col("comp") === col("_jid"), "left")
         .select(col("id"), col("comp").as("_old"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+          least(col("comp"),
+            coalesce(col("nmin"), col("comp")),
+            coalesce(col("jcomp"), col("comp"))).as("comp"))
+        .coalesce(nParts)
         .localCheckpoint()
       changed = upd.where(col("comp") =!= col("_old")).count()
       labels = upd.drop("_old")
       iter += 1
     }
+    require(changed == 0,
+      s"connected components did not converge in $iter rounds — diameter beyond 2^$iter")
+    labels
+  }
+
+  private def nearDupComponentsUncached(
+      spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = lshPairsDf(spark, dir).where(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val labels = connectedComponents(pairs)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), length(col("text")).as("_len"))
     labels.select(col("id").as("doc_id"), col("comp").as("component"))

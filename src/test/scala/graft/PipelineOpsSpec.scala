@@ -43,6 +43,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(flagged.forall(_.getLong(1) >= 1))
   }
 
+  test("connected components converge on a 60-link chain (pointer jumping)") {
+    import spark.implicits._
+    // a pure chain is the worst case for min-label propagation: without
+    // pointer jumping it needs one round per link and the 25-round cap
+    // would fire (or, before the cap became a hard error, silently
+    // mislabel); with jumping it converges in O(log n) rounds
+    val chain = (0L until 60L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val labels = graft.operators.TextOps.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 60)
+    assert(labels.values.forall(_ == 0L), "every chain node labels to the minimum")
+  }
+
   test("q67: no source exceeds its quota and ranks are dense from 1") {
     val kept = SparkEntry.queries("q67_source_quota")(spark, dir).collect()
       .map(r => (r.getLong(1), r.getLong(3)))
