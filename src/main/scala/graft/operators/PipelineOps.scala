@@ -58,45 +58,58 @@ object PipelineOps {
   }
 
   /** Context-window sequence packing: documents are greedily packed into
-    * 4096-token bins in deterministic id order WITHIN a shard — the shard
-    * key is what makes this a map-side-parallel plan at 100 TB (one
+    * `binSize`-token bins in deterministic id order WITHIN a shard — the
+    * shard key is what makes this a map-side-parallel plan at 100 TB (one
     * window-function pass per shard partition, no global sort, no driver
-    * state). A document's bin is the window its starting offset falls in
-    * (the standard streaming-packing approximation: a bin may overflow by
-    * at most one document, never underflow by more than a document).
+    * state; `shards` is the parallelism knob, set ≈ cluster cores). A
+    * document's bin is the window its starting offset falls in (the
+    * standard streaming-packing approximation: a bin may overflow by at
+    * most one document — PipelineOpsSpec proves the contract — never
+    * underflow by more than a document).
+    *
+    * Oracle note: the DuckDB group key MUST be cast — a windowed
+    * SUM(BIGINT) is HUGEINT there, and uncast HUGEINT arithmetic lands as
+    * float64 driver-side while Spark's floor() emits int64, failing the
+    * dtype-sensitive hash even when values agree.
     */
-  val sequencePacking: GraftQuery = GraftQuery.sql(
-    "q65_sequence_packing",
-    """WITH t AS (
-      |  SELECT doc_id, doc_id % 8 AS shard,
-      |    len(string_split(text, ' ')) AS ntok
-      |  FROM documents
-      |), c AS (
-      |  SELECT shard, doc_id, ntok,
-      |    SUM(ntok) OVER (PARTITION BY shard ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      |  FROM t
-      |)
-      |SELECT shard, (cum - ntok) // 4096 AS bin,
-      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(SUM(ntok) AS BIGINT) AS bin_tokens,
-      |  CAST(SUM(ntok) AS DOUBLE) / 4096 AS fill_ratio,
-      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
-      |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin) { (spark, dir) =>
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
-        size(split(col("text"), " ")).cast("long").as("ntok"))
-      .withColumn("cum", sum(col("ntok")).over(w))
-      .groupBy(col("shard"), floor((col("cum") - col("ntok")) / 4096).as("bin"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("ntok")).as("bin_tokens"),
-        (sum(col("ntok")).cast("double") / 4096).as("fill_ratio"),
-        min(col("doc_id")).as("first_doc"))
-      .orderBy("shard", "bin")
-  }
+  def sequencePackingQuery(name: String, shards: Int, binSize: Int): GraftQuery =
+    GraftQuery.sql(
+      name,
+      s"""WITH t AS (
+        |  SELECT doc_id, doc_id % $shards AS shard,
+        |    len(string_split(text, ' ')) AS ntok
+        |  FROM documents
+        |), c AS (
+        |  SELECT shard, doc_id, ntok,
+        |    SUM(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST((cum - ntok) // $binSize AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS bin_tokens,
+        |  CAST(SUM(ntok) AS DOUBLE) / $binSize AS fill_ratio,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        .withColumn("cum", sum(col("ntok")).over(w))
+        .groupBy(col("shard"),
+          floor((col("cum") - col("ntok")) / binSize).as("bin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("bin_tokens"),
+          (sum(col("ntok")).cast("double") / binSize).as("fill_ratio"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("shard", "bin")
+    }
+
+  val sequencePacking: GraftQuery =
+    sequencePackingQuery("q65_sequence_packing", shards = 8, binSize = 4096)
 
   /** Benchmark decontamination: flag training documents sharing any 3-gram
     * shingle with the (held-out) benchmark set — the GPT-3/Pile-style

@@ -37,6 +37,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packing is shard-parametric: any shard count keeps the ≤1-doc overflow contract") {
+    // the production query fixes shards=8; the knob must preserve the
+    // packing contract at other parallelism levels (≈ cluster cores)
+    val q = graft.operators.PipelineOps.sequencePackingQuery("packing_s3", shards = 3, binSize = 512)
+    val bins = q.run(spark, dir).collect()
+    val totalTokens = docs
+      .agg(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    val maxDoc = docs
+      .agg(max(size(split(col("text"), " ")))).collect()(0).getInt(0)
+    assert(bins.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(bins.map(_.getLong(3)).sum == totalTokens, "token conservation at shards=3")
+    bins.foreach { b =>
+      assert(b.getLong(3) < 512L + maxDoc,
+        s"bin ${b.getLong(1)} of shard ${b.getLong(0)} overflows by more than one doc")
+    }
+  }
+
   test("q66: benchmark docs are never flagged; every flagged doc truly overlaps") {
     val flagged = SparkEntry.queries("q66_decontamination")(spark, dir).collect()
     assert(flagged.forall(_.getLong(0) % 97 != 0), "benchmark side excluded")
