@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cluster.{ClusterEngine, ClusterOptions, ClusterRow}
+
+/** Serve-mode ↔ DataFrame-path equivalence: `getClustersLocal` must return
+  * EXACTLY the rows `getClusters` scans out of the level table, for every
+  * bbox shape the normalization handles (whole world, ordinary, tiny,
+  * antimeridian-crossing, polar), on the same golden fixture the
+  * differential suite locks (LCG-42, 500 points, radius 75). Also proves
+  * the cap fallback and the distributed build serve the same rows.
+  */
+class ServeModeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def pointsDf = {
+    import spark.implicits._
+    PointFixtures.uniform(500).toSeq.toDF("row_id", "lng", "lat")
+  }
+
+  private lazy val idx =
+    ClusterEngine.load(pointsDf, ClusterOptions(radius = 75.0), idCol = Some("row_id")).persist()
+
+  private val bboxes = Seq(
+    "world" -> (-180.0, -85.0, 180.0, 85.0),
+    "ordinary" -> (-50.0, -30.0, 40.0, 60.0),
+    "tiny" -> (10.0, 10.0, 11.0, 11.0),
+    "antimeridian" -> (150.0, -20.0, -150.0, 50.0),
+    "polar" -> (-180.0, 60.0, 180.0, 90.0))
+
+  private def dfRows(bbox: (Double, Double, Double, Double), z: Int): Set[ClusterRow] =
+    idx.getClusters(bbox, z).collect().map(r =>
+      ClusterRow(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))).toSet
+
+  test("serve mode equals the DataFrame scan for every bbox shape and zoom") {
+    var nonEmpty = 0
+    for (z <- Seq(0, 3, 8, 14, 16); (name, bbox) <- bboxes) {
+      val local = idx.getClustersLocal(bbox, z).toSet
+      val df = dfRows(bbox, z)
+      assert(local == df, s"serve-mode mismatch at z=$z bbox=$name")
+      if (df.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > 10, "fixture must actually exercise non-empty results")
+  }
+
+  test("a level over the snapshot cap falls back to the DataFrame path with equal rows") {
+    // fresh index: the snapshot decision is made once per zoom per index
+    val fresh = ClusterEngine.load(pointsDf, ClusterOptions(radius = 75.0), idCol = Some("row_id"))
+    try {
+      for ((name, bbox) <- bboxes) {
+        val viaFallback = fresh.getClustersLocal(bbox, 8, maxSnapshotRows = 0).toSet
+        val df = fresh.getClusters(bbox, 8).collect().map(r =>
+          ClusterRow(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))).toSet
+        assert(viaFallback == df, s"fallback mismatch at bbox=$name")
+      }
+    } finally fresh.unpersist()
+  }
+
+  test("the distributed (grid) build serves identically too") {
+    val grid = ClusterEngine.loadDistributed(pointsDf, ClusterOptions(radius = 75.0), idCol = "row_id")
+    try {
+      for (z <- Seq(0, 8, 16); (name, bbox) <- bboxes) {
+        val local = grid.getClustersLocal(bbox, z).toSet
+        val df = grid.getClusters(bbox, z).collect().map(r =>
+          ClusterRow(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))).toSet
+        assert(local == df, s"grid serve mismatch at z=$z bbox=$name")
+      }
+    } finally grid.unpersist()
+  }
+}
