@@ -24,13 +24,20 @@ import graft.functions.VectorFunctions
   */
 object AnnIvf {
 
-  /** (vector table with `_centroid` column, centroid table). */
+  /** (vector table with `_centroid` column, centroid table).
+    *
+    * @param exactScores score assignment/probes with the decimal-exact
+    *                    rounded cosine instead of the fast double kernel —
+    *                    bit-reproducible across engines (the q47 oracle
+    *                    mode); same plan shapes, ~dim× more scalar work
+    */
   def buildIndex(
       emb: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       k: Int = 16,
-      iters: Int = 2): (DataFrame, DataFrame) = {
+      iters: Int = 2,
+      exactScores: Boolean = false): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     val n = emb.count()
     val stride = math.max(n / k, 1L)
@@ -50,19 +57,24 @@ object AnnIvf {
 
     var it = 0
     while (it < iters && dim > 0) {
-      val assigned = assign(emb, centroids, idCol, vecCol)
-      // Lloyd step: ONE hash-shuffle of k×(dim+1) partial aggregates
+      val assigned = assign(emb, centroids, idCol, vecCol, exactScores)
+      // Lloyd step: ONE hash-shuffle of k×(dim+1) partial aggregates.
+      // Per-dimension sums accumulate in DECIMAL: exact, therefore
+      // independent of partition/merge order — the means (and every
+      // downstream assignment) are bit-reproducible run to run, where a
+      // double sum would wobble by ULPs with the shuffle schedule.
       val sums = (1 to dim).map(i =>
-        sum(element_at(col(vecCol), i).cast("double")).as(s"_s$i"))
+        sum(element_at(col(vecCol), i).cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(30, 15))).as(s"_s$i"))
       val aggs = count(lit(1)).as("_n") +: sums
       centroids = assigned
         .groupBy(col("_centroid").as("_c"))
         .agg(aggs.head, aggs.tail: _*)
         .select(col("_c"),
-          array((1 to dim).map(i => col(s"_s$i") / col("_n")): _*).as("_cv"))
+          array((1 to dim).map(i => col(s"_s$i").cast("double") / col("_n")): _*).as("_cv"))
       it += 1
     }
-    (assign(emb, centroids, idCol, vecCol), centroids)
+    (assign(emb, centroids, idCol, vecCol, exactScores), centroids)
   }
 
   /** Nearest-centroid assignment as a PURE MAP: the k centroids are tiny,
@@ -73,12 +85,13 @@ object AnnIvf {
     * Ties pick the smallest centroid id (first max occurrence).
     */
   private def assign(
-      emb: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      emb: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      exactScores: Boolean = false): DataFrame = {
     val cents = centroids.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     val sims = array(cents.toIndexedSeq.map { case (_, v) =>
-      approxCosine(col(vecCol), typedLit(v))
+      scoreCosine(col(vecCol), typedLit(v), exactScores)
     }: _*)
     // translate array position → centroid id (a centroid that loses all
     // members drops out, so position and id can diverge)
@@ -100,6 +113,15 @@ object AnnIvf {
       (sqrt(VectorFunctions.dotApprox(a, a)) * sqrt(VectorFunctions.dotApprox(b, b))),
       lit(-2.0))
 
+  /** The fast double kernel, or (exact mode) the decimal-exact cosine
+    * rounded to 12 decimals — the same scalar the q28/q30 oracles already
+    * prove bit-identical to DuckDB, making the whole IVF build + probe
+    * chain cross-engine reproducible. Both share the NaN→-2.0 guard.
+    */
+  private def scoreCosine(a: Column, b: Column, exact: Boolean): Column =
+    if (exact) nanvl(VectorFunctions.cosine(a, b), lit(-2.0))
+    else approxCosine(a, b)
+
   /** Top-`topK` neighbours for each query vector, probing `nprobe`
     * centroid lists; exact decimal-cosine rescore within the probed lists.
     */
@@ -110,13 +132,14 @@ object AnnIvf {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       nprobe: Int = 4,
-      topK: Int = 3): DataFrame = {
+      topK: Int = 3,
+      exactScores: Boolean = false): DataFrame = {
     // per query: the nprobe nearest centroids
     val pw = Window.partitionBy(col("query_id")).orderBy(desc("_sim"), col("_c"))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .join(broadcast(centroids))
-      .withColumn("_sim", approxCosine(col("_qv"), col("_cv")))
+      .withColumn("_sim", scoreCosine(col("_qv"), col("_cv"), exactScores))
       .withColumn("_rk", row_number().over(pw))
       .where(col("_rk") <= nprobe)
       .select(col("query_id"), col("_qv"), col("_c").as("_centroid"))

@@ -80,15 +80,96 @@ object Similarity {
   }
 
   /** IVF ANN: coarse-quantizer index + nprobe search (see [[AnnIvf]]).
-    * Rows-only — recall against exact brute force is locked by AnnIvfSpec;
-    * the rescore math is the same oracle-checked cosine as q28.
+    * Full oracle: the whole chain — seed centroids, two Lloyd steps,
+    * assignment, probe selection, rescore — is deterministic arithmetic in
+    * exact-scores mode (decimal sums/dots + rounded cosines), so the SQL
+    * below replays it as chained CTEs (q44 proved deep CTE folds hold).
+    * Production callers keep the fast double kernel (exactScores=false);
+    * recall vs brute force is locked by AnnIvfSpec on both kernels' shared
+    * plan.
     */
-  val annIvf: GraftQuery = GraftQuery.rowsOnly("q47_ann_ivf") { (spark, dir) =>
+  val annIvf: GraftQuery = GraftQuery.sql(
+    "q47_ann_ivf", annIvfOracleSql) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
-    val (indexed, centroids) = AnnIvf.buildIndex(emb)
+    val (indexed, centroids) = AnnIvf.buildIndex(emb, exactScores = true)
     AnnIvf.search(
-      emb.where(col("vec_id") < 20), indexed, centroids, nprobe = 6, topK = 3)
+      emb.where(col("vec_id") < 20), indexed, centroids, nprobe = 6, topK = 3,
+      exactScores = true)
       .orderBy("query_id", "rk")
+  }
+
+  /** DuckDB replay of the q47 IVF chain. Norms are precomputed per vector /
+    * centroid (same values as the per-pair recompute, ~3× less decimal
+    * work); 0-norm guards mirror Spark's NaN→-2.0 with COALESCE because
+    * DuckDB yields NULL (not NaN) for 0/0.
+    */
+  private def annIvfOracleSql: String = {
+    // decimal-exact cosine from a precomputed norm² pair (mirrors
+    // VectorFunctions.cosineFromNormSq)
+    def cosN(a: String, b: String, na: String, nb: String): String =
+      s"round(CAST(${dotSql(a, b)} AS DOUBLE) / (sqrt($na) * sqrt($nb)), 12)"
+    def cosGuarded(a: String, b: String, na: String, nb: String): String =
+      s"COALESCE(${cosN(a, b, na, nb)}, -2.0)"
+    // one Lloyd step: decimal per-dimension means of `asg`, then centroid
+    // norms — mirrors AnnIvf.buildIndex's groupBy of decimal sums
+    def lloyd(asg: String, m: String, c: String, cn: String): String =
+      s"""$m AS (
+         |  SELECT _c, i,
+         |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+         |      / COUNT(*) AS mv
+         |  FROM $asg, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+         |  GROUP BY _c, i
+         |), $c AS (
+         |  SELECT _c, list(mv ORDER BY i) AS cv FROM $m GROUP BY _c
+         |), $cn AS (
+         |  SELECT _c, cv, CAST(${dotSql("cv", "cv")} AS DOUBLE) AS cnsq FROM $c
+         |)""".stripMargin
+    // nearest-centroid assignment of every vector against centroid set `cn`
+    def assignStep(cn: String, a: String, asg: String): String =
+      s"""$a AS (
+         |  SELECT e.vec_id, e.embedding, e.nsq, s._c,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${cosGuarded("e.embedding", "s.cv", "e.nsq", "s.cnsq")} DESC, s._c) AS crk
+         |  FROM e CROSS JOIN $cn s
+         |), $asg AS (SELECT vec_id, embedding, nsq, _c FROM $a WHERE crk = 1)""".stripMargin
+    s"""WITH p AS (SELECT GREATEST(COUNT(*) // 16, 1) AS stride FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(${dotSql("embedding", "embedding")} AS DOUBLE) AS nsq
+       |  FROM embeddings
+       |),
+       |seeds AS (
+       |  SELECT CAST(vec_id // stride AS INT) AS _c,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+       |    nsq AS cnsq
+       |  FROM e, p WHERE vec_id % stride = 0 AND vec_id // stride < 16
+       |),
+       |${assignStep("seeds", "a0", "asg0")},
+       |${lloyd("asg0", "m0", "c1", "c1n")},
+       |${assignStep("c1n", "a1", "asg1")},
+       |${lloyd("asg1", "m1", "c2", "c2n")},
+       |${assignStep("c2n", "a2", "asg2")},
+       |pr AS (
+       |  SELECT e.vec_id AS query_id, e.embedding AS qv, e.nsq AS qnsq, s._c,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${cosGuarded("e.embedding", "s.cv", "e.nsq", "s.cnsq")} DESC, s._c) AS prk
+       |  FROM e CROSS JOIN c2n s WHERE e.vec_id < 20
+       |),
+       |probed AS (SELECT query_id, qv, qnsq, _c FROM pr WHERE prk <= 6),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${cosN("p.qv", "a.embedding", "p.qnsq", "a.nsq")} AS cos_sim
+       |  FROM probed p JOIN asg2 a USING (_c)
+       |  WHERE p.query_id <> a.vec_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM cand
+       |)
+       |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
   }
 
   /** Product-quantization ANN: m-subspace codebooks, ADC candidate scan,
@@ -116,6 +197,21 @@ object Similarity {
   private def cosineSql(a: String, b: String): String =
     s"""round(CAST(${dotSql(a, b)} AS DOUBLE)
        |  / (sqrt(CAST(${dotSql(a, a)} AS DOUBLE)) * sqrt(CAST(${dotSql(b, b)} AS DOUBLE))), 12)""".stripMargin
+
+  /** DuckDB mirror of [[graft.functions.TextFunctions.signSketch]]: the
+    * same deterministic hyperplane components h_j[i] = ((i·p_j) mod
+    * 1000)/1000 − 0.5 over 0-based element index i, summed left-to-right
+    * in IEEE double. Only the projection's SIGN feeds the bucket, and the
+    * synthetic projections sit far from zero, so summation-order ULP noise
+    * cannot flip a bucket bit. DuckDB lists are 1-based, hence (i - 1).
+    */
+  private def signSketchSql(v: String, bits: Int): String =
+    (0 until bits).map { j =>
+      val p = 2654435761L + 40503L * j
+      s"""CASE WHEN list_aggregate(list_transform(range(1, len($v) + 1),
+         |    i -> CAST($v[i] AS DOUBLE) * (CAST(((i - 1) * $p) % 1000 AS DOUBLE) / 1000 - 0.5)),
+         |  'sum') > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString("(", "\n + ", ")")
 
   /** Exact k-NN: brute-force cosine top-5 for a fixed query set. */
   val knnBruteForce: GraftQuery = GraftQuery.sql(
@@ -179,12 +275,32 @@ object Similarity {
   }
 
   /** ANN via sign-sketch LSH: bucket on 8 deterministic hyperplane signs,
-    * equi-join buckets, exact rescore within bucket, top-3 per query.
-    * (No SQL oracle — deterministic bucketing is exercised by the generic
-    * registry run in RelationalSpec; the rescore math is the same
-    * oracle-checked cosine as q28.)
+    * equi-join buckets, exact rescore within bucket, top-3 per query. Full
+    * oracle: [[signSketchSql]] reproduces the buckets and the rescore is
+    * the same decimal-exact cosine as q28, so the whole candidate-set →
+    * rank pipeline is value-checked cross-engine.
     */
-  val annLsh: GraftQuery = GraftQuery.rowsOnly("q30_ann_lsh") { (spark, dir) =>
+  val annLsh: GraftQuery = GraftQuery.sql(
+    "q30_ann_lsh",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${signSketchSql("embedding", 8)} AS bucket
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 50
+       |), c AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS nv, bucket FROM e
+       |), scored AS (
+       |  SELECT query_id, neighbor_id, ${cosineSql("qv", "nv")} AS cos_sim
+       |  FROM q JOIN c USING (bucket)
+       |  WHERE query_id <> neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VectorFunctions.signSketch(col("embedding"), 8).as("bucket"),
