@@ -260,7 +260,15 @@ final class ClusterIndex private[cluster] (
         .select($"id", $"_ttop".as("_top"), concat($"_tseg", $"_seg").as("_seg"))
       st = st.where($"_top" === -1L).unionByName(stepped)
         .coalesce(nParts).localCheckpoint(false)
-      pendCnt = st.agg(count(when($"_top" =!= -1L, 1))).collect()(0).getLong(0)
+      // one aggregation serves both loop control and the conservation
+      // guard: the inner join above silently DROPS a pending cluster whose
+      // _top points at no row (dangling parent edge) — losing its whole
+      // subtree from the closure — so the total must stay put every round
+      val counts = st.agg(count(lit(1)), count(when($"_top" =!= -1L, 1))).collect()(0)
+      require(counts.getLong(0) == clusterCount,
+        s"hierarchy closure lost ${clusterCount - counts.getLong(0)} clusters to " +
+          s"dangling parent edges in round $iter — malformed hierarchy")
+      pendCnt = counts.getLong(1)
       if (debug) println(f"[walk] doubling round $iter pending=$pendCnt " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       iter += 1

@@ -66,6 +66,14 @@ object Streaming {
     * the stateful cross-micro-batch behavior is locked by
     * StreamingNearDupSpec; this oracle proves the SEMANTICS: every doc is
     * flagged against the smallest earlier doc sharing any MinHash band.
+    *
+    * Ordering contract: the streaming path flags against the bucket
+    * minimum in ARRIVAL order, so Spark/oracle agreement is guaranteed
+    * only when ingestion order is ascending doc_id — the batch path here
+    * and the case StreamingNearDupSpec exercises. A stream delivering a
+    * smaller doc_id after its near-duplicate keeps the earlier
+    * (larger-id) doc unflagged; that arrival-order semantics is the
+    * intended streaming behavior, not a defect this oracle can see.
     */
   val streamingNearDup: GraftQuery = GraftQuery.sql(
     "q68_streaming_neardup",

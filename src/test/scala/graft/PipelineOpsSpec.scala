@@ -74,6 +74,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(labels.values.forall(_ == 0L), "every chain node labels to the minimum")
   }
 
+  test("connected components: a 100k-node path graph converges under the 25-round cap") {
+    // the worst realistic shape as near-dup graphs grow: one long chain.
+    // pointer jumping must close a diameter-100k graph in ~log2(100k) ≈ 17
+    // rounds — without it the 25-round cap would fire (hard error); this
+    // guards the q60/q62 component path at data scales where long chains
+    // actually appear
+    val n = 100000L
+    val chain = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+    val labels = graft.operators.TextOps.connectedComponents(chain)
+    val agg = labels
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("comp") === 0L, 1L).otherwise(0L)).as("at_min")).collect()(0)
+    assert(agg.getLong(0) == n, "every node labeled")
+    assert(agg.getLong(1) == n, "every node labels to the chain minimum")
+  }
+
   test("q67: no source exceeds its quota and ranks are dense from 1") {
     val kept = SparkEntry.queries("q67_source_quota")(spark, dir).collect()
       .map(r => (r.getLong(1), r.getLong(3)))
