@@ -90,17 +90,37 @@ object AnnIvf {
     val cents = centroids.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    val sims = array(cents.toIndexedSeq.map { case (_, v) =>
-      scoreCosine(col(vecCol), typedLit(v), exactScores)
-    }: _*)
+    // Exact mode scores with the decimal cosine, but evaluating it for all
+    // k centroids is ~dim× the whole build cost. The fast double kernel is
+    // within ~1e-14 of the decimal value, so any centroid more than 1e-6
+    // below the double maximum can never be the decimal argmax — gate the
+    // decimal evaluation behind that prefilter and each row pays k fast
+    // dots plus decimal dots only for the (almost always 1) finalist(s).
+    // The selected winner is IDENTICAL to full decimal argmax.
+    val sims =
+      if (!exactScores)
+        array(cents.toIndexedSeq.map { case (_, v) =>
+          approxCosine(col(vecCol), typedLit(v))
+        }: _*)
+      else
+        array(cents.toIndexedSeq.zipWithIndex.map { case ((_, v), j) =>
+          when(element_at(col("_apx"), j + 1) >= col("_apxmax") - 1e-6,
+            scoreCosine(col(vecCol), typedLit(v), exact = true))
+            .otherwise(lit(-2.0))
+        }: _*)
+    val withApx =
+      if (!exactScores) emb
+      else emb.withColumn("_apx", array(cents.toIndexedSeq.map { case (_, v) =>
+        approxCosine(col(vecCol), typedLit(v))
+      }: _*)).withColumn("_apxmax", array_max(col("_apx")))
     // translate array position → centroid id (a centroid that loses all
     // members drops out, so position and id can diverge)
     val idArr = typedLit(cents.map(_._1).toSeq)
-    emb
+    withApx
       .withColumn("_sims", sims)
       .withColumn("_centroid",
         element_at(idArr, array_position(col("_sims"), array_max(col("_sims"))).cast("int")))
-      .drop("_sims")
+      .drop("_sims", "_apx", "_apxmax")
   }
 
   /** NaN-guarded: a zero-norm vector yields 0/0 = NaN for every centroid,
