@@ -31,6 +31,20 @@ object AnnPq {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Adds `out` = argmin code of `sv` against codebook array `cbJ` (ties
+    * pick the smallest code). Plain double distances are already
+    * cross-engine reproducible: both Spark's HOF fold and DuckDB's
+    * list_aggregate('sum') are strict left-to-right IEEE folds over
+    * identical element order, so the q63 oracle replays these argmins
+    * bit-exactly with no decimal kernel needed.
+    */
+  private def withArgminCode(
+      df: DataFrame, sv: Column, cbJ: Column, out: String): DataFrame =
+    df.withColumn(out, {
+      val apx = transform(cbJ, c => sqDist(sv, c))
+      (array_position(apx, array_min(apx)) - 1).cast("int")
+    })
+
   /** Train per-subspace codebooks: deterministic seeds (the k lowest ids'
     * subvectors) + `iters` Lloyd steps. Returns codebooks(j)(c) = centroid
     * vector — m·k·dsub doubles, intentionally driver-side (broadcast as
@@ -73,13 +87,15 @@ object AnnPq {
       val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
       // nearest centroid of this row's subspace (NaN-safe argmin via
       // array_position of the min)
-      val dists = transform(element_at(cbLit, col("_j") + 1),
-        c => sqDist(col("_sv"), c))
-      val assigned = sub.withColumn("_c",
-        (array_position(dists, array_min(dists)) - 1).cast("int"))
-      // per-dimension means, ONE shuffle for all (j, c) groups
+      val assigned = withArgminCode(
+        sub, col("_sv"), element_at(cbLit, col("_j") + 1), "_c")
+      // per-dimension means, ONE shuffle for all (j, c) groups. Decimal
+      // accumulation (like AnnIvf's Lloyd step): exact, so the means are
+      // independent of partition/merge order and bit-reproducible.
       val sums = (1 to dsub).map(i =>
-        sum(element_at(col("_sv"), i)).as(s"_s$i"))
+        sum(element_at(col("_sv"), i)
+          .cast(org.apache.spark.sql.types.DecimalType(30, 15)))
+          .cast("double").as(s"_s$i"))
       val aggs = count(lit(1)).as("_n") +: sums
       val updated = assigned.groupBy(col("_j"), col("_c"))
         .agg(aggs.head, aggs.tail: _*)
@@ -107,12 +123,15 @@ object AnnPq {
     val dsub = codebooks(0)(0).length
     val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     val v = col(vecCol).cast("array<double>")
-    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
-      val dists = transform(element_at(cbLit, j + 1),
-        c => sqDist(subvec(v, j, dsub), c))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    })
-    emb.select(col(idCol).as("vec_id"), codes.as("codes"))
+    // per-subspace argmin unrolled over j (m is small and fixed) — a pure
+    // map, one hoisted distance array per subspace
+    var df = emb.select(col(idCol).as("vec_id"), v.as("_v"))
+    (0 until m).foreach { j =>
+      df = withArgminCode(
+        df, subvec(col("_v"), lit(j), dsub), element_at(cbLit, j + 1), s"_code$j")
+    }
+    df.select(col("vec_id"),
+      array((0 until m).map(j => col(s"_code$j")): _*).as("codes"))
   }
 
   /** ADC + exact re-rank: per query build the m×k distance table ONCE, rank
@@ -140,6 +159,8 @@ object AnnPq {
       transform(element_at(cbLit, j + 1), c => sqDist(subvec(qv, j, dsub), c)))
     val q = queries.select(col(idCol).as("query_id"), table.as("_tab"))
 
+    // the m lookups fold left-to-right in j order — the q63 oracle mirrors
+    // this with an ORDER BY _j list fold, keeping approx_dist bit-identical
     val cand = encoded.select(col("vec_id").as("neighbor_id"), col("codes"))
       .join(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))

@@ -173,15 +173,112 @@ object Similarity {
   }
 
   /** Product-quantization ANN: m-subspace codebooks, ADC candidate scan,
-    * exact shortlist re-rank ([[AnnPq]]; recall locked by AnnPqSpec).
+    * exact shortlist re-rank ([[AnnPq]]; recall locked by AnnPqSpec). Full
+    * oracle since round 4: every distance is a strict left-to-right IEEE
+    * double fold over a fixed element order — which Spark's HOF aggregate
+    * and DuckDB's list_aggregate('sum') both implement bit-identically —
+    * and the Lloyd means accumulate in decimal (order-independent), so
+    * the train → encode → ADC → shortlist → re-rank chain replays exactly
+    * as chained DuckDB CTEs below.
     */
-  val annPq: GraftQuery = GraftQuery.rowsOnly("q63_ann_pq") { (spark, dir) =>
+  val annPq: GraftQuery = GraftQuery.sql(
+    "q63_ann_pq", annPqOracleSql) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
     val cb = AnnPq.train(emb, m = 8, k = 16, iters = 2)
     val encoded = AnnPq.encode(emb, cb)
     AnnPq.search(emb.where(col("vec_id") < 20), encoded, cb, emb,
         topK = 3, refine = 10)
       .orderBy("query_id", "rk")
+  }
+
+  /** DuckDB replay of the q63 PQ chain (m=8, k=16, 2 Lloyd iterations,
+    * ADC over all codes, shortlist 30, top-3). Distances are plain double
+    * left-fold sums (bit-identical to Spark's HOF folds — see q63's
+    * Scaladoc); per-dimension Lloyd means use decimal sums like q47; empty
+    * centroids keep their previous value (LEFT JOIN + COALESCE); ties on
+    * (distance, code)/(distance, neighbor). The per-candidate ADC total
+    * folds the m per-subspace terms in _j order via an ORDER BY list fold,
+    * mirroring Spark's j-ordered aggregate.
+    */
+  private def annPqOracleSql: String = {
+    // plain-double squared L2, strict left-to-right fold (mirrors
+    // AnnPq.sqDist exactly — zip_with product terms, 0.0 seed)
+    def sq(a: String, b: String): String =
+      s"""list_aggregate(list_transform(range(1, len($a) + 1),
+         |    i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |       * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+         |  'sum')""".stripMargin
+    // one Lloyd iteration: assign to prev codebook, decimal means,
+    // carry empty centroids forward
+    def lloyd(prev: String, a: String, g: String, u: String, v: String, next: String): String =
+      s"""$a AS (
+         |  SELECT s.id, s._j, s.sv, c._c,
+         |    ROW_NUMBER() OVER (PARTITION BY s.id, s._j
+         |      ORDER BY ${sq("s.sv", "c.cv")}, c._c) AS rk
+         |  FROM sub s JOIN $prev c ON c._j = s._j
+         |), $g AS (SELECT id, _j, sv, _c FROM $a WHERE rk = 1),
+         |$u AS (
+         |  SELECT _j, _c, i,
+         |    CAST(SUM(CAST(sv[i] AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS mv
+         |  FROM $g, p, UNNEST(range(1, p.dsub + 1)) AS t(i)
+         |  GROUP BY _j, _c, i
+         |), $v AS (SELECT _j, _c, list(mv ORDER BY i) AS cv FROM $u GROUP BY _j, _c),
+         |$next AS (
+         |  SELECT c._j, c._c, COALESCE(w.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN $v w ON w._j = c._j AND w._c = c._c
+         |)""".stripMargin
+    s"""WITH p AS (SELECT len(embedding) // 8 AS dsub FROM embeddings LIMIT 1),
+       |sub AS (
+       |  SELECT e.vec_id AS id, CAST(j._j AS INT) AS _j,
+       |    list_transform(range(1, p.dsub + 1),
+       |      i -> CAST(e.embedding[CAST(j._j AS INT) * p.dsub + i] AS DOUBLE)) AS sv
+       |  FROM embeddings e, p, UNNEST(range(0, 8)) AS j(_j)
+       |),
+       |sid AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16),
+       |cb0 AS (
+       |  SELECT _j, CAST(ROW_NUMBER() OVER (PARTITION BY _j ORDER BY id) - 1 AS INT) AS _c,
+       |    sv AS cv
+       |  FROM sub WHERE id IN (SELECT vec_id FROM sid)
+       |),
+       |${lloyd("cb0", "a1", "g1", "u1", "v1", "cb1")},
+       |${lloyd("cb1", "a2", "g2", "u2", "v2", "cb2")},
+       |encr AS (
+       |  SELECT s.id, s._j, c._c,
+       |    ROW_NUMBER() OVER (PARTITION BY s.id, s._j
+       |      ORDER BY ${sq("s.sv", "c.cv")}, c._c) AS rk
+       |  FROM sub s JOIN cb2 c ON c._j = s._j
+       |), enc AS (SELECT id, _j, _c AS code FROM encr WHERE rk = 1),
+       |adc AS (
+       |  SELECT q.id AS query_id, n.id AS neighbor_id,
+       |    list_aggregate(list(${sq("q.sv", "c.cv")} ORDER BY q._j), 'sum') AS approx_dist
+       |  FROM sub q
+       |  JOIN enc n ON n._j = q._j AND n.id <> q.id
+       |  JOIN cb2 c ON c._j = n._j AND c._c = n.code
+       |  WHERE q.id < 20
+       |  GROUP BY q.id, n.id
+       |),
+       |sl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY approx_dist, neighbor_id) AS ark
+       |    FROM adc) WHERE ark <= 30
+       |),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${sq("qe.embedding", "ne.embedding")} AS dist
+       |  FROM sl s
+       |  JOIN embeddings qe ON qe.vec_id = s.query_id
+       |  JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY dist, neighbor_id) AS BIGINT) AS rk
+       |  FROM rr
+       |)
+       |SELECT query_id, neighbor_id, dist, rk FROM ranked WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
   }
 
   /** DuckDB-side exact dot product of two list<float> columns. */
