@@ -16,7 +16,9 @@ import graft.functions.TextFunctions._
   */
 object PipelineOps {
 
-  def all: Seq[GraftQuery] = Seq(trainSplit, sequencePacking, decontamination, sourceQuota)
+  def all: Seq[GraftQuery] =
+    Seq(trainSplit, sequencePacking, decontamination, sourceQuota,
+      gopherRepetition, vocabulary)
 
   /** Deterministic content-hash train/val/test split: the split key is the
     * last md5 nibble of the TEXT (not the row id), so membership is stable
@@ -151,6 +153,116 @@ object PipelineOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
       .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1's
+    * repetition filters, the ones q21's length/stopword score doesn't
+    * cover): mean word length, duplicate-token fraction, most-frequent
+    * unigram fraction, and most-frequent bigram fraction per document.
+    * One explode → per-doc hash aggregation (map-side combinable); the
+    * top-gram picks are per-doc windows over already-aggregated gram
+    * counts. All ratios are single double divisions of exact integers —
+    * bit-identical cross-engine, no rounding needed.
+    */
+  val gopherRepetition: GraftQuery = GraftQuery.sql(
+    "q69_gopher_repetition",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |), per AS (
+      |  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT w) AS nd,
+      |    SUM(len(w)) AS wlen
+      |  FROM w GROUP BY doc_id
+      |), top1 AS (
+      |  SELECT doc_id, cnt FROM (
+      |    SELECT doc_id, COUNT(*) AS cnt,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, w) AS rk
+      |    FROM w GROUP BY doc_id, w) WHERE rk = 1
+      |), bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> concat_ws(' ', string_split(text, ' ')[i],
+      |                     string_split(text, ' ')[i+1]))) AS g
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+      |), top2 AS (
+      |  SELECT doc_id, cnt AS bcnt, nb FROM (
+      |    SELECT doc_id, COUNT(*) AS cnt,
+      |      SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS nb,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, g) AS rk
+      |    FROM bg GROUP BY doc_id, g) WHERE rk = 1
+      |)
+      |SELECT p.doc_id,
+      |  CAST(p.n AS BIGINT) AS n_tokens,
+      |  CAST(p.nd AS BIGINT) AS n_distinct,
+      |  CAST(p.wlen AS DOUBLE) / p.n AS mean_word_len,
+      |  1.0 - CAST(p.nd AS DOUBLE) / p.n AS dup_token_frac,
+      |  CAST(t1.cnt AS DOUBLE) / p.n AS top_unigram_frac,
+      |  COALESCE(CAST(t2.bcnt AS DOUBLE) / t2.nb, 0.0) AS top_bigram_frac
+      |FROM per p
+      |JOIN top1 t1 USING (doc_id)
+      |LEFT JOIN top2 t2 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val docs = Tables.documents(spark, dir)
+    val w = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val per = w.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("w")).as("nd"),
+      sum(length(col("w"))).as("wlen"))
+    val w1 = Window.partitionBy(col("doc_id")).orderBy(desc("cnt"), col("w"))
+    val top1 = w.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w1)).where(col("rk") === 1)
+      .select(col("doc_id"), col("cnt"))
+    val bg = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(shingles(col("tk"), 2)).as("g"))
+    val w2 = Window.partitionBy(col("doc_id")).orderBy(desc("cnt"), col("g"))
+    val top2 = bg.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .withColumn("nb", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("rk", row_number().over(w2)).where(col("rk") === 1)
+      .select(col("doc_id"), col("cnt").as("bcnt"), col("nb"))
+    per
+      .join(top1, Seq("doc_id"))
+      .join(top2, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n").as("n_tokens"),
+        col("nd").as("n_distinct"),
+        (col("wlen").cast("double") / col("n")).as("mean_word_len"),
+        (lit(1.0) - col("nd").cast("double") / col("n")).as("dup_token_frac"),
+        (col("cnt").cast("double") / col("n")).as("top_unigram_frac"),
+        coalesce(col("bcnt").cast("double") / col("nb"), lit(0.0)).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus vocabulary with frequencies and document frequencies — the
+    * tokenizer-training prerequisite (BPE/WordPiece vocab induction starts
+    * from exactly this table). One explode → one hash aggregation; the
+    * global rank window runs over the already-aggregated vocab table
+    * (bounded by vocabulary size, not corpus size — the standard shape:
+    * at 100 TB the vocab is millions of rows where the corpus is
+    * trillions of tokens).
+    */
+  val vocabulary: GraftQuery = GraftQuery.sql(
+    "q70_vocabulary",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |)
+      |SELECT w AS token,
+      |  CAST(COUNT(*) AS BIGINT) AS freq,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS BIGINT) AS rk
+      |FROM w GROUP BY w
+      |ORDER BY rk LIMIT 100""".stripMargin) { (spark, dir) =>
+    import graft.functions.TextFunctions.tokens
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val vocab = w.groupBy(col("w").as("token")).agg(
+      count(lit(1)).as("freq"),
+      countDistinct(col("doc_id")).as("doc_freq"))
+    vocab
+      .withColumn("rk",
+        row_number().over(Window.orderBy(desc("freq"), col("token"))).cast("long"))
+      .orderBy("rk").limit(100)
   }
 
   /** Per-source quota sampling: cap every source (domain) at its 5 longest

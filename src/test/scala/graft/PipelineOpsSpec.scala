@@ -91,6 +91,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(agg.getLong(1) == n, "every node labels to the chain minimum")
   }
 
+  test("q69: repetition fractions are well-formed and consistent") {
+    val r = SparkEntry.queries("q69_gopher_repetition")(spark, dir).collect()
+    assert(r.length == docs.count())
+    r.foreach { x =>
+      val (n, nd) = (x.getLong(1), x.getLong(2))
+      val (dup, t1, t2) = (x.getDouble(4), x.getDouble(5), x.getDouble(6))
+      assert(nd >= 1 && nd <= n)
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(t1 >= 1.0 / n && t1 <= 1.0, "top unigram bounded by [1/n, 1]")
+      assert(t2 >= 0.0 && t2 <= 1.0)
+    }
+  }
+
+  test("q70: vocabulary ranks are dense and frequencies non-increasing") {
+    val r = SparkEntry.queries("q70_vocabulary")(spark, dir).collect()
+    assert(r.map(_.getLong(3)).toSeq == (1L to r.length).toSeq, "dense ranks")
+    assert(r.map(_.getLong(1)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "freq non-increasing in rank order")
+    assert(r.forall(x => x.getLong(2) <= x.getLong(1)), "doc_freq <= freq")
+  }
+
   test("q67: no source exceeds its quota and ranks are dense from 1") {
     val kept = SparkEntry.queries("q67_source_quota")(spark, dir).collect()
       .map(r => (r.getLong(1), r.getLong(3)))
