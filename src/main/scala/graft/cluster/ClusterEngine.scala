@@ -115,45 +115,67 @@ final class ClusterIndex private[cluster] (
   }
 
   // serve-mode snapshots, lazily built once per zoom; the first probe of a
-  // zoom decides snapshot-vs-fallback from the level's row count
+  // zoom decides snapshot-vs-fallback from the level's row count and the
+  // remaining index-wide budget
   private val snapshots =
     scala.collection.concurrent.TrieMap.empty[Int, Option[LevelSnapshot]]
+  private val snapshotRowsUsed = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Serve-mode caps, adjustable BEFORE the first probe of a zoom (the
+    * snapshot decision is made once per zoom per index and then sticks
+    * until [[unpersist]]): a level with more than [[serveMaxSnapshotRows]]
+    * rows (default 10M ≈ 560 MB of driver heap) is never snapshotted, and
+    * [[serveTotalSnapshotRows]] (default 20M ≈ 1.1 GB) bounds the SUM of
+    * snapshot rows across all zooms, so panning the whole zoom ladder
+    * cannot accumulate unbounded driver heap — levels beyond either cap
+    * answer through the distributed scan instead.
+    */
+  @volatile var serveMaxSnapshotRows: Long = 10000000L
+  @volatile var serveTotalSnapshotRows: Long = 20000000L
 
   /** Q1/Q2 at interactive latency: the driver-local serve mode. The first
     * probe of a zoom snapshots that level into sorted primitive SoA arrays
-    * IF it holds ≤ maxSnapshotRows rows (default 10M ≈ 560 MB of driver
-    * heap at the cap); subsequent probes binary-search the snapshot
-    * in-process — no Spark job, sub-ms at the reference's 200k-point
-    * protocol — matching the reference's pan/zoom query loop
-    * (arrow-cluster-engine.ts:126-193, benchmarks/run.ts:38-42). A level
-    * beyond the cap falls back to the distributed [[getClusters]] scan, so
-    * the 100 TB path is always available and the two paths return identical
-    * rows ([[bboxRanges]] is shared; ServeModeSpec proves equality on the
-    * golden fixture). The snapshot decision is made once per zoom per
-    * index; `unpersist()` drops all snapshots.
+    * IF it fits the caps above; subsequent probes binary-search the
+    * snapshot in-process — no Spark job, sub-ms at the reference's
+    * 200k-point protocol — matching the reference's pan/zoom query loop
+    * (arrow-cluster-engine.ts:126-193, benchmarks/run.ts:38-42). The
+    * snapshot fill streams a DISTRIBUTED `orderBy(mx)` through
+    * `toLocalIterator` straight into the primitive arrays, so the driver
+    * never holds the level as boxed rows or sorts it locally. A level
+    * beyond the caps falls back to the distributed [[getClusters]] scan,
+    * so the 100 TB path is always available and the two paths return
+    * identical rows ([[bboxRanges]] is shared; ServeModeSpec proves
+    * equality on the golden fixture). `unpersist()` drops all snapshots
+    * and resets the budget.
     */
-  def getClustersLocal(bbox: (Double, Double, Double, Double), zoom: Int,
-      maxSnapshotRows: Long = 10000000L): Array[ClusterRow] = {
+  def getClustersLocal(bbox: (Double, Double, Double, Double), zoom: Int): Array[ClusterRow] = {
     val z = limitZoom(zoom)
     val snap = snapshots.getOrElseUpdate(z, {
-      if (level(z).count() > maxSnapshotRows) None
+      val n = level(z).count()
+      if (n > serveMaxSnapshotRows || n > Int.MaxValue.toLong ||
+          snapshotRowsUsed.get() + n > serveTotalSnapshotRows)
+        None
       else {
-        val rows = level(z)
+        snapshotRowsUsed.addAndGet(n)
+        val ni = n.toInt
+        val mx = new Array[Double](ni); val my = new Array[Double](ni)
+        val id = new Array[Long](ni); val lng = new Array[Double](ni)
+        val lat = new Array[Double](ni); val pc = new Array[Long](ni)
+        val ic = new Array[Boolean](ni)
+        val it = level(z)
           .select($"mx", $"my", $"id", $"lng", $"lat", $"point_count", $"is_cluster")
-          .collect().sortBy(_.getDouble(0))
-        val n = rows.length
-        val mx = new Array[Double](n); val my = new Array[Double](n)
-        val id = new Array[Long](n); val lng = new Array[Double](n)
-        val lat = new Array[Double](n); val pc = new Array[Long](n)
-        val ic = new Array[Boolean](n)
+          .orderBy($"mx")
+          .toLocalIterator()
         var i = 0
-        while (i < n) {
-          val r = rows(i)
+        while (it.hasNext && i < ni) {
+          val r = it.next()
           mx(i) = r.getDouble(0); my(i) = r.getDouble(1); id(i) = r.getLong(2)
           lng(i) = r.getDouble(3); lat(i) = r.getDouble(4); pc(i) = r.getLong(5)
           ic(i) = r.getBoolean(6)
           i += 1
         }
+        require(i == ni && !it.hasNext,
+          s"level $z changed size during snapshot (expected $ni rows, saw ${if (it.hasNext) "more" else i.toString})")
         Some(new LevelSnapshot(mx, my, id, lng, lat, pc, ic))
       }
     })
@@ -417,7 +439,9 @@ final class ClusterIndex private[cluster] (
   def indexedPointCount: Long = numPoints
 
   def persist(): this.type = { levels.persist(StorageLevel.MEMORY_AND_DISK); this }
-  def unpersist(): this.type = { snapshots.clear(); levels.unpersist(); this }
+  def unpersist(): this.type = {
+    snapshots.clear(); snapshotRowsUsed.set(0L); levels.unpersist(); this
+  }
 }
 
 /** Rebuild-gating cache for one index kind (C1,

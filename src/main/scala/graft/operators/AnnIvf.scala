@@ -170,9 +170,14 @@ object AnnIvf {
       indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"), col("_centroid")),
       Seq("_centroid"))
       .where(col("query_id") =!= col("neighbor_id"))
+      // same NaN→-2.0 guard as assignment/probes: a zero-norm vector would
+      // otherwise yield NaN, which Spark sorts FIRST under desc() while the
+      // oracle's NULL sorts last — guarding both sides keeps the rescore
+      // rank (and the output value) engine-independent
       .select(col("query_id"), col("neighbor_id"),
-        VectorFunctions.cosineFromNormSq(
-          col("_qv"), col("_nv"), withNorm(col("_qv")), withNorm(col("_nv"))).as("cos_sim"))
+        nanvl(VectorFunctions.cosineFromNormSq(
+          col("_qv"), col("_nv"), withNorm(col("_qv")), withNorm(col("_nv"))),
+          lit(-2.0)).as("cos_sim"))
     val rw = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("neighbor_id"))
     cands.withColumn("rk", row_number().over(rw).cast("long"))
       .where(col("rk") <= topK)

@@ -540,7 +540,7 @@ object Relational {
       .where(col("o_custkey") < 50)
       .select(
         col("o_custkey"), col("o_orderkey"),
-        ntile(4).over(w).as("quartile"),
+        ntile(4).over(w).cast("long").as("quartile"),
         round(cume_dist().over(w), 12).as("cd"),
         first(col("o_orderkey")).over(w).as("first_ok"),
         last(col("o_orderkey")).over(full).as("last_ok"),

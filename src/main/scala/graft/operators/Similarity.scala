@@ -158,7 +158,7 @@ object Similarity {
        |probed AS (SELECT query_id, qv, qnsq, _c FROM pr WHERE prk <= 6),
        |cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
-       |    ${cosN("p.qv", "a.embedding", "p.qnsq", "a.nsq")} AS cos_sim
+       |    ${cosGuarded("p.qv", "a.embedding", "p.qnsq", "a.nsq")} AS cos_sim
        |  FROM probed p JOIN asg2 a USING (_c)
        |  WHERE p.query_id <> a.vec_id
        |),

@@ -29,15 +29,16 @@ class ServeModeSpec extends AnyFunSuite {
     "antimeridian" -> (150.0, -20.0, -150.0, 50.0),
     "polar" -> (-180.0, 60.0, 180.0, 90.0))
 
-  private def dfRows(bbox: (Double, Double, Double, Double), z: Int): Set[ClusterRow] =
-    idx.getClusters(bbox, z).collect().map(r =>
+  private def dfRows(index: graft.cluster.ClusterIndex,
+      bbox: (Double, Double, Double, Double), z: Int): Set[ClusterRow] =
+    index.getClusters(bbox, z).collect().map(r =>
       ClusterRow(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))).toSet
 
   test("serve mode equals the DataFrame scan for every bbox shape and zoom") {
     var nonEmpty = 0
     for (z <- Seq(0, 3, 8, 14, 16); (name, bbox) <- bboxes) {
       val local = idx.getClustersLocal(bbox, z).toSet
-      val df = dfRows(bbox, z)
+      val df = dfRows(idx, bbox, z)
       assert(local == df, s"serve-mode mismatch at z=$z bbox=$name")
       if (df.nonEmpty) nonEmpty += 1
     }
@@ -47,12 +48,23 @@ class ServeModeSpec extends AnyFunSuite {
   test("a level over the snapshot cap falls back to the DataFrame path with equal rows") {
     // fresh index: the snapshot decision is made once per zoom per index
     val fresh = ClusterEngine.load(pointsDf, ClusterOptions(radius = 75.0), idCol = Some("row_id"))
+    fresh.serveMaxSnapshotRows = 0
     try {
       for ((name, bbox) <- bboxes) {
-        val viaFallback = fresh.getClustersLocal(bbox, 8, maxSnapshotRows = 0).toSet
-        val df = fresh.getClusters(bbox, 8).collect().map(r =>
-          ClusterRow(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))).toSet
-        assert(viaFallback == df, s"fallback mismatch at bbox=$name")
+        val viaFallback = fresh.getClustersLocal(bbox, 8).toSet
+        assert(viaFallback == dfRows(fresh, bbox, 8), s"fallback mismatch at bbox=$name")
+      }
+    } finally fresh.unpersist()
+  }
+
+  test("the total snapshot budget stops accumulation but never changes results") {
+    // budget admits roughly one level: later zooms must fall back, equal rows
+    val fresh = ClusterEngine.load(pointsDf, ClusterOptions(radius = 75.0), idCol = Some("row_id"))
+    fresh.serveTotalSnapshotRows = fresh.level(16).count()
+    try {
+      for (z <- Seq(16, 8, 0); (name, bbox) <- bboxes) {
+        val local = fresh.getClustersLocal(bbox, z).toSet
+        assert(local == dfRows(fresh, bbox, z), s"budgeted serve mismatch at z=$z bbox=$name")
       }
     } finally fresh.unpersist()
   }
@@ -62,9 +74,7 @@ class ServeModeSpec extends AnyFunSuite {
     try {
       for (z <- Seq(0, 8, 16); (name, bbox) <- bboxes) {
         val local = grid.getClustersLocal(bbox, z).toSet
-        val df = grid.getClusters(bbox, z).collect().map(r =>
-          ClusterRow(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))).toSet
-        assert(local == df, s"grid serve mismatch at z=$z bbox=$name")
+        assert(local == dfRows(grid, bbox, z), s"grid serve mismatch at z=$z bbox=$name")
       }
     } finally grid.unpersist()
   }

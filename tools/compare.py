@@ -53,10 +53,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             w, g = want[c], got[c]
             # The driver's hash is dtype-sensitive: an int64 Spark column vs a
             # float64 oracle column (e.g. uncast DuckDB HUGEINT arithmetic)
-            # fails there even when every value agrees. Mirror that strictness
-            # here — a dtype-kind mismatch is a failure, not a cast.
-            if w.dtype.kind != g.dtype.kind:
-                bad.append(f"{c} (dtype kind mismatch: oracle={w.dtype} spark={g.dtype})")
+            # fails there even when every value agrees. Be STRICTER here and
+            # require full dtype equality (width included) — the driver has
+            # been observed to tolerate int32-vs-int64, but width mismatches
+            # are exactly the near-miss class worth catching locally.
+            if str(w.dtype) != str(g.dtype):
+                bad.append(f"{c} (dtype mismatch: oracle={w.dtype} spark={g.dtype})")
                 continue
             if w.dtype.kind == "f" or g.dtype.kind == "f":
                 eq = (w.astype("float64").fillna(-1.23e300) == g.astype("float64").fillna(-1.23e300)).all()
