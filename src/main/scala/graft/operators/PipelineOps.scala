@@ -18,7 +18,7 @@ object PipelineOps {
 
   def all: Seq[GraftQuery] =
     Seq(trainSplit, sequencePacking, decontamination, sourceQuota,
-      gopherRepetition, vocabulary)
+      gopherRepetition, vocabulary, docChunking)
 
   /** Deterministic content-hash train/val/test split: the split key is the
     * last md5 nibble of the TEXT (not the row id), so membership is stable
@@ -263,6 +263,52 @@ object PipelineOps {
       .withColumn("rk",
         row_number().over(Window.orderBy(desc("freq"), col("token"))).cast("long"))
       .orderBy("rk").limit(100)
+  }
+
+  /** Sliding-window document chunking (context-window preparation for
+    * RAG / long-doc training): 64-token windows at stride 48 (16-token
+    * overlap), no degenerate tail — a document shorter than one window is
+    * one chunk, else the last window starts at the final stride position
+    * that still adds new tokens. Pure map + explode, no shuffle at all;
+    * chunk identity is the md5 of the joined window so downstream exact
+    * dedup works at chunk granularity. The chunk count formula and slice
+    * bounds are shared integer arithmetic, mirrored 1:1 in the oracle.
+    */
+  val docChunking: GraftQuery = GraftQuery.sql(
+    "q71_doc_chunking",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk,
+      |    len(string_split(text, ' ')) AS ntok
+      |  FROM documents
+      |), n AS (
+      |  SELECT doc_id, tk, ntok,
+      |    CASE WHEN ntok <= 64 THEN 1 ELSE (ntok - 17) // 48 + 1 END AS nch
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  CAST(i AS BIGINT) AS chunk_idx,
+      |  CAST(i * 48 AS BIGINT) AS start_tok,
+      |  CAST(LEAST(ntok, i * 48 + 64) - i * 48 AS BIGINT) AS chunk_len,
+      |  md5(array_to_string(list_slice(tk, i * 48 + 1, LEAST(ntok, i * 48 + 64)), ' ')) AS chunk_hash
+      |FROM n, UNNEST(range(0, nch)) AS u(i)
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+    import graft.functions.TextFunctions.tokens
+    val W = 64; val S = 48
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("ntok", size(col("tk")))
+      .withColumn("nch",
+        when(col("ntok") <= W, lit(1L))
+          .otherwise(floor((col("ntok") - lit(W - S + 1)) / lit(S)) + 1))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("nch") - 1)))
+      .withColumn("start_tok", col("chunk_idx") * S)
+      .withColumn("chunk_len",
+        (least(col("ntok"), col("start_tok") + W) - col("start_tok")).cast("long"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("chunk_len"),
+        md5(concat_ws(" ",
+          slice(col("tk"), (col("start_tok") + 1).cast("int"), col("chunk_len").cast("int")))
+          .cast("binary")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
   }
 
   /** Per-source quota sampling: cap every source (domain) at its 5 longest

@@ -112,6 +112,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.forall(x => x.getLong(2) <= x.getLong(1)), "doc_freq <= freq")
   }
 
+  test("q71: chunks tile every document — full coverage, fixed stride, no empty tail") {
+    val chunks = SparkEntry.queries("q71_doc_chunking")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ntok = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 0, s"doc $doc first chunk starts at 0")
+      assert(sorted.last._3 + sorted.last._4 == ntok(doc), s"doc $doc last chunk ends at ntok")
+      sorted.foreach { case (_, idx, start, len) =>
+        assert(start == idx * 48 && len >= 1 && len <= 64)
+      }
+      // stride coverage: next chunk starts before the previous one ends
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 < a._3 + a._4, s"doc $doc gap between chunks")
+        case _ =>
+      }
+    }
+    assert(chunks.length > docs.count(), "long docs must produce multiple chunks")
+  }
+
   test("q67: no source exceeds its quota and ranks are dense from 1") {
     val kept = SparkEntry.queries("q67_source_quota")(spark, dir).collect()
       .map(r => (r.getLong(1), r.getLong(3)))
