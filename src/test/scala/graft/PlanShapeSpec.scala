@@ -57,6 +57,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("q69 repetition stats: hash joins on doc_id only, no cartesian product") {
+    val p = executedPlan("q69_gopher_repetition")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-doc aggregation must combine map-side")
+  }
+
+  test("q71 chunking: pure map + explode — no joins, pruned scan") {
+    val p = executedPlan("q71_doc_chunking")
+    assert(!p.contains("Join"), "chunking must not join anything")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
   test("q64 split: one pruned scan with map-side partial aggregation") {
     val p = executedPlan("q64_train_split")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
