@@ -18,7 +18,7 @@ object PipelineOps {
 
   def all: Seq[GraftQuery] =
     Seq(trainSplit, sequencePacking, decontamination, sourceQuota,
-      gopherRepetition, vocabulary, docChunking)
+      gopherRepetition, vocabulary, docChunking, jsonlRoundtrip)
 
   /** Deterministic content-hash train/val/test split: the split key is the
     * last md5 nibble of the TEXT (not the row id), so membership is stable
@@ -309,6 +309,36 @@ object PipelineOps {
           slice(col("tk"), (col("start_tok") + 1).cast("int"), col("chunk_len").cast("int")))
           .cast("binary")).as("chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** JSONL round-trip ([[graft.io.Jsonl]]): documents → JSON-Lines →
+    * re-read with an explicit schema → content checksums. The oracle
+    * computes the same checksums straight from the parquet, so any loss in
+    * the serialize/parse cycle (dropped rows, mangled escapes, widened
+    * types) fails the hash — the q59 Arrow-IPC pattern applied to the LLM
+    * world's interchange format.
+    */
+  val jsonlRoundtrip: GraftQuery = GraftQuery.sql(
+    "q72_jsonl_roundtrip",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_md5,
+      |  MIN(md5(text)) AS min_md5,
+      |  MAX(md5(text)) AS max_md5
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_rt_${math.abs(dir.hashCode)}"
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    graft.io.Jsonl.write(src, out)
+    val back = graft.io.Jsonl.read(spark, out,
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING"))
+    back.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("doc_id")).as("sum_id"),
+      sum(length(col("text"))).as("total_chars"),
+      countDistinct(md5(col("text").cast("binary"))).as("distinct_md5"),
+      min(md5(col("text").cast("binary"))).as("min_md5"),
+      max(md5(col("text").cast("binary"))).as("max_md5"))
   }
 
   /** Per-source quota sampling: cap every source (domain) at its 5 longest
