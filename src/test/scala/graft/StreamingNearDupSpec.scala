@@ -48,6 +48,39 @@ class StreamingNearDupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("out-of-order ids: arrival-order semantics, not id-order (documented contract)") {
+    // q68's oracle assumes ascending-doc_id ingestion. When a SMALLER id
+    // arrives after its near-duplicate, the operator's arrival-order
+    // contract applies: the earlier larger-id doc stays unflagged, and the
+    // later smaller-id doc is not flagged either (no EARLIER smaller id
+    // existed when it arrived) — but it does lower the bucket minimum for
+    // everything after it. This locks the divergence called out in the
+    // q68 oracle comment as intended behavior.
+    val input = MemoryStream[StreamDoc]
+    val hits = StreamingOps.nearDupBucketHits(
+      input.toDS().withWatermark("ts_t", "10 minutes"))
+    val q = hits.writeStream
+      .format("memory").queryName("neardup_ooo")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val text = "identical content repeated across documents in every single band here"
+      input.addData(StreamDoc(10L, text, t(0)))
+      q.processAllAvailable()
+      input.addData(StreamDoc(5L, text, t(1)))  // smaller id, later arrival
+      q.processAllAvailable()
+      input.addData(StreamDoc(20L, text, t(2)))
+      q.processAllAvailable()
+
+      val flags = StreamingOps.flagNearDups(
+        spark.table("neardup_ooo").as[BucketHit])
+        .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+      assert(flags(10L) == (false, -1L), "earlier larger-id doc stays unflagged")
+      assert(flags(5L) == (false, -1L), "late smaller-id doc saw no earlier smaller id")
+      assert(flags(20L) == (true, 5L), "later doc flags against the lowered bucket minimum")
+    } finally q.stop()
+  }
+
   test("batch execution agrees exactly with the declarative band-signature join") {
     import graft.functions.TextFunctions
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
