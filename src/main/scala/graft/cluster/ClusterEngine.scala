@@ -116,10 +116,27 @@ final class ClusterIndex private[cluster] (
 
   // serve-mode snapshots, lazily built once per zoom; the first probe of a
   // zoom decides snapshot-vs-fallback from the level's row count and the
-  // remaining index-wide budget
+  // remaining index-wide budget. ConcurrentHashMap.computeIfAbsent makes the
+  // per-zoom decision mutually exclusive (TrieMap.getOrElseUpdate can run
+  // the thunk in several threads, and a discarded loser would leave its
+  // rows charged against the budget forever).
   private val snapshots =
-    scala.collection.concurrent.TrieMap.empty[Int, Option[LevelSnapshot]]
+    new java.util.concurrent.ConcurrentHashMap[Int, Option[LevelSnapshot]]()
   private val snapshotRowsUsed = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Reserve `n` snapshot rows against [[serveTotalSnapshotRows]] with a CAS
+    * loop — a plain check-then-add would let concurrent first probes of
+    * different zooms all pass the check and overshoot the documented
+    * driver-heap bound. Returns false (no reservation) when over budget.
+    */
+  private def tryReserveSnapshotRows(n: Long): Boolean = {
+    while (true) {
+      val cur = snapshotRowsUsed.get()
+      if (cur + n > serveTotalSnapshotRows) return false
+      if (snapshotRowsUsed.compareAndSet(cur, cur + n)) return true
+    }
+    false // unreachable
+  }
 
   /** Serve-mode caps, adjustable BEFORE the first probe of a zoom (the
     * snapshot decision is made once per zoom per index and then sticks
@@ -150,13 +167,12 @@ final class ClusterIndex private[cluster] (
     */
   def getClustersLocal(bbox: (Double, Double, Double, Double), zoom: Int): Array[ClusterRow] = {
     val z = limitZoom(zoom)
-    val snap = snapshots.getOrElseUpdate(z, {
+    val snap = snapshots.computeIfAbsent(z, _ => {
       val n = level(z).count()
       if (n > serveMaxSnapshotRows || n > Int.MaxValue.toLong ||
-          snapshotRowsUsed.get() + n > serveTotalSnapshotRows)
+          !tryReserveSnapshotRows(n))
         None
-      else {
-        snapshotRowsUsed.addAndGet(n)
+      else try {
         val ni = n.toInt
         val mx = new Array[Double](ni); val my = new Array[Double](ni)
         val id = new Array[Long](ni); val lng = new Array[Double](ni)
@@ -177,6 +193,9 @@ final class ClusterIndex private[cluster] (
         require(i == ni && !it.hasNext,
           s"level $z changed size during snapshot (expected $ni rows, saw ${if (it.hasNext) "more" else i.toString})")
         Some(new LevelSnapshot(mx, my, id, lng, lat, pc, ic))
+      } catch {
+        case t: Throwable => // refund the reservation — nothing was admitted
+          snapshotRowsUsed.addAndGet(-n); throw t
       }
     })
     snap match {

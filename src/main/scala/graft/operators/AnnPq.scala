@@ -37,18 +37,33 @@ object AnnPq {
     * list_aggregate('sum') are strict left-to-right IEEE folds over
     * identical element order, so the q63 oracle replays these argmins
     * bit-exactly with no decimal kernel needed.
+    *
+    * The distance array is materialized in its own projection first (the
+    * `_sims` idiom from [[AnnIvf.assign]]): referencing the `transform`
+    * twice inside one expression would duplicate the whole k-distance
+    * computation per row — the known HOF re-evaluation trap.
     */
   private def withArgminCode(
-      df: DataFrame, sv: Column, cbJ: Column, out: String): DataFrame =
-    df.withColumn(out, {
-      val apx = transform(cbJ, c => sqDist(sv, c))
-      (array_position(apx, array_min(apx)) - 1).cast("int")
-    })
+      df: DataFrame, sv: Column, cbJ: Column, out: String): DataFrame = {
+    val apxCol = s"_apx_$out"
+    df.withColumn(apxCol, transform(cbJ, c => sqDist(sv, c)))
+      .withColumn(out,
+        (array_position(col(apxCol), array_min(col(apxCol))) - 1).cast("int"))
+      .drop(apxCol)
+  }
 
   /** Train per-subspace codebooks: deterministic seeds (the k lowest ids'
     * subvectors) + `iters` Lloyd steps. Returns codebooks(j)(c) = centroid
     * vector — m·k·dsub doubles, intentionally driver-side (broadcast as
     * literals by encode/search).
+    *
+    * @param exactMeans accumulate Lloyd per-dimension sums in DECIMAL —
+    *                   partition-order independent and bit-reproducible
+    *                   cross-engine (the q63 oracle mode). `false` uses the
+    *                   plain double sum production callers want: same plan
+    *                   shape, ~2× less scalar work per dimension, means may
+    *                   wobble by ULPs with the shuffle schedule (harmless
+    *                   for recall — AnnPqSpec locks it on this kernel too).
     */
   def train(
       emb: DataFrame,
@@ -56,61 +71,72 @@ object AnnPq {
       vecCol: String = "embedding",
       m: Int = 8,
       k: Int = 16,
-      iters: Int = 2): Array[Array[Array[Double]]] = {
+      iters: Int = 2,
+      exactMeans: Boolean = true): Array[Array[Array[Double]]] = {
     val dim = emb.select(size(col(vecCol))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
     require(dim > 0 && dim % m == 0, s"dim $dim must be divisible by m=$m")
     val dsub = dim / m
 
-    // rows (id, j, subvec): every subspace trains in the same jobs
+    // rows (id, j, subvec): every subspace trains in the same jobs.
+    // Persisted for the duration of training — the seed collect plus every
+    // Lloyd iteration reads it, and without the cache the posexplode scan
+    // re-executes once per consumer (≥ iters + 2 times).
     val sub = emb.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
       .select(col("_id"), posexplode(
         transform(sequence(lit(0), lit(m - 1)),
           j => subvec(col("_v"), j, dsub))))
       .select(col("_id"), col("pos").as("_j"), col("col").as("_sv"))
+      .persist()
+    try {
+      // deterministic seeds: the k lowest ids' subvectors per subspace
+      val seedIds = emb.select(col(idCol)).orderBy(col(idCol)).limit(k)
+        .collect().map(_.getLong(0))
+      require(seedIds.length == k, s"need at least k=$k vectors to seed PQ codebooks")
+      var codebooks: Array[Array[Array[Double]]] =
+        sub.where(col("_id").isInCollection(seedIds.toSeq))
+          .collect()
+          .groupBy(_.getInt(1))
+          .toArray.sortBy(_._1)
+          .map { case (_, rows) =>
+            rows.sortBy(_.getLong(0)).map(_.getSeq[Double](2).toArray)
+          }
 
-    // deterministic seeds: the k lowest ids' subvectors per subspace
-    val seedIds = emb.select(col(idCol)).orderBy(col(idCol)).limit(k)
-      .collect().map(_.getLong(0))
-    require(seedIds.length == k, s"need at least k=$k vectors to seed PQ codebooks")
-    var codebooks: Array[Array[Array[Double]]] =
-      sub.where(col("_id").isInCollection(seedIds.toSeq))
-        .collect()
-        .groupBy(_.getInt(1))
-        .toArray.sortBy(_._1)
-        .map { case (_, rows) =>
-          rows.sortBy(_.getLong(0)).map(_.getSeq[Double](2).toArray)
+      var it = 0
+      while (it < iters) {
+        val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+        // nearest centroid of this row's subspace (NaN-safe argmin via
+        // array_position of the min)
+        val assigned = withArgminCode(
+          sub, col("_sv"), element_at(cbLit, col("_j") + 1), "_c")
+        // per-dimension means, ONE shuffle for all (j, c) groups. Decimal
+        // accumulation (like AnnIvf's Lloyd step): exact, so the means are
+        // independent of partition/merge order and bit-reproducible.
+        val sums = (1 to dsub).map { i =>
+          val term = element_at(col("_sv"), i)
+          val s =
+            if (exactMeans)
+              sum(term.cast(org.apache.spark.sql.types.DecimalType(30, 15)))
+                .cast("double")
+            else sum(term)
+          s.as(s"_s$i")
         }
-
-    var it = 0
-    while (it < iters) {
-      val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-      // nearest centroid of this row's subspace (NaN-safe argmin via
-      // array_position of the min)
-      val assigned = withArgminCode(
-        sub, col("_sv"), element_at(cbLit, col("_j") + 1), "_c")
-      // per-dimension means, ONE shuffle for all (j, c) groups. Decimal
-      // accumulation (like AnnIvf's Lloyd step): exact, so the means are
-      // independent of partition/merge order and bit-reproducible.
-      val sums = (1 to dsub).map(i =>
-        sum(element_at(col("_sv"), i)
-          .cast(org.apache.spark.sql.types.DecimalType(30, 15)))
-          .cast("double").as(s"_s$i"))
-      val aggs = count(lit(1)).as("_n") +: sums
-      val updated = assigned.groupBy(col("_j"), col("_c"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map { r =>
-          val n = r.getLong(2).toDouble
-          (r.getInt(0), r.getInt(1),
-            (1 to dsub).map(i => r.getDouble(2 + i) / n).toArray)
-        }
-      val next = codebooks.map(_.map(identity)) // keep empty centroids
-      updated.foreach { case (j, c, v) => next(j)(c) = v }
-      codebooks = next
-      it += 1
-    }
-    codebooks
+        val aggs = count(lit(1)).as("_n") +: sums
+        val updated = assigned.groupBy(col("_j"), col("_c"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val n = r.getLong(2).toDouble
+            (r.getInt(0), r.getInt(1),
+              (1 to dsub).map(i => r.getDouble(2 + i) / n).toArray)
+          }
+        val next = codebooks.map(_.map(identity)) // keep empty centroids
+        updated.foreach { case (j, c, v) => next(j)(c) = v }
+        codebooks = next
+        it += 1
+      }
+      codebooks
+    } finally sub.unpersist(blocking = false)
   }
 
   /** Encode every vector as m codes (pure map, no shuffle). */

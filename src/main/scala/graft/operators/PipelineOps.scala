@@ -16,6 +16,24 @@ import graft.functions.TextFunctions._
   */
 object PipelineOps {
 
+  /** Register a tmp directory for recursive deletion at JVM exit (idempotent
+    * per path). `File.deleteOnExit` can't remove non-empty directories, so a
+    * single shared shutdown hook walks the registered roots depth-first.
+    */
+  private val exitPaths = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private lazy val exitHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    exitPaths.keySet.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      try rm(new java.io.File(p)) catch { case _: Throwable => () }
+    }))
+  private def deleteOnExit(path: String): Unit = {
+    exitHook
+    exitPaths.put(path, java.lang.Boolean.TRUE): Unit
+  }
+
   def all: Seq[GraftQuery] =
     Seq(trainSplit, sequencePacking, decontamination, sourceQuota,
       gopherRepetition, vocabulary, docChunking, jsonlRoundtrip)
@@ -237,10 +255,11 @@ object PipelineOps {
   /** Corpus vocabulary with frequencies and document frequencies — the
     * tokenizer-training prerequisite (BPE/WordPiece vocab induction starts
     * from exactly this table). One explode → one hash aggregation; the
-    * global rank window runs over the already-aggregated vocab table
-    * (bounded by vocabulary size, not corpus size — the standard shape:
-    * at 100 TB the vocab is millions of rows where the corpus is
-    * trillions of tokens).
+    * top-100 cut is a distributed TakeOrderedAndProject (per-partition
+    * top-K, merged once) so no task ever sorts the whole vocabulary —
+    * at 100 TB a vocab is easily 10⁷–10⁸ rows, and a global rank window
+    * over it would funnel every row through one task. Only the 100
+    * surviving rows see a (single-partition, bounded) rank window.
     */
   val vocabulary: GraftQuery = GraftQuery.sql(
     "q70_vocabulary",
@@ -260,9 +279,10 @@ object PipelineOps {
       count(lit(1)).as("freq"),
       countDistinct(col("doc_id")).as("doc_freq"))
     vocab
+      .orderBy(desc("freq"), col("token")).limit(100)
       .withColumn("rk",
         row_number().over(Window.orderBy(desc("freq"), col("token"))).cast("long"))
-      .orderBy("rk").limit(100)
+      .orderBy("rk")
   }
 
   /** Sliding-window document chunking (context-window preparation for
@@ -327,7 +347,14 @@ object PipelineOps {
       |  MIN(md5(text)) AS min_md5,
       |  MAX(md5(text)) AS max_md5
       |FROM documents""".stripMargin) { (spark, dir) =>
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_rt_${math.abs(dir.hashCode)}"
+    // per-session unique tmp path: concurrent runs over the same sf dir
+    // (e.g. bench + correctness in parallel JVMs) must not overwrite each
+    // other's round-trip files. The read-back is lazy — the caller
+    // evaluates the returned frame later — so deletion is deferred to JVM
+    // exit rather than "after the query".
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_rt_" +
+      s"${spark.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+    deleteOnExit(out)
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     graft.io.Jsonl.write(src, out)
     val back = graft.io.Jsonl.read(spark, out,

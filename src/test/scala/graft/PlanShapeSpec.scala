@@ -89,4 +89,45 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("Join"), s"$q should be join-free")
     }
   }
+
+  test("q70 vocabulary: top-K is distributed, not a global sort of the vocabulary") {
+    val p = executedPlan("q70_vocabulary")
+    assert(p.contains("TakeOrderedAndProject"),
+      "expected a distributed top-K (TakeOrderedAndProject) over the vocab aggregate")
+  }
+
+  test("pipeline queries: every partition-less window sorts only limit-bounded input") {
+    import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // traversal that crosses AQE boundaries (AdaptiveSparkPlanExec /
+    // QueryStageExec hide their real subtrees from .children)
+    def walk(plan: SparkPlan): Seq[SparkPlan] = {
+      val kids = plan match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      plan +: kids.flatMap(walk)
+    }
+    def isBounded(plan: SparkPlan): Boolean = walk(plan).exists {
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+    // a partition-less Window funnels its WHOLE input through one task — at
+    // 100 TB that's a scale-killer unless the input is already cut to a
+    // bounded row count by a limit
+    Seq("q64_train_split", "q65_sequence_packing", "q66_decontamination",
+      "q67_source_quota", "q69_gopher_repetition", "q70_vocabulary",
+      "q71_doc_chunking").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      walk(df.queryExecution.executedPlan).foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          assert(isBounded(w.child),
+            s"$q: partition-less window over unbounded input:\n$w")
+        case _ => ()
+      }
+    }
+  }
 }
