@@ -37,17 +37,35 @@ final case class ImageMeta(
     mean_g: Long,
     mean_b: Long)
 
+/** Decoded-audio facts re-derived from the WAV payload itself via
+  * `javax.sound.sampled`: format header facts (sample rate, channel count,
+  * frame count), duration, and per-channel signal stats (RMS, peak) computed
+  * from the PCM samples. `*_ch1` are None for mono payloads.
+  */
+final case class AudioMeta(
+    media_id: Long,
+    sample_rate: Long,
+    n_channels: Long,
+    n_frames: Long,
+    duration_ms: Double,
+    rms_ch0: Double,
+    rms_ch1: Option[Double],
+    peak_ch0: Long,
+    peak_ch1: Option[Long])
+
 /** Multimodal (image/audio/video-as-binary) pipeline plumbing.
   *
   * The Spark-side mechanics are real — schema, partition-preserving
-  * `mapPartitions` batches, column pruning, typed encoders. The IMAGE codec
-  * is real too: `javax.imageio` ships in every JDK, so PNG/JPEG/BMP
-  * encode/decode/resize run as genuine per-partition executor work
-  * ([[encodePng]]/[[decodeImageMeta]]/[[resizeImage]]). Only the
-  * audio/model-feature step remains a deterministic STUB (no audio/ML
-  * libraries in this environment), confined to one marked private function
-  * so swapping in a real backend (JNI codec, ONNX runtime, ...) touches
-  * exactly that function and nothing in the plan.
+  * `mapPartitions` batches, column pruning, typed encoders. The codecs are
+  * real too, both JDK-native: `javax.imageio` for PNG/JPEG/BMP
+  * ([[encodePng]]/[[decodeImageMeta]]/[[resizeImage]]) and
+  * `javax.sound.sampled` for WAV/PCM audio
+  * ([[encodeWavPcm16]]/[[decodeAudioMeta]]), all running as genuine
+  * per-partition executor work. [[decodeFeatures]] dispatches on the
+  * payload's magic bytes: WAV payloads get features from the real audio
+  * decode; any other codec falls back to a deterministic byte-histogram
+  * baseline (swapping in a richer backend — JNI codec, ONNX runtime, ... —
+  * touches exactly [[byteHistogramFeatures]] and nothing in the plan).
   */
 object Multimodal {
 
@@ -164,12 +182,87 @@ object Multimodal {
     }
   }
 
-  /** STUB: a real implementation decodes the audio/video payload with a
-    * codec and computes model features. The fake is a 256-bin byte
-    * histogram folded to `dim` floats — deterministic, order-independent,
-    * and shaped exactly like a real embedding batch.
+  /** Encode interleaved PCM16 samples as a canonical 44-byte-header RIFF/
+    * WAVE byte stream — the format `javax.sound.sampled` reads back
+    * ([[decodeAudioMeta]]; MultimodalSpec cross-checks the header against
+    * the JDK's own WAV writer). `samples(ch)(i)` = channel ch, frame i.
     */
-  private def stubDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Array[Short]]): Array[Byte] = {
+    val nch = samples.length
+    require(nch >= 1, "at least one channel")
+    val nFrames = samples(0).length
+    require(samples.forall(_.length == nFrames), "channels must be equal length")
+    val dataSize = nFrames * nch * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(nch.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * nch * 2) // byte rate
+      .putShort((nch * 2).toShort) // block align
+      .putShort(16.toShort) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < nch) { buf.putShort(samples(c)(i)); c += 1 }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** The deterministic PCM sample generator shared by [[synthesizeWavs]]
+    * and the q73 oracle: pure integer arithmetic (an LCG-style mix), so the
+    * waveform is bit-identical in any engine — no `sin` ULP divergence.
+    */
+  def synthSample(mediaId: Long, ch: Int, i: Int): Short =
+    (((mediaId * 73L + ch * 37L + i * 2654435761L) % 65536L) - 32768L).toShort
+
+  /** Synthetic AUDIO table: real RIFF/WAVE PCM16 payloads generated per row
+    * on the executors — channel count, sample rate, and frame count derived
+    * from `doc_id`, samples from [[synthSample]] — so the real decode path
+    * is verifiable against plain arithmetic (same move as
+    * [[synthesizeImages]] for PNG).
+    */
+  def synthesizeWavs(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val nch = (id % 2 + 1).toInt
+        val sr = Array(8000, 12000, 16000)((id % 3).toInt)
+        val nFrames = (256 + id % 257).toInt
+        val samples = Array.tabulate(nch, nFrames)((c, i) => synthSample(id, c, i))
+        MediaRow(id, "audio", sr, nFrames, encodeWavPcm16(sr, samples))
+      }
+    }
+  }
+
+  /** REAL audio decode (`javax.sound.sampled` — WAV/PCM in every JDK):
+    * re-derive format facts and per-channel signal stats from the payload
+    * bytes alone. Batched per partition like the image codec. RMS values
+    * are raw IEEE doubles (sqrt of an exact integer sum of squares);
+    * callers wanting cross-engine-stable output round them (q73 rounds to
+    * 6 decimals, the repo's decimal-replay idiom).
+    */
+  def decodeAudioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.map(decodeAudioMetaOne))
+  }
+
+  private def isWav(p: Array[Byte]): Boolean =
+    p.length >= 44 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Fallback features for payloads with no JDK codec: a 256-bin byte
+    * histogram folded to `dim` floats — deterministic, order-independent,
+    * and shaped exactly like a real embedding batch. Swapping in a richer
+    * backend (JNI codec, ONNX runtime, ...) replaces exactly this function.
+    */
+  private def byteHistogramFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val hist = new Array[Long](dim)
     var i = 0
     while (i < payload.length) {
@@ -180,18 +273,74 @@ object Multimodal {
     hist.map(_ / n)
   }
 
+  /** WAV features from the REAL decode: format + signal stats packed (and
+    * zero-padded / truncated) to the fixed `dim` a feature batch needs.
+    */
+  private def wavFeatures(meta: AudioMeta, dim: Int): Array[Float] = {
+    val raw = Array(
+      meta.sample_rate.toFloat, meta.n_channels.toFloat, meta.n_frames.toFloat,
+      meta.duration_ms.toFloat, meta.rms_ch0.toFloat, meta.peak_ch0.toFloat,
+      meta.rms_ch1.getOrElse(0.0).toFloat, meta.peak_ch1.getOrElse(0L).toFloat)
+    java.util.Arrays.copyOf(raw, dim)
+  }
+
   /** Batched feature extraction over the opaque payload column. One
     * executor task per partition, payload column read once, metadata
     * carried through — the Scala analogue of a `mapInPandas` batch UDF.
+    * WAV payloads (RIFF magic) go through the real `javax.sound.sampled`
+    * decode; anything else takes the histogram fallback.
     */
   def decodeFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        MediaFeatures(m.media_id, m.payload.length.toLong,
-          stubDecodeFeatures(m.payload, dim))
+        val feats =
+          if (isWav(m.payload))
+            wavFeatures(decodeAudioMetaOne(m), dim)
+          else byteHistogramFeatures(m.payload, dim)
+        MediaFeatures(m.media_id, m.payload.length.toLong, feats)
       }
     }
+  }
+
+  /** Single-row decode core shared by [[decodeAudioMeta]] and the
+    * [[decodeFeatures]] dispatch.
+    */
+  private def decodeAudioMetaOne(m: MediaRow): AudioMeta = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(m.payload))
+    try {
+      val fmt = ais.getFormat
+      require(
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"media ${m.media_id}: expected little-endian PCM16, got $fmt")
+      val nch = fmt.getChannels
+      val sr = fmt.getSampleRate.toLong
+      val bytes = ais.readAllBytes()
+      val nFrames = bytes.length / (2 * nch)
+      val sumSq = new Array[Long](nch)
+      val peak = new Array[Long](nch)
+      var p = 0
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        while (c < nch) {
+          val s = ((bytes(p + 1).toInt << 8) | (bytes(p) & 0xff)).toLong
+          sumSq(c) += s * s
+          val a = math.abs(s)
+          if (a > peak(c)) peak(c) = a
+          p += 2; c += 1
+        }
+        f += 1
+      }
+      def rms(c: Int): Double =
+        if (nFrames == 0) 0.0 else math.sqrt(sumSq(c).toDouble / nFrames)
+      AudioMeta(m.media_id, sr, nch.toLong, nFrames.toLong,
+        nFrames * 1000.0 / sr, rms(0),
+        if (nch > 1) Some(rms(1)) else None,
+        peak(0), if (nch > 1) Some(peak(1)) else None)
+    } finally ais.close()
   }
 
   /** Fixed-stride frame sampling from a video-as-binary payload: emit every

@@ -77,4 +77,84 @@ class MultimodalSpec extends AnyFunSuite {
     // bilinear interpolation of a constant image is the same constant
     assert(out.mean_r == 120 && out.mean_g == 7 && out.mean_b == 200)
   }
+
+  test("golden WAV: decode recovers the exact hand-computed header facts and signal stats") {
+    // 3 frames, stereo, 8 kHz — small enough that every decoded number is
+    // hand-checkable: ch0 = [100, -200, 300], ch1 = [-32768, 0, 32767]
+    val ch0 = Array[Short](100, -200, 300)
+    val ch1 = Array[Short](-32768, 0, 32767)
+    val wav = Multimodal.encodeWavPcm16(8000, Array(ch0, ch1))
+    val m = Multimodal.decodeAudioMeta(
+      Seq(MediaRow(9L, "audio", 8000, 3, wav)).toDS()).collect()(0)
+    assert(m.sample_rate == 8000 && m.n_channels == 2 && m.n_frames == 3)
+    assert(math.abs(m.duration_ms - 3 * 1000.0 / 8000) < 1e-12)
+    assert(math.abs(m.rms_ch0 - math.sqrt((100.0 * 100 + 200 * 200 + 300 * 300) / 3)) < 1e-12)
+    assert(math.abs(m.rms_ch1.get - math.sqrt((32768.0 * 32768 + 32767.0 * 32767) / 3)) < 1e-12)
+    assert(m.peak_ch0 == 300 && m.peak_ch1.contains(32768L))
+  }
+
+  test("hand-rolled WAV header parses identically to the JDK's own WAV writer") {
+    // same samples through javax.sound.sampled's AudioSystem.write — if the
+    // JDK codec reads both to the same AudioMeta, our 44-byte canonical
+    // header is a well-formed WAV, not just self-consistent
+    val nFrames = 64
+    val samples = Array.tabulate(2, nFrames)((c, i) => Multimodal.synthSample(5L, c, i))
+    val ours = Multimodal.encodeWavPcm16(12000, samples)
+    val fmt = new javax.sound.sampled.AudioFormat(12000f, 16, 2, true, false)
+    val pcm = java.nio.ByteBuffer.allocate(nFrames * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until nFrames).foreach { i =>
+      pcm.putShort(samples(0)(i)); pcm.putShort(samples(1)(i))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm.array()), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val theirs = bos.toByteArray
+    val both = Seq(MediaRow(1L, "audio", 12000, nFrames, ours),
+      MediaRow(2L, "audio", 12000, nFrames, theirs)).toDS()
+    val decoded = Multimodal.decodeAudioMeta(both).collect().sortBy(_.media_id)
+    assert(decoded.length == 2)
+    val (a, b) = (decoded(0), decoded(1))
+    assert(a.sample_rate == b.sample_rate && a.n_channels == b.n_channels &&
+      a.n_frames == b.n_frames && a.rms_ch0 == b.rms_ch0 &&
+      a.rms_ch1 == b.rms_ch1 && a.peak_ch0 == b.peak_ch0 && a.peak_ch1 == b.peak_ch1)
+    assert(a.n_frames == nFrames && a.sample_rate == 12000 && a.n_channels == 2)
+  }
+
+  test("synthesizeWavs → decodeAudioMeta matches direct arithmetic over the generator") {
+    val docs = (0L until 12L).toDF("doc_id")
+    val got = Multimodal.decodeAudioMeta(Multimodal.synthesizeWavs(docs))
+      .collect().sortBy(_.media_id)
+    assert(got.length == 12)
+    got.foreach { m =>
+      val id = m.media_id
+      val nch = (id % 2 + 1).toInt
+      val sr = Array(8000, 12000, 16000)((id % 3).toInt)
+      val nf = (256 + id % 257).toInt
+      assert(m.sample_rate == sr && m.n_channels == nch && m.n_frames == nf, s"id=$id")
+      (0 until nch).foreach { c =>
+        val ss = (0 until nf).map { i =>
+          val s = Multimodal.synthSample(id, c, i).toLong; s * s
+        }.sum
+        val pk = (0 until nf).map(i => math.abs(Multimodal.synthSample(id, c, i).toLong)).max
+        val rms = math.sqrt(ss.toDouble / nf)
+        if (c == 0) { assert(m.rms_ch0 == rms && m.peak_ch0 == pk, s"id=$id ch0") }
+        else { assert(m.rms_ch1.contains(rms) && m.peak_ch1.contains(pk), s"id=$id ch1") }
+      }
+    }
+  }
+
+  test("decodeFeatures dispatches WAV payloads to the real audio decode") {
+    val wav = MediaRow(1L, "audio", 8000, 4,
+      Multimodal.encodeWavPcm16(8000, Array(Array[Short](1, -2, 3, -4))))
+    val txt = MediaRow(2L, "image", 0, 0, "not a wav".getBytes("UTF-8"))
+    val f = Multimodal.decodeFeatures(Seq(wav, txt).toDS()).collect().sortBy(_.media_id)
+    // WAV row: [sr, nch, frames, duration, rms0, peak0, rms1, peak1]
+    assert(f(0).features(0) == 8000f && f(0).features(1) == 1f && f(0).features(2) == 4f)
+    assert(f(0).features(5) == 4f) // peak of |{1,-2,3,-4}|
+    // non-WAV row: histogram fractions still sum to ~1
+    assert(math.abs(f(1).features.map(_.toDouble).sum - 1.0) < 1e-6)
+  }
 }
