@@ -66,7 +66,14 @@ private final class LevelSnapshot(
 final class ClusterIndex private[cluster] (
     val levels: Dataset[LevelRow],
     val numPoints: Long,
-    val opts: ClusterOptions) {
+    val opts: ClusterOptions,
+    /** Whether `child_rank` stamps are populated — always true for grid
+      * builds (rank = id), true for exact builds iff
+      * [[ClusterOptions.insertionRanks]] was on. Gates
+      * `getLeaves(insertionOrder = true)` with a clear error instead of a
+      * silently wrong page order.
+      */
+    private[cluster] val ranksAvailable: Boolean) {
   import levels.sparkSession.implicits._
 
   def level(zoom: Int): Dataset[LevelRow] = {
@@ -116,12 +123,19 @@ final class ClusterIndex private[cluster] (
 
   // serve-mode snapshots, lazily built once per zoom; the first probe of a
   // zoom decides snapshot-vs-fallback from the level's row count and the
-  // remaining index-wide budget. ConcurrentHashMap.computeIfAbsent makes the
-  // per-zoom decision mutually exclusive (TrieMap.getOrElseUpdate can run
-  // the thunk in several threads, and a discarded loser would leave its
-  // rows charged against the budget forever).
+  // remaining index-wide budget. The map holds cheap memo CELLS, not the
+  // snapshots themselves: computeIfAbsent only allocates a cell (O(1), as
+  // the CHM contract requires — the build runs Spark jobs and must not
+  // execute under a bin lock, where it would stall unrelated zooms hashing
+  // to the same bin), while the cell's lazy val gives exactly-once build
+  // semantics on the cell's own monitor. A failed build leaves the lazy val
+  // uninitialized, so the next probe retries (the budget reservation is
+  // refunded in the builder's catch).
+  private final class SnapshotCell(thunk: () => Option[LevelSnapshot]) {
+    lazy val value: Option[LevelSnapshot] = thunk()
+  }
   private val snapshots =
-    new java.util.concurrent.ConcurrentHashMap[Int, Option[LevelSnapshot]]()
+    new java.util.concurrent.ConcurrentHashMap[Int, SnapshotCell]()
   private val snapshotRowsUsed = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Reserve `n` snapshot rows against [[serveTotalSnapshotRows]] with a CAS
@@ -167,7 +181,26 @@ final class ClusterIndex private[cluster] (
     */
   def getClustersLocal(bbox: (Double, Double, Double, Double), zoom: Int): Array[ClusterRow] = {
     val z = limitZoom(zoom)
-    val snap = snapshots.computeIfAbsent(z, _ => {
+    val snap = snapshots.computeIfAbsent(z,
+      _ => new SnapshotCell(() => buildSnapshot(z))).value
+    snap match {
+      case Some(s) =>
+        val (xRanges, minY, maxY) = bboxRanges(bbox)
+        val out = scala.collection.mutable.ArrayBuffer.empty[ClusterRow]
+        if (xRanges.isEmpty) s.query(Double.NegativeInfinity, Double.PositiveInfinity, minY, maxY, out)
+        else xRanges.foreach { case (lo, hi) => s.query(lo, hi, minY, maxY, out) }
+        out.toArray
+      case None =>
+        getClusters(bbox, zoom).collect().map(r =>
+          ClusterRow(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    }
+  }
+
+  /** One zoom's snapshot decision + fill (runs outside any map lock, once
+    * per zoom via [[SnapshotCell]]).
+    */
+  private def buildSnapshot(z: Int): Option[LevelSnapshot] = {
+    {
       val n = level(z).count()
       if (n > serveMaxSnapshotRows || n > Int.MaxValue.toLong ||
           !tryReserveSnapshotRows(n))
@@ -197,17 +230,6 @@ final class ClusterIndex private[cluster] (
         case t: Throwable => // refund the reservation — nothing was admitted
           snapshotRowsUsed.addAndGet(-n); throw t
       }
-    })
-    snap match {
-      case Some(s) =>
-        val (xRanges, minY, maxY) = bboxRanges(bbox)
-        val out = scala.collection.mutable.ArrayBuffer.empty[ClusterRow]
-        if (xRanges.isEmpty) s.query(Double.NegativeInfinity, Double.PositiveInfinity, minY, maxY, out)
-        else xRanges.foreach { case (lo, hi) => s.query(lo, hi, minY, maxY, out) }
-        out.toArray
-      case None =>
-        getClusters(bbox, zoom).collect().map(r =>
-          ClusterRow(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
     }
   }
 
@@ -242,9 +264,10 @@ final class ClusterIndex private[cluster] (
     *
     * Lexicographic order on `_path` IS the reference's DFS leaf order
     * (arrow-cluster-engine.ts:312-348) with children visited in
-    * ascending-id order (documented divergence: the reference walks
-    * children in kd-tree insertion order — same membership, different
-    * deterministic order). Within any subtree, absolute paths share the
+    * ascending-id order; lexicographic order on the lockstep `_rpath`
+    * (per-level `child_rank` stamps) is the reference's OWN child-visit
+    * order (kdbush `within` traversal — see [[KdBushOrder]]), when the
+    * build stamped ranks. Within any subtree, absolute paths share the
     * root-to-subtree prefix, so sorting by the absolute path equals
     * sorting by the subtree-relative one.
     */
@@ -264,11 +287,15 @@ final class ClusterIndex private[cluster] (
     // when the cluster table itself is billions of rows.
     //
     // State per cluster: `_top` = furthest ancestor not yet folded into
-    // `_seg`; `_seg` = ids from _top's child down to the cluster itself.
-    // A root's seed is (_top = -1, _seg = [id]) — the seed path is [id],
-    // not [], because a minZoom root has no edge row of its own, so its id
-    // must enter descendants' paths here or subtreeRows could never match
-    // it. When a pending row joins a finished ancestor, its path closes.
+    // `_seg`; `_seg` = ids from _top's child down to the cluster itself
+    // (`_rseg` = the same segment's child_rank stamps, carried in lockstep
+    // so DFS ordering by the reference's child-visit order is one sort of
+    // the finished `_rpath`). A root's seed is (_top = -1, _seg = [id]) —
+    // the seed path is [id], not [], because a minZoom root has no edge row
+    // of its own, so its id must enter descendants' paths here or
+    // subtreeRows could never match it; its rank seed is [-1] (a probe
+    // never compares the root position). When a pending row joins a
+    // finished ancestor, its path closes.
     val stamped = levels.toDF().where($"is_cluster" && $"parent_id" =!= -1L)
     val rootsDf = levels.toDF().where($"zoom" === opts.minZoom && $"is_cluster")
     // unions SUM their inputs' partition counts — left unchecked, each
@@ -277,8 +304,10 @@ final class ClusterIndex private[cluster] (
     // pins every round at the configured parallelism
     val nParts = math.max(1,
       levels.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    var st = stamped.select($"id", $"parent_id".as("_top"), array($"id").as("_seg"))
-      .unionByName(rootsDf.select($"id", lit(-1L).as("_top"), array($"id").as("_seg")))
+    var st = stamped.select($"id", $"parent_id".as("_top"), array($"id").as("_seg"),
+      array($"child_rank").as("_rseg"))
+      .unionByName(rootsDf.select($"id", lit(-1L).as("_top"), array($"id").as("_seg"),
+        array(lit(-1L)).as("_rseg")))
       .coalesce(nParts)
       .localCheckpoint(false)
     // lazy checkpoints: each round's count aggregation is the first action
@@ -294,11 +323,13 @@ final class ClusterIndex private[cluster] (
     while (pendCnt > 0) {
       require(iter < 8, s"cluster hierarchy deeper than 2^8 — malformed parent edges")
       val t0 = System.nanoTime()
-      val b0 = st.select($"id".as("_tid"), $"_top".as("_ttop"), $"_seg".as("_tseg"))
+      val b0 = st.select($"id".as("_tid"), $"_top".as("_ttop"), $"_seg".as("_tseg"),
+        $"_rseg".as("_trseg"))
       val b = if (clusterCount <= 100000) broadcast(b0) else b0
       val stepped = st.where($"_top" =!= -1L)
         .join(b, $"_top" === $"_tid")
-        .select($"id", $"_ttop".as("_top"), concat($"_tseg", $"_seg").as("_seg"))
+        .select($"id", $"_ttop".as("_top"), concat($"_tseg", $"_seg").as("_seg"),
+          concat($"_trseg", $"_rseg").as("_rseg"))
       st = st.where($"_top" === -1L).unionByName(stepped)
         .coalesce(nParts).localCheckpoint(false)
       // one aggregation serves both loop control and the conservation
@@ -314,7 +345,8 @@ final class ClusterIndex private[cluster] (
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       iter += 1
     }
-    val clusterPaths0 = st.select($"id".as("_cid"), $"_seg".as("_path"))
+    val clusterPaths0 = st.select($"id".as("_cid"), $"_seg".as("_path"),
+      $"_rseg".as("_rpath"))
     val clusterPaths =
       if (clusterCount <= 100000) broadcast(clusterPaths0) else clusterPaths0
 
@@ -329,7 +361,8 @@ final class ClusterIndex private[cluster] (
           .join(clusterPaths, $"parent_id" === $"_cid")
           // uniformly path(x) = path(parent(x)) ++ [x], cluster or leaf
           .select($"id", $"parent_id", $"point_count", $"is_cluster", $"lng", $"lat",
-            concat($"_path", array($"id")).as("_path"))
+            concat($"_path", array($"id")).as("_path"),
+            concat($"_rpath", array($"child_rank")).as("_rpath"))
         edges.localCheckpoint(false)
       }
     if (debug) println(f"[walk] total: ${(System.nanoTime() - walkT0) / 1e9}%.2f s")
@@ -340,6 +373,7 @@ final class ClusterIndex private[cluster] (
     levels.toDF().where(lit(false))
       .select($"id", $"parent_id", $"point_count", $"is_cluster", $"lng", $"lat")
       .withColumn("_path", typedLit(Array.empty[Long]))
+      .withColumn("_rpath", typedLit(Array.empty[Long]))
 
   /** Subtree rows for a set of roots = filter of [[fullWalk]]: a record is
     * under one of `roots` iff a STRICT ancestor of it (its path minus its
@@ -353,7 +387,7 @@ final class ClusterIndex private[cluster] (
       if (roots.isEmpty) emptyWalk
       else fullWalk.where(arrays_overlap(
         slice($"_path", lit(1), size($"_path") - 1), typedLit(roots.toArray)))
-    if (withPath) base else base.drop("_path")
+    if (withPath) base else base.drop("_path", "_rpath")
   }
 
   private def leavesWithPath(clusterId: Long): DataFrame =
@@ -361,15 +395,27 @@ final class ClusterIndex private[cluster] (
 
   /** Q4: all leaves under a cluster with limit/offset
     * (arrow-cluster-engine.ts:231-235,312-348). Pagination orders by
-    * ascending leaf id, or by DFS position (`dfsOrder = true`) matching the
-    * reference's subtree-pruned DFS pagination with ascending-id child
-    * order. Both are a distributed sort + offset/limit — Spark plans the
-    * page as top-K, so the driver only ever sees `limit` rows.
+    * ascending leaf id; by DFS position with ascending-id child order
+    * (`dfsOrder = true` — graft's default deterministic DFS); or by DFS
+    * position in the REFERENCE's own child-visit order
+    * (`insertionOrder = true` — the kdbush `within` order its
+    * `_appendLeafIndices` pages in, available when the build stamped
+    * `child_rank`: exact builds with [[ClusterOptions.insertionRanks]], all
+    * grid builds). GoldenDifferentialSpec proves insertion-order pages
+    * equal the independent reference implementation page-for-page at equal
+    * offsets. All three are a distributed sort + offset/limit — Spark plans
+    * the page as top-K, so the driver only ever sees `limit` rows.
     */
   def getLeaves(clusterId: Long, limit: Int = 10, offset: Int = 0,
-      dfsOrder: Boolean = false): DataFrame = {
+      dfsOrder: Boolean = false, insertionOrder: Boolean = false): DataFrame = {
+    require(!insertionOrder || ranksAvailable,
+      "insertionOrder pagination needs child_rank stamps — build the exact " +
+        "index with ClusterOptions(insertionRanks = true)")
     val all = leavesWithPath(clusterId)
-    val sortKey = if (dfsOrder) col("_path") else col("id")
+    val sortKey =
+      if (insertionOrder) col("_rpath")
+      else if (dfsOrder) col("_path")
+      else col("id")
     val page =
       if (limit == Int.MaxValue) all.sort(sortKey).offset(offset)
       else all.sort(sortKey).offset(offset).limit(limit)
@@ -543,7 +589,7 @@ object ClusterEngine {
     }
     val cached = levels.persist(StorageLevel.MEMORY_AND_DISK)
     val total = cached.filter(col("zoom") === opts.maxZoom + 1).count()
-    new ClusterIndex(cached, total, opts)
+    new ClusterIndex(cached, total, opts, ranksAvailable = opts.insertionRanks)
   }
 
   /** The scale-mode build behind the SAME query surface: levels come from
@@ -563,6 +609,7 @@ object ClusterEngine {
     import spark.implicits._
     val levels = GridHierarchy.build(points, opts, lngCol, latCol, idCol).as[LevelRow]
     val total = levels.filter($"zoom" === opts.maxZoom + 1).count()
-    new ClusterIndex(levels, total, opts)
+    // grid mode always stamps child_rank (= id: its documented child order)
+    new ClusterIndex(levels, total, opts, ranksAvailable = true)
   }
 }

@@ -5,13 +5,23 @@ import scala.collection.mutable.ArrayBuffer
 import graft.geo.Mercator
 import graft.ids.ClusterId
 
-/** Engine options (reference defaults: arrow-cluster-engine.ts:41-47). */
+/** Engine options (reference defaults: arrow-cluster-engine.ts:41-47).
+  *
+  * @param insertionRanks also stamp every record's `child_rank` — its
+  *   position in its parent's reference-order child list (kdbush `within`
+  *   traversal order, [[KdBushOrder]]) — enabling
+  *   `getLeaves(insertionOrder = true)` to page leaves in the reference's
+  *   own DFS order. Off by default: it costs one kd-sort per level
+  *   (roughly doubling the exact build's index work) and the default
+  *   ascending-id DFS needs no ranks.
+  */
 final case class ClusterOptions(
     minZoom: Int = 0,
     maxZoom: Int = 16,
     radius: Double = 40.0,
     extent: Double = 512.0,
-    minPoints: Int = 2) {
+    minPoints: Int = 2,
+    insertionRanks: Boolean = false) {
   require(maxZoom <= 30 && maxZoom >= minZoom && minZoom >= 0, "bad zoom range")
   require(maxZoom + 1 < 32, "cluster-ID packing needs creationZoom+1 < 32")
 }
@@ -22,6 +32,13 @@ final case class ClusterOptions(
   * For leaves, (lng, lat) are the ORIGINAL source coordinates (the
   * reference's no-trig singleton fast path, arrow-cluster-engine.ts:175-181);
   * for clusters they are the inverse-projected weighted centroid.
+  *
+  * `child_rank` is this record's position in its parent's reference-order
+  * child list (stamped on the same single row as `parent_id`): the kdbush
+  * `within` traversal order when the exact build ran with
+  * [[ClusterOptions.insertionRanks]]; the record id in grid mode (where
+  * insertion order is undefined and id order IS the documented child
+  * order); -1 when unstamped.
   */
 final case class LevelRow(
     zoom: Int,
@@ -32,7 +49,8 @@ final case class LevelRow(
     point_count: Long,
     is_cluster: Boolean,
     lng: Double,
-    lat: Double)
+    lat: Double,
+    child_rank: Long = -1L)
 
 /** Single-pass greedy hierarchical clustering, semantics per the reference
   * algorithm (arrow-cluster-engine.ts:354-416): for each unprocessed point
@@ -81,6 +99,7 @@ object GreedyCore {
     var zooms = new Array[Int](cap)
     var origLng = new Array[Double](cap)
     var origLat = new Array[Double](cap)
+    var ranks = new Array[Long](cap) // child_rank stamps; -1 = unstamped
 
     private def grow(): Unit = {
       cap *= 2
@@ -92,6 +111,7 @@ object GreedyCore {
       zooms = java.util.Arrays.copyOf(zooms, cap)
       origLng = java.util.Arrays.copyOf(origLng, cap)
       origLat = java.util.Arrays.copyOf(origLat, cap)
+      ranks = java.util.Arrays.copyOf(ranks, cap)
     }
 
     def add(x: Double, y: Double, id: Long, count: Long, parent: Long,
@@ -100,9 +120,13 @@ object GreedyCore {
       xs(size) = x; ys(size) = y; ids(size) = id; counts(size) = count
       parents(size) = parent; zooms(size) = zoom
       origLng(size) = oLng; origLat(size) = oLat
+      ranks(size) = -1L
       size += 1
     }
 
+    // rank not copied: a record reaching the next level is by construction
+    // unstamped (stamped records were consumed by their cluster), so the
+    // copy starts at -1 like any fresh record
     def copyRecord(from: Level, i: Int): Unit =
       add(from.xs(i), from.ys(i), from.ids(i), from.counts(i), from.parents(i),
         from.zooms(i), from.origLng(i), from.origLat(i))
@@ -203,12 +227,48 @@ object GreedyCore {
     var z = opts.maxZoom
     while (z >= opts.minZoom) {
       val next = clusterPass(cur, z, opts, totalPoints)
+      if (opts.insertionRanks) stampRanks(cur, z, opts, totalPoints)
       emit(cur, z + 1, out) // cur's parent stamps are final once the pass ran
       cur = next
       z -= 1
     }
     emit(cur, opts.minZoom, out)
     out.iterator
+  }
+
+  /** Stamp each just-fused record's `child_rank` — its position among its
+    * parent's children in the reference's child-visit order
+    * (`_getChildIndices`, arrow-cluster-engine.ts:270-302: a kdbush
+    * `within` probe of the child level at the ORIGIN record's raw coords
+    * with the pass radius, filtered to the parent's children). Runs right
+    * after the z-pass, when `cur`'s parent stamps are final and every
+    * non-(-1) parent was created in THIS pass — so each parent's origin
+    * index is decodable from its id and probed exactly once.
+    */
+  private def stampRanks(
+      cur: Level, z: Int, opts: ClusterOptions, totalPoints: Long): Unit = {
+    val r = opts.radius / (opts.extent * math.pow(2.0, z.toDouble))
+    val tree = new KdBushOrder(cur.xs, cur.ys, cur.size)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < cur.size) {
+      val pid = cur.parents(i)
+      if (pid != -1L && seen.add(pid)) {
+        val originIdx = ((pid - totalPoints) >> 5).toInt
+        val nbs = tree.within(cur.xs(originIdx), cur.ys(originIdx), r)
+        var rank = 0L
+        var j = 0
+        while (j < nbs.length) {
+          val nb = nbs(j)
+          if (cur.parents(nb) == pid) {
+            cur.ranks(nb) = rank
+            rank += 1
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
   }
 
   private def emit(level: Level, zoom: Int, out: ArrayBuffer[LevelRow]): Unit = {
@@ -220,7 +280,8 @@ object GreedyCore {
         zoom, level.xs(i), level.ys(i), level.ids(i), level.parents(i),
         level.counts(i), isCluster,
         if (isCluster) Mercator.xLng(level.xs(i)) else level.origLng(i),
-        if (isCluster) Mercator.yLat(level.ys(i)) else level.origLat(i))
+        if (isCluster) Mercator.yLat(level.ys(i)) else level.origLat(i),
+        level.ranks(i))
       i += 1
     }
   }

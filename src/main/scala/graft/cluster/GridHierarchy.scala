@@ -163,7 +163,7 @@ object GridHierarchy {
       levels += prev.select(
         lit(z + 1).as("zoom"), col("mx"), col("my"), col("id"),
         lit(-1L).as("parent_id"), col("point_count"), col("is_cluster"),
-        col("lng"), col("lat"))
+        col("lng"), col("lat"), lit(-1L).as("child_rank"))
       z -= 1
     }
     while (z >= opts.minZoom) {
@@ -227,7 +227,10 @@ object GridHierarchy {
         .select(
           lit(z + 1).as("zoom"), col("mx"), col("my"), col("id"),
           when(col("_n_in_cell") >= 2, col("_cell_id")).otherwise(lit(-1L)).as("parent_id"),
-          col("point_count"), col("is_cluster"), col("lng"), col("lat"))
+          col("point_count"), col("is_cluster"), col("lng"), col("lat"),
+          // grid mode has no insertion order; ascending id IS its child
+          // order, so the rank is the id on exactly the stamped rows
+          when(col("_n_in_cell") >= 2, col("id")).otherwise(lit(-1L)).as("child_rank"))
       levels += emitted
 
       prev = next
@@ -236,7 +239,7 @@ object GridHierarchy {
     levels += prev.select(
       lit(opts.minZoom).as("zoom"), col("mx"), col("my"), col("id"),
       lit(-1L).as("parent_id"), col("point_count"), col("is_cluster"),
-      col("lng"), col("lat"))
+      col("lng"), col("lat"), lit(-1L).as("child_rank"))
 
     val all = levels.reduce(_ unionByName _)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -21,6 +21,8 @@
 // Usage: node tools/golden_supercluster.mjs > src/test/resources/golden_supercluster_500.tsv
 "use strict";
 
+import { KDBushOrder } from "./kdbush_order.mjs";
+
 const N = 500;
 const OPTS = { radius: 75, extent: 512, minZoom: 0, maxZoom: 16, minPoints: 2 };
 
@@ -155,14 +157,56 @@ function expansionZoom(levels, clusterId, total, maxZoom) {
 }
 
 // DFS leaf order with children visited in ascending-id order (graft's
-// documented deterministic child order; the original library walks children
-// in kd-tree traversal order instead — membership identical, order defined)
+// default deterministic child order — membership identical to the
+// reference's, order simpler)
 function dfsLeaves(levels, clusterId, total) {
   const out = [];
   const walk = (cid) => {
     const kids = childrenOf(levels, cid, total).slice()
       .sort((a, b) => a.id - b.id);
     for (const k of kids) {
+      if (k.num > 1) walk(k.id);
+      else out.push(k.id);
+    }
+  };
+  walk(clusterId);
+  return out;
+}
+
+// --- the reference's OWN child-visit order (arrow-cluster-engine.ts
+// _getChildIndices:270-302): children come back in kdbush within()
+// traversal order over the child level's tree (one KDBush per zoom,
+// nodeSize 64, Float32Array coords — _createTree:418-425), queried at the
+// origin record's coords with r = radius/(extent·2^(originZoom-1)) ---
+function buildTrees(levels, opts) {
+  const trees = {};
+  for (let z = opts.minZoom; z <= opts.maxZoom + 1; z++) {
+    const lvl = levels[z];
+    const tree = new KDBushOrder(lvl.length, 64);
+    for (const p of lvl) tree.add(p.x, p.y); // Float32Array quantizes on store
+    trees[z] = tree.finish();
+  }
+  return trees;
+}
+
+function childrenOfInsertion(levels, trees, clusterId, total, opts) {
+  const oz = originZoom(clusterId, total);
+  const originId = (clusterId - total) >> 5;
+  const lvl = levels[oz];
+  const origin = lvl[originId];
+  const r = opts.radius / (opts.extent * Math.pow(2, oz - 1));
+  return trees[oz]
+    .within(origin.x, origin.y, r)
+    .filter((nid) => lvl[nid].parent === clusterId)
+    .map((nid) => lvl[nid]);
+}
+
+// DFS leaf order with the reference's child-visit order — what
+// getLeaves(insertionOrder = true) must reproduce page-for-page
+function dfsLeavesInsertion(levels, trees, clusterId, total, opts) {
+  const out = [];
+  const walk = (cid) => {
+    for (const k of childrenOfInsertion(levels, trees, cid, total, opts)) {
       if (k.num > 1) walk(k.id);
       else out.push(k.id);
     }
@@ -205,8 +249,10 @@ const probes = levels[3].filter((p) => p.num > 1)
   .sort((a, b) => b.num - a.num || a.id - b.id).slice(0, 3)
   .concat(levels[1].filter((p) => p.num > 1)
     .sort((a, b) => b.num - a.num || a.id - b.id).slice(0, 1));
+const trees = buildTrees(levels, OPTS);
 for (const p of probes) {
   lines.push(`leafdfs\t${p.id}\t${dfsLeaves(levels, p.id, N).join(",")}`);
+  lines.push(`leafdfs_ins\t${p.id}\t${dfsLeavesInsertion(levels, trees, p.id, N, OPTS).join(",")}`);
 }
 
 process.stdout.write(lines.join("\n") + "\n");
