@@ -42,10 +42,29 @@ class AnnPqSpec extends AnyFunSuite {
     assert(res(0).getDouble(2) < 1.0) // same-cluster ADC distance is small
   }
 
+  test("fast kernel (exactMeans=false) trains the same-shape codebooks with recall parity") {
+    val cb = AnnPq.train(emb, m = 8, k = 16, iters = 2, exactMeans = false)
+    assert(cb.length == 8 && cb.forall(_.length == 16) && cb.forall(_.forall(_.length == 8)))
+    // double-sum means differ from the decimal kernel only by ULP wobble,
+    // so per-centroid values must agree far beyond any recall-relevant scale
+    val exact = AnnPq.train(emb, m = 8, k = 16, iters = 2, exactMeans = true)
+    cb.zip(exact).foreach { case (fj, ej) =>
+      fj.zip(ej).foreach { case (fc, ec) =>
+        fc.zip(ec).foreach { case (f, e) =>
+          assert(math.abs(f - e) < 1e-9, s"fast mean $f vs exact mean $e")
+        }
+      }
+    }
+    // and the end-to-end search path on the fast codebooks keeps recall
+    val r = recallAt3(emb, nQueries = 10, refine = 10, exactMeans = false)
+    assert(r >= 0.5, s"fast-kernel mean recall@3 = $r")
+  }
+
   private def recallAt3(
-      data: org.apache.spark.sql.DataFrame, nQueries: Int, refine: Int): Double = {
+      data: org.apache.spark.sql.DataFrame, nQueries: Int, refine: Int,
+      exactMeans: Boolean = true): Double = {
     import spark.implicits._
-    val cb = AnnPq.train(data, m = 8, k = 16, iters = 2)
+    val cb = AnnPq.train(data, m = 8, k = 16, iters = 2, exactMeans = exactMeans)
     val enc = AnnPq.encode(data, cb).cache()
     val queries = data.orderBy("vec_id").limit(nQueries)
 

@@ -96,7 +96,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected a distributed top-K (TakeOrderedAndProject) over the vocab aggregate")
   }
 
-  test("pipeline queries: every partition-less window sorts only limit-bounded input") {
+  test("ALL registry queries: every partition-less window sorts only limit-bounded input") {
     import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.window.WindowExec
@@ -116,10 +116,9 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     // a partition-less Window funnels its WHOLE input through one task — at
     // 100 TB that's a scale-killer unless the input is already cut to a
-    // bounded row count by a limit
-    Seq("q64_train_split", "q65_sequence_packing", "q66_decontamination",
-      "q67_source_quota", "q69_gopher_repetition", "q70_vocabulary",
-      "q71_doc_chunking").foreach { q =>
+    // bounded row count by a limit. Swept over the ENTIRE query registry so
+    // no query anywhere can funnel unbounded input through a one-task sort.
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect()
       walk(df.queryExecution.executedPlan).foreach {
