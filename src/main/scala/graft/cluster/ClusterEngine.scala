@@ -186,7 +186,11 @@ final class ClusterIndex private[cluster] (
     snap match {
       case Some(s) =>
         val (xRanges, minY, maxY) = bboxRanges(bbox)
-        val out = scala.collection.mutable.ArrayBuffer.empty[ClusterRow]
+        // pre-size to the level's row count: a wide-bbox probe of a large
+        // level would otherwise pay ~log2(n) grow-copies of an up-to-n
+        // element buffer per query (measurable GC churn at 1M points)
+        val out = new scala.collection.mutable.ArrayBuffer[ClusterRow](
+          math.max(s.mx.length, 16))
         if (xRanges.isEmpty) s.query(Double.NegativeInfinity, Double.PositiveInfinity, minY, maxY, out)
         else xRanges.foreach { case (lo, hi) => s.query(lo, hi, minY, maxY, out) }
         out.toArray
