@@ -152,12 +152,18 @@ object Bench {
       java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed
     }
 
-    // Returns (per-zoom medians, avg, snapshot heap MB): the heap delta is
-    // gc-settled heapUsed after the warmups built every zoom's snapshot
-    // minus before the first probe — measuring the driver cost of the
-    // serve-mode snapshots themselves (the persisted level blocks are
+    // Per-zoom medians for BOTH serve shapes — the boxed-row API
+    // (getClustersLocal, continuity with earlier rounds) and the columnar
+    // batch API (getClustersLocalBatch — the reference's own typed-array
+    // output shape, and the one free of per-row allocation noise at 1M).
+    // snapshot heap MB = gc-settled heapUsed after the warmups built every
+    // zoom's snapshot minus before the first probe — the driver cost of
+    // the serve snapshots themselves (the persisted level blocks are
     // materialized by load() before the first mark).
-    def runLadder(nPoints: Int): Option[(Seq[(Int, Double)], Double, Double)] =
+    final case class Ladder(
+        rows: Seq[(Int, Double)], rowAvg: Double,
+        batch: Seq[(Int, Double)], batchAvg: Double, heapMb: Double)
+    def runLadder(nPoints: Int): Option[Ladder] =
       try {
         import graft.cluster.{ClusterEngine => CE}
         val pts = graft.io.SyntheticPoints.uniform(spark, nPoints)
@@ -165,25 +171,28 @@ object Bench {
         val world = (-180.0, -85.0, 180.0, 85.0)
         val zooms = Seq(0, 2, 4, 6, 8, 10, 12, 14, 16)
         val h0 = heapUsed()
-        val med = zooms.map { z =>
-          (1 to 3).foreach(_ => idx.getClustersLocal(world, z).length)
+        def median(probe: Int => Int)(z: Int): Double = {
+          (1 to 3).foreach(_ => probe(z))
           val runs = (1 to 10).map { _ =>
             val t0 = System.nanoTime()
-            idx.getClustersLocal(world, z).length
+            probe(z)
             (System.nanoTime() - t0) / 1e6
           }.sorted
-          z -> (runs(4) + runs(5)) / 2.0
+          (runs(4) + runs(5)) / 2.0
         }
+        val medRows = zooms.map(z => z -> median(idx.getClustersLocal(world, _).length)(z))
         val snapshotHeapMb = (heapUsed() - h0) / 1048576.0
+        val medBatch = zooms.map(z => z -> median(idx.getClustersLocalBatch(world, _).size)(z))
         idx.unpersist()
-        Some((med, med.map(_._2).sum / med.size, snapshotHeapMb))
+        Some(Ladder(medRows, medRows.map(_._2).sum / medRows.size,
+          medBatch, medBatch.map(_._2).sum / medBatch.size, snapshotHeapMb))
       } catch { case NonFatal(_) => None }
-    val queryLadder: Option[(Seq[(Int, Double)], Double, Double)] =
+    val queryLadder: Option[Ladder] =
       if (sectionOn("query_ladder")) runLadder(200000) else None
     // the reference's 1M-point query-speedup claim (README.md:129) — the
     // serve-mode snapshot holds 1M rows comfortably under the per-level /
     // total caps, so the interactive path stays driver-local at this size
-    val queryLadder1m: Option[(Seq[(Int, Double)], Double, Double)] =
+    val queryLadder1m: Option[Ladder] =
       if (sectionOn("query_ladder_1m")) runLadder(1000000) else None
 
     // production-mode ANN kernels: q47/q63's oracle rows deliberately run
@@ -323,15 +332,16 @@ object Bench {
     val memJson = memory.map { case (exactMb, gridMb) =>
       s""","memory":{"exact_build_heap_mb":$exactMb,"grid_build_heap_mb":$gridMb}"""
     }.getOrElse("")
-    val ladderJson = queryLadder.map { case (med, avg, _) =>
-      s""","query_ladder_ms":""" +
-        med.map { case (z, ms) => s""""z$z":$ms""" }.mkString("{", ",", "}") +
-        s""","query_avg_ms":$avg"""
+    def zoomsJson(med: Seq[(Int, Double)]): String =
+      med.map { case (z, ms) => s""""z$z":$ms""" }.mkString("{", ",", "}")
+    val ladderJson = queryLadder.map { l =>
+      s""","query_ladder_ms":${zoomsJson(l.rows)},"query_avg_ms":${l.rowAvg}""" +
+        s""","query_ladder_batch_ms":${zoomsJson(l.batch)},"query_avg_batch_ms":${l.batchAvg}"""
     }.getOrElse("")
-    val ladder1mJson = queryLadder1m.map { case (med, avg, heapMb) =>
-      s""","query_ladder_1m_ms":""" +
-        med.map { case (z, ms) => s""""z$z":$ms""" }.mkString("{", ",", "}") +
-        s""","query_avg_1m_ms":$avg,"snapshot_heap_mb":$heapMb"""
+    val ladder1mJson = queryLadder1m.map { l =>
+      s""","query_ladder_1m_ms":${zoomsJson(l.rows)},"query_avg_1m_ms":${l.rowAvg}""" +
+        s""","query_ladder_1m_batch_ms":${zoomsJson(l.batch)},"query_avg_1m_batch_ms":${l.batchAvg}""" +
+        s""","snapshot_heap_mb":${l.heapMb}"""
     }.getOrElse("")
     val annFastJson =
       if (annFast.isEmpty) "" else s""","ann_fast":${jmap(annFast)}"""
@@ -349,7 +359,7 @@ object Bench {
     // the TRUE final line is a compact summary small enough to survive a
     // bounded tail capture, so a last-line JSON parse always succeeds.
     println(json)
-    val ladderAvg = queryLadder.map { case (_, avg, _) => s""","query_avg_ms":$avg""" }.getOrElse("")
+    val ladderAvg = queryLadder.map(l => s""","query_avg_ms":${l.rowAvg}""").getOrElse("")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         s""""errors":$errors$ladderAvg,"sf":"${jstr(sfDir)}","detail":"${jstr(outPath)}"}""")

@@ -30,6 +30,21 @@ final case class ChildEdge(id: Long, parentId: Long, isCluster: Boolean, pointCo
 final case class ClusterRow(
     id: Long, lng: Double, lat: Double, pointCount: Long, isCluster: Boolean)
 
+/** Columnar serve-mode result — the reference's own output shape
+  * (`ClusterOutput`: positions/ids/pointCounts/isCluster typed arrays,
+  * arrow-cluster-engine.ts:126-193). Parallel primitive arrays, one entry
+  * per result record: zero boxing on the hot serve path, which at 1M-row
+  * levels is the difference between filling five flat arrays and churning
+  * a million short-lived row objects through the GC per probe.
+  */
+final class ClusterBatch(
+    val id: Array[Long], val lng: Array[Double], val lat: Array[Double],
+    val pointCount: Array[Long], val isCluster: Array[Boolean]) {
+  def size: Int = id.length
+  def row(i: Int): ClusterRow =
+    ClusterRow(id(i), lng(i), lat(i), pointCount(i), isCluster(i))
+}
+
 /** One zoom level snapshotted into driver-local primitive struct-of-arrays,
   * sorted by `mx` so a bbox probe is a binary-searched x-slice plus a y
   * filter — the reference's pre-allocated in-memory query loop
@@ -60,6 +75,37 @@ private final class LevelSnapshot(
         out += ClusterRow(id(i), lng(i), lat(i), pointCount(i), isCluster(i))
       i += 1
     }
+  }
+
+  /** Number of rows the same range predicate selects (first pass of the
+    * zero-boxing columnar fill).
+    */
+  def countRange(xLo: Double, xHi: Double, yLo: Double, yHi: Double): Int = {
+    var i = lowerBound(xLo)
+    var n = 0
+    while (i < mx.length && mx(i) <= xHi) {
+      if (my(i) >= yLo && my(i) <= yHi) n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** Copy matching rows into the batch arrays starting at `at`; returns the
+    * next free slot. Same predicate and order as [[query]].
+    */
+  def fillRange(xLo: Double, xHi: Double, yLo: Double, yHi: Double,
+      b: ClusterBatch, at: Int): Int = {
+    var i = lowerBound(xLo)
+    var o = at
+    while (i < mx.length && mx(i) <= xHi) {
+      if (my(i) >= yLo && my(i) <= yHi) {
+        b.id(o) = id(i); b.lng(o) = lng(i); b.lat(o) = lat(i)
+        b.pointCount(o) = pointCount(i); b.isCluster(o) = isCluster(i)
+        o += 1
+      }
+      i += 1
+    }
+    o
   }
 }
 
@@ -200,6 +246,46 @@ final class ClusterIndex private[cluster] (
     }
   }
 
+  /** [[getClustersLocal]] in the reference's own COLUMNAR output shape
+    * (`ClusterOutput` typed arrays): count pass → exact-size primitive
+    * arrays → fill pass, zero per-row boxing. Identical rows and order to
+    * the row API (ServeModeSpec locks the equivalence); at large levels
+    * this is the serve path to prefer — a 1M-row world probe allocates
+    * five flat arrays instead of a million row objects.
+    */
+  def getClustersLocalBatch(bbox: (Double, Double, Double, Double), zoom: Int): ClusterBatch = {
+    val z = limitZoom(zoom)
+    val snap = snapshots.computeIfAbsent(z,
+      _ => new SnapshotCell(() => buildSnapshot(z))).value
+    snap match {
+      case Some(s) =>
+        val (xRanges0, minY, maxY) = bboxRanges(bbox)
+        val xRanges =
+          if (xRanges0.isEmpty) Seq((Double.NegativeInfinity, Double.PositiveInfinity))
+          else xRanges0
+        var n = 0
+        xRanges.foreach { case (lo, hi) => n += s.countRange(lo, hi, minY, maxY) }
+        val b = new ClusterBatch(new Array[Long](n), new Array[Double](n),
+          new Array[Double](n), new Array[Long](n), new Array[Boolean](n))
+        var at = 0
+        xRanges.foreach { case (lo, hi) => at = s.fillRange(lo, hi, minY, maxY, b, at) }
+        b
+      case None =>
+        val rows = getClustersLocal(bbox, zoom)
+        val n = rows.length
+        val b = new ClusterBatch(new Array[Long](n), new Array[Double](n),
+          new Array[Double](n), new Array[Long](n), new Array[Boolean](n))
+        var i = 0
+        while (i < n) {
+          val r = rows(i)
+          b.id(i) = r.id; b.lng(i) = r.lng; b.lat(i) = r.lat
+          b.pointCount(i) = r.pointCount; b.isCluster(i) = r.isCluster
+          i += 1
+        }
+        b
+    }
+  }
+
   /** One zoom's snapshot decision + fill (runs outside any map lock, once
     * per zoom via [[SnapshotCell]]).
     */
@@ -275,7 +361,16 @@ final class ClusterIndex private[cluster] (
     * root-to-subtree prefix, so sorting by the absolute path equals
     * sorting by the subtree-relative one.
     */
-  private lazy val fullWalk: DataFrame = {
+  private lazy val fullWalk: DataFrame = buildWalk(withRanks = false)
+
+  /** The closure with the lockstep `_rpath` rank path — built ONLY when
+    * insertion-order pagination is first used: carrying a second long array
+    * on every closure row measurably taxes the default navigation queries
+    * that never sort by it (~+50% on the exact-build closure at sf0.1).
+    */
+  private lazy val fullWalkRanked: DataFrame = buildWalk(withRanks = true)
+
+  private def buildWalk(withRanks: Boolean): DataFrame = {
     val walkT0 = System.nanoTime()
     val debug = sys.env.contains("GRAFT_WALK_DEBUG")
 
@@ -308,10 +403,16 @@ final class ClusterIndex private[cluster] (
     // pins every round at the configured parallelism
     val nParts = math.max(1,
       levels.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    var st = stamped.select($"id", $"parent_id".as("_top"), array($"id").as("_seg"),
-      array($"child_rank").as("_rseg"))
-      .unionByName(rootsDf.select($"id", lit(-1L).as("_top"), array($"id").as("_seg"),
-        array(lit(-1L)).as("_rseg")))
+    // column sets are assembled conditionally: the rank columns exist only
+    // in the ranked walk (see fullWalkRanked)
+    def ranked(cols: Seq[Column], extra: Column*): Seq[Column] =
+      if (withRanks) cols ++ extra else cols
+    var st = stamped.select(ranked(
+      Seq($"id", $"parent_id".as("_top"), array($"id").as("_seg")),
+      array($"child_rank").as("_rseg")): _*)
+      .unionByName(rootsDf.select(ranked(
+        Seq($"id", lit(-1L).as("_top"), array($"id").as("_seg")),
+        array(lit(-1L)).as("_rseg")): _*))
       .coalesce(nParts)
       .localCheckpoint(false)
     // lazy checkpoints: each round's count aggregation is the first action
@@ -327,13 +428,15 @@ final class ClusterIndex private[cluster] (
     while (pendCnt > 0) {
       require(iter < 8, s"cluster hierarchy deeper than 2^8 — malformed parent edges")
       val t0 = System.nanoTime()
-      val b0 = st.select($"id".as("_tid"), $"_top".as("_ttop"), $"_seg".as("_tseg"),
-        $"_rseg".as("_trseg"))
+      val b0 = st.select(ranked(
+        Seq($"id".as("_tid"), $"_top".as("_ttop"), $"_seg".as("_tseg")),
+        $"_rseg".as("_trseg")): _*)
       val b = if (clusterCount <= 100000) broadcast(b0) else b0
       val stepped = st.where($"_top" =!= -1L)
         .join(b, $"_top" === $"_tid")
-        .select($"id", $"_ttop".as("_top"), concat($"_tseg", $"_seg").as("_seg"),
-          concat($"_trseg", $"_rseg").as("_rseg"))
+        .select(ranked(
+          Seq($"id", $"_ttop".as("_top"), concat($"_tseg", $"_seg").as("_seg")),
+          concat($"_trseg", $"_rseg").as("_rseg")): _*)
       st = st.where($"_top" === -1L).unionByName(stepped)
         .coalesce(nParts).localCheckpoint(false)
       // one aggregation serves both loop control and the conservation
@@ -349,8 +452,8 @@ final class ClusterIndex private[cluster] (
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       iter += 1
     }
-    val clusterPaths0 = st.select($"id".as("_cid"), $"_seg".as("_path"),
-      $"_rseg".as("_rpath"))
+    val clusterPaths0 = st.select(ranked(
+      Seq($"id".as("_cid"), $"_seg".as("_path")), $"_rseg".as("_rpath")): _*)
     val clusterPaths =
       if (clusterCount <= 100000) broadcast(clusterPaths0) else clusterPaths0
 
@@ -364,15 +467,18 @@ final class ClusterIndex private[cluster] (
         val edges = levels.toDF().where($"parent_id" =!= -1L)
           .join(clusterPaths, $"parent_id" === $"_cid")
           // uniformly path(x) = path(parent(x)) ++ [x], cluster or leaf
-          .select($"id", $"parent_id", $"point_count", $"is_cluster", $"lng", $"lat",
-            concat($"_path", array($"id")).as("_path"),
-            concat($"_rpath", array($"child_rank")).as("_rpath"))
+          .select(ranked(
+            Seq($"id", $"parent_id", $"point_count", $"is_cluster", $"lng", $"lat",
+              concat($"_path", array($"id")).as("_path")),
+            concat($"_rpath", array($"child_rank")).as("_rpath")): _*)
         edges.localCheckpoint(false)
       }
     if (debug) println(f"[walk] total: ${(System.nanoTime() - walkT0) / 1e9}%.2f s")
     walk
   }
 
+  // carries _rpath unconditionally: the empty frame costs nothing and both
+  // walks' consumers can select from it
   private def emptyWalk: DataFrame =
     levels.toDF().where(lit(false))
       .select($"id", $"parent_id", $"point_count", $"is_cluster", $"lng", $"lat")
@@ -386,16 +492,17 @@ final class ClusterIndex private[cluster] (
     * inside another probed root's subtree still appears as a descendant of
     * the outer root, exactly like the old per-root walk.
     */
-  private def subtreeRows(roots: Seq[Long], withPath: Boolean = true): DataFrame = {
+  private def subtreeRows(roots: Seq[Long], withPath: Boolean = true,
+      ranked: Boolean = false): DataFrame = {
     val base =
       if (roots.isEmpty) emptyWalk
-      else fullWalk.where(arrays_overlap(
+      else (if (ranked) fullWalkRanked else fullWalk).where(arrays_overlap(
         slice($"_path", lit(1), size($"_path") - 1), typedLit(roots.toArray)))
     if (withPath) base else base.drop("_path", "_rpath")
   }
 
-  private def leavesWithPath(clusterId: Long): DataFrame =
-    subtreeRows(Seq(clusterId)).where(!$"is_cluster")
+  private def leavesWithPath(clusterId: Long, ranked: Boolean = false): DataFrame =
+    subtreeRows(Seq(clusterId), ranked = ranked).where(!$"is_cluster")
 
   /** Q4: all leaves under a cluster with limit/offset
     * (arrow-cluster-engine.ts:231-235,312-348). Pagination orders by
@@ -415,7 +522,7 @@ final class ClusterIndex private[cluster] (
     require(!insertionOrder || ranksAvailable,
       "insertionOrder pagination needs child_rank stamps — build the exact " +
         "index with ClusterOptions(insertionRanks = true)")
-    val all = leavesWithPath(clusterId)
+    val all = leavesWithPath(clusterId, ranked = insertionOrder)
     val sortKey =
       if (insertionOrder) col("_rpath")
       else if (dfsOrder) col("_path")

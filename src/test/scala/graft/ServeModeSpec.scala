@@ -45,6 +45,23 @@ class ServeModeSpec extends AnyFunSuite {
     assert(nonEmpty > 10, "fixture must actually exercise non-empty results")
   }
 
+  test("the columnar batch API returns exactly the row API's rows, in order") {
+    for (z <- Seq(0, 3, 8, 14, 16); (name, bbox) <- bboxes) {
+      val rows = idx.getClustersLocal(bbox, z)
+      val batch = idx.getClustersLocalBatch(bbox, z)
+      assert(batch.size == rows.length, s"size at z=$z bbox=$name")
+      assert((0 until batch.size).forall(i => batch.row(i) == rows(i)),
+        s"batch/row divergence at z=$z bbox=$name")
+    }
+    // fallback path too: a capped index answers the batch through collect
+    val capped = ClusterEngine.load(pointsDf, ClusterOptions(radius = 75.0), idCol = Some("row_id"))
+    capped.serveMaxSnapshotRows = 1
+    val rows = capped.getClustersLocal(bboxes(1)._2, 8).sortBy(_.id)
+    val batch = capped.getClustersLocalBatch(bboxes(1)._2, 8)
+    assert((0 until batch.size).map(batch.row).sortBy(_.id) == rows.toSeq)
+    capped.unpersist()
+  }
+
   test("a level over the snapshot cap falls back to the DataFrame path with equal rows") {
     // fresh index: the snapshot decision is made once per zoom per index
     val fresh = ClusterEngine.load(pointsDf, ClusterOptions(radius = 75.0), idCol = Some("row_id"))
