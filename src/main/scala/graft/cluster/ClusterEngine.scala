@@ -325,11 +325,19 @@ final class ClusterIndex private[cluster] (
 
   /** Q3: direct children of a cluster (arrow-cluster-engine.ts:198-226).
     * Parent pointers are explicit in the level table, so this is a pruned
-    * equality scan — no spatial candidate pass needed.
+    * equality scan — no spatial candidate pass needed. `insertionOrder`
+    * returns them sorted in the reference's own child-visit order (the
+    * `child_rank` stamps — see [[getLeaves]]); default is unordered (the
+    * reference's order is a property of its kd-tree, not a contract most
+    * callers need).
     */
-  def getChildren(clusterId: Long): Dataset[LevelRow] = {
+  def getChildren(clusterId: Long, insertionOrder: Boolean = false): Dataset[LevelRow] = {
+    require(!insertionOrder || ranksAvailable,
+      "insertionOrder needs child_rank stamps — build the exact index with " +
+        "ClusterOptions(insertionRanks = true)")
     val childZoom = ClusterId.originLevel(clusterId, numPoints)
-    levels.filter($"zoom" === childZoom && $"parent_id" === clusterId)
+    val base = levels.filter($"zoom" === childZoom && $"parent_id" === clusterId)
+    if (insertionOrder) base.orderBy($"child_rank") else base
   }
 
   /** Full hierarchy closure (the reference's cluster-structure memoization,

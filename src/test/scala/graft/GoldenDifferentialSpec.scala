@@ -44,16 +44,19 @@ class GoldenDifferentialSpec extends AnyFunSuite {
     (lvl, expansion, leafdfs)
   }
 
-  /** Reference child-visit-order DFS sequences (kdbush within order —
-    * golden's `tools/kdbush_order.mjs`, graft's [[graft.cluster.KdBushOrder]]).
+  /** Reference child-visit-order sequences (kdbush within order — golden's
+    * `tools/kdbush_order.mjs`, graft's [[graft.cluster.KdBushOrder]]):
+    * `leafdfs_ins` = DFS leaf pages, `children_ins` = direct children.
     */
-  private lazy val goldenInsertion: Map[Long, Seq[Long]] = {
+  private def goldenByTag(tag: String): Map[Long, Seq[Long]] = {
     val src = scala.io.Source.fromInputStream(
       getClass.getResourceAsStream("/golden_supercluster_500.tsv"), "UTF-8")
     val lines = try src.getLines().filterNot(_.startsWith("#")).toVector finally src.close()
-    lines.map(_.split("\t", -1)).filter(_.head == "leafdfs_ins")
+    lines.map(_.split("\t", -1)).filter(_.head == tag)
       .map(f => f(1).toLong -> f(2).split(",").map(_.toLong).toSeq).toMap
   }
+  private lazy val goldenInsertion: Map[Long, Seq[Long]] = goldenByTag("leafdfs_ins")
+  private lazy val goldenChildren: Map[Long, Seq[Long]] = goldenByTag("children_ins")
 
   private lazy val idx = {
     import spark.implicits._
@@ -138,6 +141,16 @@ class GoldenDifferentialSpec extends AnyFunSuite {
       // same membership as the id-order walk, different order
       val (_, _, leafdfs) = golden
       assert(seq.sorted == leafdfs(cid).sorted, s"membership of cluster $cid")
+    }
+  }
+
+  test("getChildren(insertionOrder) matches the reference's child-visit order") {
+    val gc = goldenChildren
+    assert(gc.nonEmpty, "golden must carry children_ins rows")
+    gc.foreach { case (cid, want) =>
+      val got = idx.getChildren(cid, insertionOrder = true)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(got == want, s"insertion-order children of cluster $cid")
     }
   }
 

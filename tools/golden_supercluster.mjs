@@ -253,6 +253,9 @@ const trees = buildTrees(levels, OPTS);
 for (const p of probes) {
   lines.push(`leafdfs\t${p.id}\t${dfsLeaves(levels, p.id, N).join(",")}`);
   lines.push(`leafdfs_ins\t${p.id}\t${dfsLeavesInsertion(levels, trees, p.id, N, OPTS).join(",")}`);
+  // direct children in the reference's child-visit order (getChildren parity)
+  lines.push(`children_ins\t${p.id}\t${childrenOfInsertion(levels, trees, p.id, N, OPTS)
+    .map((k) => k.id).join(",")}`);
 }
 
 process.stdout.write(lines.join("\n") + "\n");
