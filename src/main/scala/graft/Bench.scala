@@ -189,6 +189,25 @@ object Bench {
       } catch { case NonFatal(_) => None }
     val queryLadder: Option[Ladder] =
       if (sectionOn("query_ladder")) runLadder(200000) else None
+    // cost of the opt-in child_rank stamping (ClusterOptions.insertionRanks
+    // claims "~doubles the exact build's index work" — this measures it):
+    // the 200k exact build with and without the kd-order rank pass
+    val ranksBuild: Option[(Double, Double)] =
+      if (sectionOn("build_insertion_ranks"))
+        try {
+          import graft.cluster.{ClusterEngine => CE}
+          val pts = graft.io.SyntheticPoints.uniform(spark, 200000)
+          def buildSec(ranks: Boolean): Double = {
+            val t0 = System.nanoTime()
+            val idx = CE.load(pts,
+              ClusterOptions(radius = 75, insertionRanks = ranks), idCol = Some("row_id"))
+            idx.unpersist()
+            (System.nanoTime() - t0) / 1e9
+          }
+          buildSec(false) // warm the generator + build path once
+          Some((buildSec(false), buildSec(true)))
+        } catch { case NonFatal(_) => None }
+      else None
     // the reference's 1M-point query-speedup claim (README.md:129) — the
     // serve-mode snapshot holds 1M rows comfortably under the per-level /
     // total caps, so the interactive path stays driver-local at this size
@@ -345,9 +364,12 @@ object Bench {
     }.getOrElse("")
     val annFastJson =
       if (annFast.isEmpty) "" else s""","ann_fast":${jmap(annFast)}"""
+    val ranksBuildJson = ranksBuild.map { case (off, on) =>
+      s""","build_insertion_ranks":{"ranks_off_sec":$off,"ranks_on_sec":$on}"""
+    }.getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson,"sf":"${jstr(sfDir)}"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$ranksBuildJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson,"sf":"${jstr(sfDir)}"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(

@@ -90,6 +90,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q73 WAV pipeline: scan reads ONLY doc_id (the payload is generated, text never read)") {
+    val p = executedPlan("q73_wav_audio")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("q74 PII redaction: join-free, shuffle-only-for-sort plan") {
+    val p = executedPlan("q74_pii_redaction")
+    assert(!p.contains("Join"), "redaction must not join anything")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
   test("q70 vocabulary: top-K is distributed, not a global sort of the vocabulary") {
     val p = executedPlan("q70_vocabulary")
     assert(p.contains("TakeOrderedAndProject"),
