@@ -81,6 +81,68 @@ object ArrowIpc {
     }.count()
   }
 
+  /** Serve-mode result → Arrow IPC stream BYTES, driver-local, no Spark
+    * job — the reference's serving loop in full: its engine hands the
+    * layer/wire columnar typed arrays
+    * (arrow-cluster-engine.ts `ClusterOutput`), and this closes the same
+    * loop for graft: `getClustersLocalBatch` (primitive arrays, no Spark
+    * job) → IPC bytes a browser/deck.gl client or [[DataServer]] can ship
+    * directly. Chunked into `maxRecordsPerBatch` record batches so a
+    * multi-chunk consumer (the reference's multi-chunk tests) streams it
+    * without one giant allocation; the output is the standard stream
+    * format [[read]] ingests, so the wire round-trips into Spark too
+    * (ArrowIpcSpec proves bytes → Spark read → identical rows).
+    */
+  def writeBatchBytes(
+      batch: graft.cluster.ClusterBatch,
+      maxRecordsPerBatch: Int = 65536): Array[Byte] = {
+    import org.apache.arrow.vector.{BigIntVector, BitVector, Float8Vector}
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    import scala.jdk.CollectionConverters._
+    val i64 = FieldType.notNullable(new ArrowType.Int(64, true))
+    val f64 = FieldType.notNullable(new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE))
+    val bool = FieldType.notNullable(ArrowType.Bool.INSTANCE)
+    val schema = new Schema(List(
+      new Field("id", i64, null), new Field("lng", f64, null),
+      new Field("lat", f64, null), new Field("point_count", i64, null),
+      new Field("is_cluster", bool, null)).asJava)
+    val allocator = ArrowBridge.newChildAllocator("graft-serve-ipc")
+    val root = VectorSchemaRoot.create(schema, allocator)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = new ArrowStreamWriter(root, null,
+      java.nio.channels.Channels.newChannel(bos))
+    try {
+      writer.start()
+      val id = root.getVector("id").asInstanceOf[BigIntVector]
+      val lng = root.getVector("lng").asInstanceOf[Float8Vector]
+      val lat = root.getVector("lat").asInstanceOf[Float8Vector]
+      val pc = root.getVector("point_count").asInstanceOf[BigIntVector]
+      val ic = root.getVector("is_cluster").asInstanceOf[BitVector]
+      var off = 0
+      while (off < batch.size) {
+        val n = math.min(maxRecordsPerBatch, batch.size - off)
+        root.allocateNew()
+        var i = 0
+        while (i < n) {
+          id.setSafe(i, batch.id(off + i))
+          lng.setSafe(i, batch.lng(off + i))
+          lat.setSafe(i, batch.lat(off + i))
+          pc.setSafe(i, batch.pointCount(off + i))
+          ic.setSafe(i, if (batch.isCluster(off + i)) 1 else 0)
+          i += 1
+        }
+        root.setRowCount(n)
+        writer.writeBatch()
+        off += n
+      }
+      writer.end()
+      bos.toByteArray
+    } finally {
+      writer.close(); root.close(); allocator.close()
+    }
+  }
+
   /** Read a directory of Arrow IPC stream files; the schema comes from the
     * first file's stream header.
     */

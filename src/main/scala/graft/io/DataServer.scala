@@ -13,6 +13,14 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * the worker's fallthrough; `If-None-Match` revalidation answers 304 with
   * no body, which is what the etag exists for.
   *
+  * Optionally also serves a LIVE cluster index at
+  * `/clusters?bbox=minLng,minLat,maxLng,maxLat&zoom=z` as Arrow IPC stream
+  * bytes (`application/vnd.apache.arrow.stream`) — the reference's whole
+  * interactive loop (worker serves bytes, engine answers pan/zoom queries
+  * from typed arrays) in one process: serve-mode snapshot probe
+  * ([[graft.cluster.ClusterIndex.getClustersLocalBatch]], no Spark job) →
+  * [[ArrowIpc.writeBatchBytes]] → wire. Malformed queries are 400.
+  *
   * JDK-built-in `com.sun.net.httpserver` only — no added dependencies. This
   * is the data-DISTRIBUTION edge of the system, not the engine: at scale
   * the same role is played by object storage (`spark.read.parquet("s3a://…")`),
@@ -27,13 +35,17 @@ final class DataServer private (server: HttpServer) {
 object DataServer {
 
   /** Start serving `routes` (url path → local file path) on `port`
-    * (0 = ephemeral). Files are read per request — the server holds no
-    * file handles between requests.
+    * (0 = ephemeral), plus the live `/clusters` endpoint when an index is
+    * given. Files are read per request — the server holds no file handles
+    * between requests.
     */
-  def start(routes: Map[String, String], port: Int = 0): DataServer = {
+  def start(
+      routes: Map[String, String],
+      port: Int = 0,
+      clusterIndex: Option[graft.cluster.ClusterIndex] = None): DataServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", (exchange: HttpExchange) => {
-      try handle(exchange, routes)
+      try handle(exchange, routes, clusterIndex)
       finally exchange.close()
     })
     server.setExecutor(null) // single-threaded is plenty for a fixture server
@@ -41,8 +53,41 @@ object DataServer {
     new DataServer(server)
   }
 
-  private def handle(exchange: HttpExchange, routes: Map[String, String]): Unit = {
+  private def handleClusters(
+      exchange: HttpExchange, index: graft.cluster.ClusterIndex): Unit = {
+    val params = Option(exchange.getRequestURI.getQuery).getOrElse("")
+      .split("&").iterator.map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+    val parsed =
+      try {
+        val bbox = params.get("bbox").map(_.split(",").map(_.toDouble)).filter(_.length == 4)
+        val zoom = params.get("zoom").map(_.toInt)
+        for (b <- bbox; z <- zoom) yield ((b(0), b(1), b(2), b(3)), z)
+      } catch { case _: NumberFormatException => None }
+    parsed match {
+      case None =>
+        val body = "Bad Request: need bbox=minLng,minLat,maxLng,maxLat&zoom=z".getBytes("UTF-8")
+        exchange.sendResponseHeaders(400, body.length.toLong)
+        exchange.getResponseBody.write(body)
+      case Some((bbox, zoom)) =>
+        val bytes = ArrowIpc.writeBatchBytes(index.getClustersLocalBatch(bbox, zoom))
+        val h = exchange.getResponseHeaders
+        h.set("content-type", "application/vnd.apache.arrow.stream")
+        h.set("cache-control", "no-cache") // live query, not an immutable file
+        exchange.sendResponseHeaders(200, bytes.length.toLong)
+        exchange.getResponseBody.write(bytes)
+    }
+  }
+
+  private def handle(
+      exchange: HttpExchange,
+      routes: Map[String, String],
+      clusterIndex: Option[graft.cluster.ClusterIndex]): Unit = {
     val path = exchange.getRequestURI.getPath
+    clusterIndex match {
+      case Some(index) if path == "/clusters" => return handleClusters(exchange, index)
+      case _ => ()
+    }
     routes.get(path) match {
       case None =>
         val body = "Not Found".getBytes("UTF-8")

@@ -55,4 +55,28 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(files.length == 4)
     assert(ArrowIpc.read(spark, dir).count() == 100)
   }
+
+  test("serve-mode batch exports as IPC bytes that Spark reads back row-identical") {
+    import spark.implicits._
+    import graft.cluster.{ClusterEngine, ClusterOptions}
+    val pts = PointFixtures.uniform(500).toSeq.toDF("row_id", "lng", "lat")
+    val idx = ClusterEngine.load(pts, ClusterOptions(radius = 75.0), idCol = Some("row_id"))
+    val bbox = (-120.0, -40.0, 100.0, 70.0)
+    val batch = idx.getClustersLocalBatch(bbox, 4)
+    assert(batch.size > 0, "fixture bbox must select rows")
+    // small chunk size forces the multi-batch layout on the wire
+    val bytes = ArrowIpc.writeBatchBytes(batch, maxRecordsPerBatch = 7)
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-00000.arrows"), bytes)
+    val back = ArrowIpc.read(spark, dir)
+      .collect().map(r => graft.cluster.ClusterRow(
+        r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    assert(back.toSeq == (0 until batch.size).map(batch.row))
+    // and the wire rows are exactly what the distributed scan returns
+    val df = idx.getClusters(bbox, 4).collect().map(r => graft.cluster.ClusterRow(
+      r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))).toSet
+    assert(back.toSet == df)
+    idx.unpersist()
+  }
 }

@@ -63,4 +63,37 @@ class DataServerSpec extends AnyFunSuite {
       assert(back.agg(sum(col("v"))).collect()(0).getLong(0) == 999L * 1000L)
     } finally srv.stop()
   }
+
+  test("/clusters serves live bbox queries as Arrow IPC bytes (full serving loop)") {
+    import spark.implicits._
+    import graft.cluster.{ClusterEngine, ClusterOptions}
+    val pts = PointFixtures.uniform(500).toSeq.toDF("row_id", "lng", "lat")
+    val idx = ClusterEngine.load(pts, ClusterOptions(radius = 75.0), idCol = Some("row_id"))
+    val srv = graft.io.DataServer.start(Map.empty, clusterIndex = Some(idx))
+    try {
+      def get(query: String): (Int, String, Array[Byte]) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/clusters?$query")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val ct = Option(conn.getHeaderField("content-type")).getOrElse("")
+        val is = if (code == 200) conn.getInputStream else conn.getErrorStream
+        val bytes = is.readAllBytes(); is.close()
+        (code, ct, bytes)
+      }
+      val (code, ct, bytes) = get("bbox=-120,-40,100,70&zoom=4")
+      assert(code == 200 && ct == "application/vnd.apache.arrow.stream")
+      // wire bytes → Spark read → exactly the serve-mode rows
+      val dir = java.nio.file.Files.createTempDirectory("graft_http_ipc").toString
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-00000.arrows"), bytes)
+      val back = graft.io.ArrowIpc.read(spark, dir)
+        .collect().map(r => graft.cluster.ClusterRow(
+          r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+      val want = idx.getClustersLocal((-120.0, -40.0, 100.0, 70.0), 4)
+      assert(back.toSeq == want.toSeq && back.nonEmpty)
+      // malformed queries are 400, not 500/garbage
+      assert(get("bbox=1,2,3&zoom=4")._1 == 400)
+      assert(get("bbox=1,2,3,x&zoom=4")._1 == 400)
+      assert(get("zoom=4")._1 == 400)
+    } finally { srv.stop(); idx.unpersist() }
+  }
 }
