@@ -36,7 +36,113 @@ object PipelineOps {
 
   def all: Seq[GraftQuery] =
     Seq(trainSplit, sequencePacking, decontamination, sourceQuota,
-      gopherRepetition, vocabulary, docChunking, jsonlRoundtrip)
+      gopherRepetition, vocabulary, docChunking, jsonlRoundtrip, dupSpans)
+
+  /** Exact duplicated-span detection (the substring-level dedup of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models Better",
+    * with the suffix array replaced by fixed-width span hashing — the
+    * standard distributed approximation): every 10-token window is hashed;
+    * a window whose hash occurs ≥2 times anywhere in the corpus (within OR
+    * across documents) is a duplicated span; per document, overlapping/
+    * adjacent duplicated spans merge into maximal regions (gaps-and-islands
+    * over a per-doc window) and the report gives span/region counts and the
+    * duplicated-token fraction — the "how much of this doc is boilerplate"
+    * signal that drives span-level removal.
+    *
+    * 100 TB shape: span hashing is a map + explode (no shuffle); duplicate
+    * detection is ONE hash aggregation of the span hashes; the join-back is
+    * a hash equi-join on the same key; the island merge is a window
+    * partitioned by doc_id — per-document, never global. No all-pairs
+    * stage anywhere.
+    */
+  val dupSpans: GraftQuery = {
+    val N = 10 // span width in tokens (Lee et al. use 50 BPE tokens)
+    GraftQuery.sql(
+      "q75_dup_spans",
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, ntok, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(list_slice(tk, i, i + ${N - 1}), ' ')) AS h
+        |  FROM t, UNNEST(range(1, CAST(ntok AS INT) - ${N - 2})) AS u(i)
+        |), dup AS (
+        |  SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2
+        |), hit AS (
+        |  SELECT s.doc_id, s.ntok, s.pos, s.pos + ${N - 1} AS endp
+        |  FROM sp s JOIN dup USING (h)
+        |), isl AS (
+        |  SELECT doc_id, ntok, pos, endp,
+        |    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM (
+        |    SELECT doc_id, ntok, pos, endp,
+        |      MAX(endp) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |    FROM hit)
+        |), reg AS (
+        |  SELECT doc_id, ntok, isl,
+        |    MIN(pos) AS s, MAX(endp) AS e, COUNT(*) AS nsp
+        |  FROM isl GROUP BY doc_id, ntok, isl
+        |)
+        |SELECT doc_id,
+        |  ntok AS n_tokens,
+        |  CAST(SUM(nsp) AS BIGINT) AS n_dup_spans,
+        |  CAST(COUNT(*) AS BIGINT) AS n_regions,
+        |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+        |  CAST(SUM(e - s + 1) AS DOUBLE) / ntok AS dup_token_frac
+        |FROM reg GROUP BY doc_id, ntok
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      dupSpanReport(Tables.documents(spark, dir), N).orderBy("doc_id")
+    }
+  }
+
+  /** The q75 core on any (doc_id, text) frame: per document with at least
+    * one duplicated `n`-token span, its span/region counts and duplicated-
+    * token fraction (see [[dupSpans]] for the dataflow shape).
+    */
+  def dupSpanReport(docs: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("ntok", size(col("tk")).cast("long"))
+      .where(col("ntok") >= n)
+      .select(col("doc_id"), col("ntok"),
+        explode(transform(
+          sequence(lit(1), (col("ntok") - (n - 1)).cast("int")),
+          i => struct(
+            i.cast("long").as("pos"),
+            md5(concat_ws(" ", slice(col("tk"), i, lit(n)))
+              .cast("binary")).as("h")))).as("s"))
+      .select(col("doc_id"), col("ntok"), col("s.pos"), col("s.h"))
+    val dup = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2)
+      .select(col("h"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val hits = spans.join(dup, "h")
+      .select(col("doc_id"), col("ntok"), col("pos"),
+        (col("pos") + (n - 1)).as("endp"))
+      .withColumn("prev_end",
+        max(col("endp")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl",
+        sum(when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    hits.groupBy(col("doc_id"), col("ntok"), col("isl"))
+      .agg(min(col("pos")).as("s"), max(col("endp")).as("e"),
+        count(lit(1)).as("nsp"))
+      .groupBy(col("doc_id"), col("ntok"))
+      .agg(
+        sum(col("nsp")).as("n_dup_spans"),
+        count(lit(1)).as("n_regions"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+      .select(col("doc_id"), col("ntok").as("n_tokens"),
+        col("n_dup_spans"), col("n_regions"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("ntok")).as("dup_token_frac"))
+  }
 
   /** Deterministic content-hash train/val/test split: the split key is the
     * last md5 nibble of the TEXT (not the row id), so membership is stable

@@ -17,7 +17,8 @@ import graft.functions.VectorFunctions
 object Similarity {
 
   def all: Seq[GraftQuery] = Seq(
-    knnBruteForce, embeddingNearDup, annLsh, annIvf, embeddingQuantize, annPq)
+    knnBruteForce, embeddingNearDup, annLsh, annIvf, embeddingQuantize, annPq,
+    semDedup)
 
   /** Int8 scalar quantization of embeddings (per-vector min/max range) —
     * THE storage lever for 100 TB embedding tables (4×–8× smaller than
@@ -98,18 +99,20 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
-  /** DuckDB replay of the q47 IVF chain. Norms are precomputed per vector /
-    * centroid (same values as the per-pair recompute, ~3× less decimal
-    * work); 0-norm guards mirror Spark's NaN→-2.0 with COALESCE because
-    * DuckDB yields NULL (not NaN) for 0/0.
+  /** decimal-exact cosine from a precomputed norm² pair (mirrors
+    * VectorFunctions.cosineFromNormSq); the COALESCE guard mirrors Spark's
+    * NaN→-2.0 because DuckDB yields NULL (not NaN) for 0/0
     */
-  private def annIvfOracleSql: String = {
-    // decimal-exact cosine from a precomputed norm² pair (mirrors
-    // VectorFunctions.cosineFromNormSq)
-    def cosN(a: String, b: String, na: String, nb: String): String =
-      s"round(CAST(${dotSql(a, b)} AS DOUBLE) / (sqrt($na) * sqrt($nb)), 12)"
-    def cosGuarded(a: String, b: String, na: String, nb: String): String =
-      s"COALESCE(${cosN(a, b, na, nb)}, -2.0)"
+  private def cosGuardedSql(a: String, b: String, na: String, nb: String): String =
+    s"COALESCE(round(CAST(${dotSql(a, b)} AS DOUBLE) / (sqrt($na) * sqrt($nb)), 12), -2.0)"
+
+  /** DuckDB replay of the IVF index build (q47 AND q76 share it verbatim —
+    * both run [[AnnIvf.buildIndex]] with the same defaults): seed every
+    * stride-th vector, two Lloyd iterations of decimal per-dimension means,
+    * final nearest-centroid assignment. Ends with `asg2` (vec_id,
+    * embedding, nsq, _c) and `c2n` (_c, cv, cnsq) in scope.
+    */
+  private def ivfChainSql: String = {
     // one Lloyd step: decimal per-dimension means of `asg`, then centroid
     // norms — mirrors AnnIvf.buildIndex's groupBy of decimal sums
     def lloyd(asg: String, m: String, c: String, cn: String): String =
@@ -129,7 +132,7 @@ object Similarity {
       s"""$a AS (
          |  SELECT e.vec_id, e.embedding, e.nsq, s._c,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |      ${cosGuarded("e.embedding", "s.cv", "e.nsq", "s.cnsq")} DESC, s._c) AS crk
+         |      ${cosGuardedSql("e.embedding", "s.cv", "e.nsq", "s.cnsq")} DESC, s._c) AS crk
          |  FROM e CROSS JOIN $cn s
          |), $asg AS (SELECT vec_id, embedding, nsq, _c FROM $a WHERE crk = 1)""".stripMargin
     s"""WITH p AS (SELECT GREATEST(COUNT(*) // 16, 1) AS stride FROM embeddings),
@@ -148,7 +151,17 @@ object Similarity {
        |${lloyd("asg0", "m0", "c1", "c1n")},
        |${assignStep("c1n", "a1", "asg1")},
        |${lloyd("asg1", "m1", "c2", "c2n")},
-       |${assignStep("c2n", "a2", "asg2")},
+       |${assignStep("c2n", "a2", "asg2")}""".stripMargin
+  }
+
+  /** DuckDB replay of the q47 IVF probe/rescore on top of [[ivfChainSql]].
+    * Norms are precomputed per vector / centroid (same values as the
+    * per-pair recompute, ~3× less decimal work).
+    */
+  private def annIvfOracleSql: String = {
+    def cosGuarded(a: String, b: String, na: String, nb: String): String =
+      cosGuardedSql(a, b, na, nb)
+    s"""$ivfChainSql,
        |pr AS (
        |  SELECT e.vec_id AS query_id, e.embedding AS qv, e.nsq AS qnsq, s._c,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -171,6 +184,84 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
        |ORDER BY query_id, rk""".stripMargin
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, then deduplicate WITHIN each cluster — pairs above a
+    * cosine threshold are semantic duplicates and only the lowest-id member
+    * of each chain is kept. Clustering makes the pair stage tractable: the
+    * all-pairs comparison runs per cluster (k ≈ √n keeps clusters small),
+    * never across the corpus. Reuses q47's deterministic IVF build
+    * verbatim, so the oracle replays the identical chain; the pair scan is
+    * q29's two-phase kernel (fast double prefilter, decimal-exact rescore
+    * for survivors only).
+    *
+    * Output: one row per vector — its cluster, whether a lower-id semantic
+    * duplicate exists (`is_dup`: these rows are the ones a curation
+    * pipeline drops), which kept vector it duplicates, and the matching
+    * cosine.
+    */
+  val semDedup: GraftQuery = GraftQuery.sql(
+    "q76_semdedup", semDedupOracleSql) { (spark, dir) =>
+    semDedupFrame(Tables.embeddings(spark, dir), tau = 0.35).orderBy("vec_id")
+  }
+
+  /** The q76 core on any (vec_id, embedding) frame: one row per vector
+    * with (cluster, best_cos, dup_of, is_dup). `is_dup` rows are the ones
+    * a curation pipeline drops — a vector is a duplicate when some
+    * LOWER-id vector in its cluster matches at ≥ tau (greedy keep-lowest,
+    * deterministic under any partitioning).
+    */
+  def semDedupFrame(emb: org.apache.spark.sql.DataFrame, tau: Double): org.apache.spark.sql.DataFrame = {
+    val (indexed, _) = AnnIvf.buildIndex(emb, exactScores = true)
+    val withN = indexed.select(col("vec_id"), col("embedding"), col("_centroid"),
+      VectorFunctions.normSqExact(col("embedding")).cast("double").as("nsq"))
+    val a = withN.select(col("_centroid"), col("vec_id").as("ia"),
+      col("embedding").as("va"), col("nsq").as("na"))
+    val b = withN.select(col("_centroid"), col("vec_id").as("ib"),
+      col("embedding").as("vb"), col("nsq").as("nb"))
+    val hits = a.join(b, Seq("_centroid"))
+      .where(col("ia") < col("ib"))
+      .where(VectorFunctions.cosineApprox(col("va"), col("vb"), col("na"), col("nb")) > tau - 1e-6)
+      .select(col("ia"), col("ib"),
+        VectorFunctions.cosineFromNormSq(col("va"), col("vb"), col("na"), col("nb")).as("cs"))
+      .where(col("cs") >= tau)
+    val bw = Window.partitionBy(col("ib")).orderBy(desc("cs"), col("ia"))
+    val best = hits.withColumn("rk", row_number().over(bw))
+      .where(col("rk") === 1).select(col("ib"), col("ia"), col("cs"))
+    withN.select(col("vec_id"), col("_centroid").cast("long").as("cluster"))
+      .join(best, col("vec_id") === col("ib"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("cs"), lit(-2.0)).as("best_cos"),
+        coalesce(col("ia"), lit(-1L)).as("dup_of"),
+        coalesce(col("cs") >= tau, lit(false)).as("is_dup"))
+  }
+
+  /** DuckDB replay of q76 on top of [[ivfChainSql]]: within-cluster pairs
+    * above the threshold, best (highest-cosine, lowest-id) lower-id match
+    * per vector, left-joined back so every vector reports.
+    */
+  private def semDedupOracleSql: String =
+    s"""$ivfChainSql,
+       |pairs AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    ${cosGuardedSql("a.embedding", "b.embedding", "a.nsq", "b.nsq")} AS cs
+       |  FROM asg2 a JOIN asg2 b ON a._c = b._c AND a.vec_id < b.vec_id
+       |),
+       |hits AS (SELECT ia, ib, cs FROM pairs WHERE cs >= 0.35),
+       |best AS (
+       |  SELECT ib, ia, cs FROM (
+       |    SELECT ib, ia, cs,
+       |      ROW_NUMBER() OVER (PARTITION BY ib ORDER BY cs DESC, ia) AS rk
+       |    FROM hits) WHERE rk = 1
+       |)
+       |SELECT v.vec_id,
+       |  CAST(v._c AS BIGINT) AS cluster,
+       |  COALESCE(b.cs, -2.0) AS best_cos,
+       |  CAST(COALESCE(b.ia, -1) AS BIGINT) AS dup_of,
+       |  COALESCE(b.cs >= 0.35, FALSE) AS is_dup
+       |FROM asg2 v LEFT JOIN best b ON b.ib = v.vec_id
+       |ORDER BY v.vec_id""".stripMargin
 
   /** Product-quantization ANN: m-subspace codebooks, ADC candidate scan,
     * exact shortlist re-rank ([[AnnPq]]; recall locked by AnnPqSpec). Full

@@ -24,6 +24,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r("train")._1 > r("val")._1 && r("train")._1 > r("test")._1)
   }
 
+  test("q75: duplicated-span regions are maximal, in-bounds, and cover full-doc duplicates") {
+    val r = SparkEntry.queries("q75_dup_spans")(spark, dir).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5))).toMap
+    r.foreach { case (id, (ntok, nSpans, nRegions, dupToks, frac)) =>
+      assert(nRegions >= 1 && nRegions <= nSpans, s"doc $id region/span counts")
+      assert(dupToks >= 10 && dupToks <= ntok, s"doc $id covered tokens in bounds")
+      assert(math.abs(frac - dupToks.toDouble / ntok) == 0.0, s"doc $id fraction")
+    }
+  }
+
+  test("q75 core: planted duplicates give exact interval arithmetic") {
+    import spark.implicits._
+    val w = (a: Int, b: Int) => (a to b).map(i => s"w$i").mkString(" ")
+    // doc 0 ≡ doc 1 (full duplicate, 12 tokens); doc 2 shares exactly
+    // tokens 1..10 with doc 3 (one 10-token window each, rest unique);
+    // doc 4 is all-unique
+    val docs = Seq(
+      0L -> w(1, 12), 1L -> w(1, 12),
+      2L -> (w(100, 109) + " x1 x2 x3 x4 x5"),
+      3L -> (w(100, 109) + " y1 y2 y3 y4 y5"),
+      4L -> w(200, 215)).toDF("doc_id", "text")
+    val r = graft.operators.PipelineOps.dupSpanReport(docs, n = 10)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5))).toMap
+    assert(!r.contains(4L), "all-unique doc reports nothing")
+    // full duplicate: 3 windows, one merged region covering all 12 tokens
+    Seq(0L, 1L).foreach { id =>
+      assert(r(id) == ((12L, 3L, 1L, 12L, 1.0)), s"doc $id: ${r(id)}")
+    }
+    // partial: exactly the first window repeats → one region of 10 of 15
+    Seq(2L, 3L).foreach { id =>
+      assert(r(id) == ((15L, 1L, 1L, 10L, 10.0 / 15.0)), s"doc $id: ${r(id)}")
+    }
+  }
+
   test("q65: packing conserves tokens and bins never overflow by more than one doc") {
     val bins = SparkEntry.queries("q65_sequence_packing")(spark, dir).collect()
     val totalTokens = docs
