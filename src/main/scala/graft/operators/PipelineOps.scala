@@ -36,7 +36,120 @@ object PipelineOps {
 
   def all: Seq[GraftQuery] =
     Seq(trainSplit, sequencePacking, decontamination, sourceQuota,
-      gopherRepetition, vocabulary, docChunking, jsonlRoundtrip, dupSpans)
+      gopherRepetition, vocabulary, docChunking, jsonlRoundtrip, dupSpans,
+      bpeMerges)
+
+  /** Distributed BPE merge training (Sennrich et al. 2016) — the step that
+    * consumes q70's vocabulary: represent each distinct word as a
+    * bracketed symbol sequence `(c)(c)…`, count adjacent symbol pairs
+    * weighted by corpus word frequency, merge the most frequent pair
+    * (ties: lexicographic), repeat. Exactly how production tokenizer
+    * trainers work off an aggregated word-count table; merges are
+    * inherently sequential, so the driver loop IS the algorithm — each
+    * iteration is one vocab-sized hash aggregation plus a distributed
+    * top-1 (TakeOrderedAndProject), and the driver only ever holds the
+    * merge rows themselves. Greedy left-to-right non-overlapping merge
+    * application is exactly string `replace` on the bracketed form (both
+    * engines scan left-to-right), which is why the representation exists.
+    *
+    * `pair_freq` counts adjacent pairs (overlapping, the BPE statistic);
+    * `applied_freq` counts non-overlapping replacements actually made —
+    * they differ on runs like `aaa`.
+    */
+  val bpeMerges: GraftQuery = GraftQuery.sql(
+    "q77_bpe_merges", bpeOracleSql(4)) { (spark, dir) =>
+    bpeMergeTable(Tables.documents(spark, dir), iters = 4).orderBy("merge_rank")
+  }
+
+  /** The q77 core on any (doc_id, text) frame: one row per merge, in
+    * merge order.
+    */
+  def bpeMergeTable(docs: org.apache.spark.sql.DataFrame, iters: Int): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab0 = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(
+        concat_ws("", transform(sequence(lit(1), length(col("w"))),
+          i => concat(lit("("), col("w").substr(i, lit(1)), lit(")")))).as("s"),
+        col("freq"))
+      .persist()
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long, Long)]
+    try {
+      vocab0.count(): Unit // materialize once; iterations re-read the cache
+      var cur: org.apache.spark.sql.DataFrame = vocab0
+      var t = 1
+      var exhausted = false
+      while (t <= iters && !exhausted) {
+        val sym = split(col("s").substr(lit(2), length(col("s")) - 2), "\\)\\(")
+        val pairs = cur.select(sym.as("sym"), col("freq"))
+          .where(size(col("sym")) >= 2)
+          .select(col("freq"), explode(transform(
+            sequence(lit(1), size(col("sym")) - 1),
+            i => struct(
+              element_at(col("sym"), i).as("lhs"),
+              element_at(col("sym"), i + 1).as("rhs")))).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("freq")).as("cnt"))
+        val best = pairs.orderBy(desc("cnt"), col("lhs"), col("rhs")).limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          val ap = cur.select(col("freq"), col("s"),
+            replace(col("s"), lit(s"($l)($r)"), lit(s"($l$r)")).as("sn"))
+          val applied = ap
+            .agg(sum(col("freq") *
+              ((length(col("s")) - length(col("sn"))) / 2).cast("long")))
+            .collect()(0).getLong(0)
+          rows += ((t.toLong, l, r, l + r, cnt, applied))
+          cur = ap.select(col("sn").as("s"), col("freq"))
+          t += 1
+        }
+      }
+    } finally vocab0.unpersist(): Unit
+    rows.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq", "applied_freq")
+  }
+
+  /** DuckDB replay of q77: the same symbolize → count → argmax → replace
+    * chain as `iters` CTE blocks.
+    */
+  private def bpeOracleSql(iters: Int): String = {
+    def block(t: Int): String = {
+      val prev = s"s${t - 1}"
+      s"""p$t AS (
+         |  SELECT sym[i] AS lhs, sym[i+1] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(s[2:len(s)-1], ')(') AS sym, freq FROM $prev),
+         |       UNNEST(range(1, len(sym))) AS u(i)
+         |  GROUP BY lhs, rhs
+         |), b$t AS (SELECT lhs, rhs, cnt FROM p$t ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |a$t AS (
+         |  SELECT s.freq, s.s AS so,
+         |    replace(s.s, '(' || b.lhs || ')(' || b.rhs || ')',
+         |            '(' || b.lhs || b.rhs || ')') AS sn
+         |  FROM $prev s CROSS JOIN b$t b
+         |),
+         |s$t AS (SELECT sn AS s, freq FROM a$t),
+         |m$t AS (
+         |  SELECT CAST($t AS BIGINT) AS merge_rank, b.lhs, b.rhs,
+         |    b.lhs || b.rhs AS merged, b.cnt AS pair_freq,
+         |    (SELECT CAST(SUM(freq * ((len(so) - len(sn)) // 2)) AS BIGINT)
+         |     FROM a$t) AS applied_freq
+         |  FROM b$t b
+         |)""".stripMargin
+    }
+    s"""WITH v0 AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w
+       |), s0 AS (
+       |  SELECT array_to_string(list_transform(range(1, len(w) + 1),
+       |    i -> '(' || w[i] || ')'), '') AS s, freq
+       |  FROM v0
+       |),
+       |${(1 to iters).map(block).mkString(",\n")}
+       |SELECT * FROM (${(1 to iters).map(t => s"SELECT * FROM m$t").mkString(" UNION ALL ")})
+       |ORDER BY merge_rank""".stripMargin
+  }
 
   /** Exact duplicated-span detection (the substring-level dedup of Lee et
     * al. 2021, "Deduplicating Training Data Makes Language Models Better",

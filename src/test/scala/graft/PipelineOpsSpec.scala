@@ -60,6 +60,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q77 core: the classic BPE example trains the textbook merge sequence") {
+    import spark.implicits._
+    // Sennrich et al.'s worked example: low×5, lower×2, newest×6, widest×3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq(0L -> text).toDF("doc_id", "text")
+    val r = graft.operators.PipelineOps.bpeMergeTable(docs, iters = 4)
+      .orderBy("merge_rank").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getString(3),
+        x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      (1L, "e", "s", "es", 9L, 9L),
+      (2L, "es", "t", "est", 9L, 9L),
+      (3L, "l", "o", "lo", 7L, 7L),
+      (4L, "lo", "w", "low", 7L, 7L)))
+  }
+
+  test("q77 core: runs count pairs overlapping but apply merges non-overlapping") {
+    import spark.implicits._
+    val docs = Seq(0L -> "aaaa").toDF("doc_id", "text")
+    val r = graft.operators.PipelineOps.bpeMergeTable(docs, iters = 1).collect()
+    assert(r.length == 1)
+    // 'aaaa' has 3 adjacent (a,a) pairs but greedy left-to-right replaces 2
+    assert((r(0).getLong(4), r(0).getLong(5)) == ((3L, 2L)))
+  }
+
   test("q65: packing conserves tokens and bins never overflow by more than one doc") {
     val bins = SparkEntry.queries("q65_sequence_packing")(spark, dir).collect()
     val totalTokens = docs
