@@ -174,66 +174,59 @@ object GridHierarchy {
       val cellId = (shiftleft(shiftleft(cellX, 27).bitwiseOR(cellY.bitwiseAND(lit((1L << 27) - 1))), 5)
         .bitwiseOR(lit((z + 1).toLong))) + totalPoints
 
-      val agg = prev
+      // ONE shuffle+sort per pass: per-cell aggregates as window functions
+      // over the cell key, so the SAME exchange yields (a) the parent/rank
+      // stamps every member row needs for the emitted level and (b) the
+      // per-cell sums the next level's record needs — the groupBy + later
+      // window formulation shuffled every level twice (the window pass
+      // deferred to the final union materialization, re-shuffling `prev`
+      // after its checkpoint was already paid). Measured at sf0.1 (focused
+      // q44, local[32]): 12.6 s two-shuffle → see BENCH.md round-6 note.
+      // A multi-member cell always fuses (minPoints <= 2 enforced above).
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("_cell_id"))
+      val wOrd = wc.orderBy(col("id"))
+      val wide = prev
         .withColumn("_cell_id", cellId)
-        .groupBy(col("_cell_id"))
-        .agg(
-          count(lit(1)).as("_n_members"),
-          sum(col("point_count")).as("point_count"),
-          // f32-quantized weighted centroid (reference precision contract,
-          // SURVEY §1.3) — also absorbs cross-engine/cross-partitioning
-          // float-summation-order noise, keeping the build oracle-checkable
-          Mercator.froundCol(
-            sum(col("mx") * col("point_count")) / sum(col("point_count"))).as("_cmx"),
-          Mercator.froundCol(
-            sum(col("my") * col("point_count")) / sum(col("point_count"))).as("_cmy"),
-          min(col("id")).as("_single_id"),
-          min(col("mx")).as("_single_mx"),
-          min(col("my")).as("_single_my"),
-          min(col("lng")).as("_single_lng"),
-          min(col("lat")).as("_single_lat"),
-          min(col("is_cluster")).as("_single_is_cluster"))
+        .withColumn("_n_in_cell", count(lit(1)).over(wc))
+        .withColumn("_sum_cnt", sum(col("point_count")).over(wc))
+        // f32-quantized weighted centroid (reference precision contract,
+        // SURVEY §1.3) — fround also absorbs float-summation-order noise
+        // (window vs hash-agg vs DuckDB fold), keeping the build
+        // oracle-checkable under ANY execution order
+        .withColumn("_sum_wx", sum(col("mx") * col("point_count")).over(wc))
+        .withColumn("_sum_wy", sum(col("my") * col("point_count")).over(wc))
+        .withColumn("_rn", row_number().over(wOrd))
+        // localCheckpoint TRUNCATES the lineage — 17 chained levels would
+        // otherwise grow the logical plan exponentially (SURVEY §7.5 #3).
+        // Cadence was MEASURED at sf0.1 (q44, local[32]): every level
+        // 15.8 s, every 3rd 22 s, every 6th 48 s, never 63 s — the
+        // un-checkpointed chains recompute for every consumer and dwarf the
+        // barrier cost, so EVERY level is checkpointed; the emitted level
+        // below rides the same checkpoint (a pure projection of `wide`), so
+        // the final union replays NO shuffle.
+        .localCheckpoint()
 
-      val isFused = col("_n_members") >= 2
-      val nextPlan = agg.select(
-        when(isFused, col("_cell_id")).otherwise(col("_single_id")).as("id"),
-        when(isFused, col("_cmx")).otherwise(col("_single_mx")).as("mx"),
-        when(isFused, col("_cmy")).otherwise(col("_single_my")).as("my"),
-        when(isFused, Mercator.xLngCol(col("_cmx"))).otherwise(col("_single_lng")).as("lng"),
-        when(isFused, Mercator.yLatCol(col("_cmy"))).otherwise(col("_single_lat")).as("lat"),
-        col("point_count"),
-        when(isFused, lit(true)).otherwise(col("_single_is_cluster")).as("is_cluster"))
-      // localCheckpoint TRUNCATES the lineage — 17 chained levels would
-      // otherwise grow the logical plan exponentially (SURVEY §7.5 #3).
-      // Cadence was MEASURED at sf0.1 (q44, local[32]): every level 15.8 s,
-      // every 3rd 22 s, every 6th 48 s, never 63 s — the un-checkpointed agg
-      // chains recompute for every consumer and dwarf the barrier cost, so
-      // EVERY level is checkpointed. (A lazy RDD-rebase + persist was also
-      // measured slower: eager checkpoints keep consumers on codegen'd
-      // cached blocks.)
-      val next = nextPlan.localCheckpoint()
+      val isFused = col("_n_in_cell") >= 2
+      levels += wide.select(
+        lit(z + 1).as("zoom"), col("mx"), col("my"), col("id"),
+        when(isFused, col("_cell_id")).otherwise(lit(-1L)).as("parent_id"),
+        col("point_count"), col("is_cluster"), col("lng"), col("lat"),
+        // grid mode has no insertion order; ascending id IS its child
+        // order, so the rank is the id on exactly the stamped rows
+        when(isFused, col("id")).otherwise(lit(-1L)).as("child_rank"))
 
-      // stamp parent edges on the CURRENT level: a record's parent is its
-      // own cell id iff the cell fused (>= 2 members — minPoints <= 2 is
-      // enforced above, so a multi-member cell ALWAYS fuses). A window count
-      // over the cell key answers that in the same single hash-shuffle the
-      // aggregation uses — no join against the next level needed, and no
-      // broadcast whose build side grows with the cluster count at scale
-      val memberCount = count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("_cell_id")))
-      val emitted = prev
-        .withColumn("_cell_id", cellId)
-        .withColumn("_n_in_cell", memberCount)
-        .select(
-          lit(z + 1).as("zoom"), col("mx"), col("my"), col("id"),
-          when(col("_n_in_cell") >= 2, col("_cell_id")).otherwise(lit(-1L)).as("parent_id"),
-          col("point_count"), col("is_cluster"), col("lng"), col("lat"),
-          // grid mode has no insertion order; ascending id IS its child
-          // order, so the rank is the id on exactly the stamped rows
-          when(col("_n_in_cell") >= 2, col("id")).otherwise(lit(-1L)).as("child_rank"))
-      levels += emitted
-
-      prev = next
+      // next level: one record per cell — the fused cluster, or the single
+      // member unchanged (its own row IS the representative, _rn = 1)
+      val cmx = Mercator.froundCol(col("_sum_wx") / col("_sum_cnt"))
+      val cmy = Mercator.froundCol(col("_sum_wy") / col("_sum_cnt"))
+      prev = wide.where(col("_rn") === 1).select(
+        when(isFused, col("_cell_id")).otherwise(col("id")).as("id"),
+        when(isFused, cmx).otherwise(col("mx")).as("mx"),
+        when(isFused, cmy).otherwise(col("my")).as("my"),
+        when(isFused, Mercator.xLngCol(cmx)).otherwise(col("lng")).as("lng"),
+        when(isFused, Mercator.yLatCol(cmy)).otherwise(col("lat")).as("lat"),
+        col("_sum_cnt").as("point_count"),
+        when(isFused, lit(true)).otherwise(col("is_cluster")).as("is_cluster"))
       z -= 1
     }
     levels += prev.select(
