@@ -726,7 +726,9 @@ object ClusterEngine {
       idCol: String = "row_id"): ClusterIndex = {
     val spark = points.sparkSession
     import spark.implicits._
-    val levels = GridHierarchy.build(points, opts, lngCol, latCol, idCol).as[LevelRow]
+    // MortonHierarchy ≡ GridHierarchy bit-for-bit (MortonHierarchySpec),
+    // in ONE range shuffle instead of one shuffle per level
+    val levels = MortonHierarchy.build(points, opts, lngCol, latCol, idCol).as[LevelRow]
     val total = levels.filter($"zoom" === opts.maxZoom + 1).count()
     // grid mode always stamps child_rank (= id: its documented child order)
     new ClusterIndex(levels, total, opts, ranksAvailable = true)

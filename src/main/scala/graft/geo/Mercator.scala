@@ -39,17 +39,22 @@ object Mercator {
 
   def lngX(lng: Double): Double = lng / 360.0 + 0.5
 
+  // The scalar mirrors replicate the Column codegen BIT-EXACTLY: same
+  // association (constants folded the way Catalyst folds them) and the
+  // same intrinsics — Spark's `exp`/`log` lower to StrictMath, its
+  // `sin`/`atan` to Math, and `radians` to Math.toRadians.
+
   def latY(lat: Double): Double = {
-    val s = math.sin(lat * math.Pi / 180.0)
-    val y = 0.5 - 0.25 * math.log((1.0 + s) / (1.0 - s)) / math.Pi
+    val s = Math.sin(Math.toRadians(lat))
+    val y = 0.5 - 0.25 * StrictMath.log((1.0 + s) / (1.0 - s)) / math.Pi
     if (y < 0.0) 0.0 else if (y > 1.0) 1.0 else y
   }
 
   def xLng(x: Double): Double = (x - 0.5) * 360.0
 
   def yLat(y: Double): Double = {
-    val y2 = (180.0 - y * 360.0) * math.Pi / 180.0
-    360.0 * math.atan(math.exp(y2)) / math.Pi - 90.0
+    val y2 = (180.0 - y * 360.0) * (math.Pi / 180.0)
+    360.0 * Math.atan(StrictMath.exp(y2)) / math.Pi - 90.0
   }
 
   def fround(d: Double): Double = d.toFloat.toDouble

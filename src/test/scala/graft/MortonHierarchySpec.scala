@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cluster.{ClusterOptions, GridHierarchy, MortonHierarchy}
+
+/** The single-shuffle Morton build must reproduce the per-level fold
+  * EXACTLY — same ids, parents, counts, stamps, and (fround-quantized)
+  * positions — on every fixture and at every partitioning. The per-level
+  * [[GridHierarchy]] is kept as the executable spec of the semantics.
+  */
+class MortonHierarchySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def canon(df: DataFrame) =
+    df.select("zoom", "id", "parent_id", "point_count", "is_cluster",
+      "mx", "my", "lng", "lat", "child_rank")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getLong(9)))
+      .sortBy(t => (t._1, t._2, t._3))
+
+  private def pts(parts: Int): DataFrame = {
+    val p = graft.operators.Spatial.pointsDf(spark, dir)
+    if (parts <= 0) p else p.repartition(parts)
+  }
+
+  test("morton build ≡ per-level fold on the sf0.001 fixture") {
+    val a = canon(GridHierarchy.build(pts(0), idCol = "event_id"))
+    val b = canon(MortonHierarchy.build(pts(0), idCol = "event_id"))
+    assert(a.length == b.length, s"row counts: ${a.length} vs ${b.length}")
+    a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x == y, s"row $i differs: $x vs $y")
+    }
+  }
+
+  test("partition-count invariance: 1, 3, and 32 input partitions agree") {
+    val ref = canon(MortonHierarchy.build(pts(1), idCol = "event_id"))
+    Seq(3, 32).foreach { parts =>
+      val got = canon(MortonHierarchy.build(pts(parts), idCol = "event_id"))
+      assert(ref.length == got.length, s"parts=$parts row count")
+      ref.zip(got).zipWithIndex.foreach { case ((x, y), i) =>
+        assert(x == y, s"parts=$parts row $i differs: $x vs $y")
+      }
+    }
+  }
+
+  test("degenerate fixtures: identical points, single point, empty") {
+    import spark.implicits._
+    // 50 identical points + 3 spread: everything driver/boundary-adjacent
+    val same = (0L until 50L).map(i => (i, 10.0, 10.0)) ++
+      Seq((50L, -120.0, 33.0), (51L, 139.7, 35.6), (52L, 2.35, 48.85))
+    val df = same.toDF("row_id", "lng", "lat")
+    val a = canon(GridHierarchy.build(df.repartition(4)))
+    val b = canon(MortonHierarchy.build(df.repartition(4)))
+    assert(a.toSeq == b.toSeq)
+
+    val one = Seq((0L, 1.0, 2.0)).toDF("row_id", "lng", "lat")
+    assert(canon(GridHierarchy.build(one)).toSeq ==
+      canon(MortonHierarchy.build(one)).toSeq)
+
+    val none = Seq.empty[(Long, Double, Double)].toDF("row_id", "lng", "lat")
+    assert(MortonHierarchy.build(none).count() == 0)
+  }
+
+  test("non-default zoom window and antimeridian points agree across builds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 400L).map { i =>
+      (i, rnd.nextDouble() * 360.0 - 180.0, rnd.nextDouble() * 160.0 - 80.0)
+    }.toDF("row_id", "lng", "lat")
+    val opts = ClusterOptions(minZoom = 2, maxZoom = 9)
+    val a = canon(GridHierarchy.build(df.repartition(5), opts))
+    val b = canon(MortonHierarchy.build(df.repartition(5), opts))
+    assert(a.toSeq == b.toSeq)
+  }
+}
