@@ -20,7 +20,80 @@ object TextOps {
   def all: Seq[GraftQuery] = Seq(
     tokenStats, qualityScores, langId, fingerprints, exactDedup,
     minhashSignatures, ngramJaccardPairs, simhash, minhashLshPairs,
-    bpeAndRollingHash, nearDupComponents, curationPipeline)
+    bpeAndRollingHash, nearDupComponents, curationPipeline, bm25)
+
+  /** BM25 retrieval scoring (Robertson/Spärck Jones; k1 = 1.2, b = 0.75)
+    * for a fixed 3-term query — the ranking function every RAG / search
+    * stack runs over a corpus. Corpus statistics (document frequency per
+    * term, average document length) come from one scan; they are tiny and
+    * broadcast back, so scoring is a second single scan with no shuffle
+    * wider than the per-doc term-frequency aggregation. Scores round at
+    * 12 decimals before ranking, the same cross-engine determinism lever
+    * as the cosine kernels (ln/divide ULPs differ between engines).
+    */
+  val bm25: GraftQuery = {
+    val terms = Seq("table", "spark", "merge")
+    val termsSql = terms.map(t => s"'$t'").mkString(", ")
+    GraftQuery.sql(
+      "q78_bm25",
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents
+        |), n AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+        |tf AS (
+        |  SELECT doc_id, w AS term, COUNT(*) AS tf, MIN(dl) AS dl
+        |  FROM (SELECT doc_id, dl, unnest(tk) AS w FROM d)
+        |  WHERE w IN ($termsSql)
+        |  GROUP BY doc_id, w
+        |), df AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    SUM(
+        |      ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / n.avgdl))
+        |    ) AS score,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |  GROUP BY tf.doc_id
+        |)
+        |SELECT doc_id, round(score, 12) AS score, n_terms_hit,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY round(score, 12) DESC, doc_id)
+        |    AS BIGINT) AS rk
+        |FROM scored
+        |ORDER BY rk LIMIT 20""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .withColumn("dl", size(col("tk")).cast("long"))
+      val stats = d.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val tf = d
+        .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+        .where(col("term").isin(terms: _*))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(df), "term")
+        .join(broadcast(stats))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+              * (col("tf") * 2.2)
+              / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+          ).as("score"),
+          count(lit(1)).as("n_terms_hit"))
+      scored
+        .select(col("doc_id"), round(col("score"), 12).as("score"), col("n_terms_hit"))
+        .orderBy(desc("score"), col("doc_id")).limit(20)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
+        .orderBy("rk")
+    }
+  }
 
   private val Stop = DefaultStopwords.map(s => s"'$s'").mkString(", ")
 

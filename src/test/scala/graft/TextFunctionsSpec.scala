@@ -13,6 +13,24 @@ class TextFunctionsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("q78 BM25: every hit contains a query term; ranks dense; scores positive, non-increasing") {
+    val r = SparkEntry.queries("q78_bm25")(spark, "/root/testdata/sf0.001").collect()
+    assert(r.nonEmpty && r.length <= 20)
+    assert(r.map(_.getLong(3)).toSeq == (1L to r.length))
+    val scores = r.map(_.getDouble(1))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(r.forall { x => val h = x.getLong(2); h >= 1 && h <= 3 })
+    val terms = Set("table", "spark", "merge")
+    val texts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    r.foreach { x =>
+      val id = x.getLong(0)
+      assert(texts(id).split(" ").exists(terms), s"doc $id lacks all query terms")
+    }
+  }
+
   test("ShingleBandMins equals the declarative shingle→md5→rotate→min chain") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
