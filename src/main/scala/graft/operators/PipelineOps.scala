@@ -37,7 +37,65 @@ object PipelineOps {
   def all: Seq[GraftQuery] =
     Seq(trainSplit, sequencePacking, decontamination, sourceQuota,
       gopherRepetition, vocabulary, docChunking, jsonlRoundtrip, dupSpans,
-      bpeMerges)
+      bpeMerges, mixtureSampling)
+
+  /** Deterministic corpus-mixture sampling: each source is kept at its
+    * target rate (the Pile/LLaMA-style mixture weighting step) by
+    * comparing a 16-bit content-hash uniform against an INTEGER threshold
+    * — membership is a pure integer comparison on md5 nibbles (the q64
+    * trick widened to 4 nibbles), so the sample is stable under
+    * re-partitioning, re-ingestion, and engine choice, with zero float
+    * risk. One scan, one tiny per-source aggregation.
+    */
+  val mixtureSampling: GraftQuery = {
+    // src0 keeps everything; src1–4 half; src5–9 quarter; the long tail an eighth
+    val rateSql =
+      """CASE WHEN source = 'src0' THEN 65536
+        |     WHEN source IN ('src1','src2','src3','src4') THEN 32768
+        |     WHEN source IN ('src5','src6','src7','src8','src9') THEN 16384
+        |     ELSE 8192 END""".stripMargin
+    GraftQuery.sql(
+      "q79_mixture_sampling",
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS ntok,
+        |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+        |      + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS u16,
+        |    $rateSql AS threshold
+        |  FROM documents
+        |)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN u16 < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN u16 < threshold THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  CAST(SUM(CASE WHEN u16 < threshold THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS keep_rate,
+        |  CAST(SUM(CASE WHEN u16 < threshold THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+        |FROM t GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      def nib(i: Int) =
+        expr(s"instr('0123456789abcdef', substring(md5(cast(text as binary)), $i, 1))") - 1
+      val u16 = nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+      val threshold = when(col("source") === "src0", 65536)
+        .when(col("source").isin("src1", "src2", "src3", "src4"), 32768)
+        .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 16384)
+        .otherwise(8192)
+      val kept = (col("u16") < col("threshold")).cast("long")
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("ntok"),
+          u16.as("u16"), threshold.as("threshold"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(kept).as("n_kept"),
+          sum(kept * col("ntok")).as("kept_tokens"),
+          (sum(kept).cast("double") / count(lit(1))).as("keep_rate"),
+          sum(kept * col("doc_id")).as("id_checksum"))
+        .orderBy("source")
+    }
+  }
 
   /** Distributed BPE merge training (Sennrich et al. 2016) — the step that
     * consumes q70's vocabulary: represent each distinct word as a

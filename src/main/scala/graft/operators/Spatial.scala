@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.{GraftQuery, Tables}
-import graft.cluster.{ClusterEngine, ClusterIndex, ClusterOptions, GridHierarchy}
+import graft.cluster.{ClusterEngine, ClusterIndex, ClusterOptions}
 import graft.geo.Mercator
 import graft.style.Style
 

@@ -86,6 +86,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert((r(0).getLong(4), r(0).getLong(5)) == ((3L, 2L)))
   }
 
+  test("q79: mixture sampling tracks target rates and is partitioning-stable") {
+    val rows = SparkEntry.queries("q79_mixture_sampling")(spark, dir).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getDouble(4), x.getLong(5)))
+    val byScr = rows.toMap
+    def target(s: String): Double = s match {
+      case "src0" => 1.0
+      case "src1" | "src2" | "src3" | "src4" => 0.5
+      case "src5" | "src6" | "src7" | "src8" | "src9" => 0.25
+      case _ => 0.125
+    }
+    byScr.foreach { case (s, (n, k, rate, _)) =>
+      assert(k <= n)
+      assert(rate == k.toDouble / n)
+      // 16-bit uniform over n docs: allow generous binomial slack
+      val t = target(s)
+      assert(math.abs(rate - t) <= 4.0 * math.sqrt(t * (1 - t) / n) + 1e-9,
+        s"source $s realized $rate vs target $t over $n docs")
+    }
+    assert(byScr("src0")._3 == 1.0, "src0 keeps everything")
+    // determinism: re-running over a different partitioning is identical
+    val again = SparkEntry.queries("q79_mixture_sampling")(spark, dir).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getDouble(4), x.getLong(5)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("q65: packing conserves tokens and bins never overflow by more than one doc") {
     val bins = SparkEntry.queries("q65_sequence_packing")(spark, dir).collect()
     val totalTokens = docs
