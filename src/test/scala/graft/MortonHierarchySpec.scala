@@ -49,6 +49,35 @@ class MortonHierarchySpec extends AnyFunSuite {
     }
   }
 
+  test("the build shuffles each record at most once (the single-shuffle claim)") {
+    val sc = spark.sparkContext
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleRecords.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten): Unit
+      }
+    }
+    val p = pts(0)
+    val n = p.count()
+    sc.addSparkListener(listener)
+    try {
+      MortonHierarchy.build(p, idCol = "event_id").count()
+      // listener events deliver asynchronously — wait until the count
+      // stops moving (the bus drains in well under a second when idle)
+      var prev = -1L
+      var spins = 0
+      while (shuffleRecords.get() != prev && spins < 40) {
+        prev = shuffleRecords.get(); spins += 1; Thread.sleep(250)
+      }
+    } finally sc.removeSparkListener(listener)
+    val written = shuffleRecords.get()
+    // one range shuffle of the n base records plus small aggregation
+    // partials; the per-level fold re-shuffles the corpus ~12× here
+    assert(written <= (n * 1.5).toLong + 1000,
+      s"build shuffled $written records for $n inputs — more than one pass")
+  }
+
   test("degenerate fixtures: identical points, single point, empty") {
     import spark.implicits._
     // 50 identical points + 3 spread: everything driver/boundary-adjacent
