@@ -37,7 +37,61 @@ object PipelineOps {
   def all: Seq[GraftQuery] =
     Seq(trainSplit, sequencePacking, decontamination, sourceQuota,
       gopherRepetition, vocabulary, docChunking, jsonlRoundtrip, dupSpans,
-      bpeMerges, mixtureSampling)
+      bpeMerges, mixtureSampling, bpeEncode)
+
+  /** BPE tokenizer APPLICATION — q77's other half: train the 4-merge
+    * table, then encode every document with it and report per-doc token
+    * counts and the compression the merges bought. Training collects only
+    * the 4 merge rows; encoding is a PURE MAP over exploded words (the 4
+    * merges apply as literal chained `replace`s — no join, no broadcast
+    * table, codegen-friendly) followed by one per-doc aggregation. This
+    * is the shape a 100 TB tokenization pass actually wants: merges are
+    * driver-side constants, the corpus is touched once.
+    */
+  val bpeEncode: GraftQuery = GraftQuery.sql(
+    "q80_bpe_encode",
+    s"""${bpeChainSql(4)},
+      |wrd AS (
+      |  SELECT doc_id, array_to_string(list_transform(range(1, len(w) + 1),
+      |    i -> '(' || w[i] || ')'), '') AS s0, len(w) AS wlen
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |), enc AS (
+      |  SELECT doc_id, wlen,
+      |    replace(replace(replace(replace(s0,
+      |      '(' || b1.lhs || ')(' || b1.rhs || ')', '(' || b1.lhs || b1.rhs || ')'),
+      |      '(' || b2.lhs || ')(' || b2.rhs || ')', '(' || b2.lhs || b2.rhs || ')'),
+      |      '(' || b3.lhs || ')(' || b3.rhs || ')', '(' || b3.lhs || b3.rhs || ')'),
+      |      '(' || b4.lhs || ')(' || b4.rhs || ')', '(' || b4.lhs || b4.rhs || ')') AS s
+      |  FROM wrd CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3 CROSS JOIN b4
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(wlen) AS BIGINT) AS n_chars,
+      |  CAST(SUM(len(string_split(s[2:len(s)-1], ')('))) AS BIGINT) AS n_tokens_bpe,
+      |  CAST(SUM(wlen) AS DOUBLE)
+      |    / SUM(len(string_split(s[2:len(s)-1], ')('))) AS compression
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeMergeTable(docs, iters = 4)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val w = col("w")
+    val s0 = concat_ws("", transform(sequence(lit(1), length(w)),
+      i => concat(lit("("), w.substr(i, lit(1)), lit(")"))))
+    val encoded = merges.foldLeft(s0) { case (c, (l, r)) =>
+      replace(c, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+    val nTok = size(split(encoded.substr(lit(2), length(encoded) - 2), "\\)\\("))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), length(w).cast("long").as("wlen"), nTok.cast("long").as("ntok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("wlen")).as("n_chars"),
+        sum(col("ntok")).as("n_tokens_bpe"),
+        (sum(col("wlen")).cast("double") / sum(col("ntok"))).as("compression"))
+      .orderBy("doc_id")
+  }
 
   /** Deterministic corpus-mixture sampling: each source is kept at its
     * target rate (the Pile/LLaMA-style mixture weighting step) by
@@ -168,10 +222,12 @@ object PipelineOps {
     rows.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq", "applied_freq")
   }
 
-  /** DuckDB replay of q77: the same symbolize → count → argmax → replace
-    * chain as `iters` CTE blocks.
+  /** The q77 merge-training WITH-chain (shared by q77 and q80's oracles):
+    * symbolize → count → argmax → replace, one CTE block per iteration.
+    * Leaves `b1..b{iters}` (the merges) and `m1..m{iters}` (report rows)
+    * in scope.
     */
-  private def bpeOracleSql(iters: Int): String = {
+  private def bpeChainSql(iters: Int): String = {
     def block(t: Int): String = {
       val prev = s"s${t - 1}"
       s"""p$t AS (
@@ -204,10 +260,14 @@ object PipelineOps {
        |    i -> '(' || w[i] || ')'), '') AS s, freq
        |  FROM v0
        |),
-       |${(1 to iters).map(block).mkString(",\n")}
+       |${(1 to iters).map(block).mkString(",\n")}""".stripMargin
+  }
+
+  /** DuckDB replay of q77 on top of [[bpeChainSql]]. */
+  private def bpeOracleSql(iters: Int): String =
+    s"""${bpeChainSql(iters)}
        |SELECT * FROM (${(1 to iters).map(t => s"SELECT * FROM m$t").mkString(" UNION ALL ")})
        |ORDER BY merge_rank""".stripMargin
-  }
 
   /** Exact duplicated-span detection (the substring-level dedup of Lee et
     * al. 2021, "Deduplicating Training Data Makes Language Models Better",

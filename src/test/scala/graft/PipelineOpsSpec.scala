@@ -111,6 +111,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("q80: encode conserves symbols against q77's applied merge counts") {
+    val enc = SparkEntry.queries("q80_bpe_encode")(spark, dir).collect()
+    enc.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "BPE never increases token count")
+      assert(r.getLong(3) >= r.getLong(1), "at least one token per word survives")
+      assert(r.getDouble(4) >= 1.0)
+    }
+    // every merge application removes exactly one symbol, so the corpus-wide
+    // reduction must equal the sum of q77's applied_freq column
+    val reduced = enc.map(r => r.getLong(2) - r.getLong(3)).sum
+    val applied = SparkEntry.queries("q77_bpe_merges")(spark, dir).collect()
+      .map(_.getLong(5)).sum
+    assert(reduced == applied,
+      s"corpus symbol reduction $reduced != total applied merges $applied")
+  }
+
   test("q65: packing conserves tokens and bins never overflow by more than one doc") {
     val bins = SparkEntry.queries("q65_sequence_packing")(spark, dir).collect()
     val totalTokens = docs
