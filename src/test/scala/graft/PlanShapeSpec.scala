@@ -57,6 +57,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("q75 dup-spans: span-hash joins are equi-joins, windows per-document") {
+    val p = executedPlan("q75_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q76 semdedup: the pair stage joins on the cluster key, never all-pairs") {
+    val p = executedPlan("q76_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "within-cluster pairs must come from an equi-join on _centroid")
+  }
+
+  test("q78 bm25: corpus stats broadcast; the top-20 cut is distributed") {
+    val p = executedPlan("q78_bm25")
+    assert(!p.contains("CartesianProduct"))
+    // the 1-row stats frame and the 3-row df frame must be broadcast sides
+    assert("Broadcast".r.findAllIn(p).size >= 2, "df and avgdl/n_docs broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not globally sort")
+  }
+
   test("q69 repetition stats: hash joins on doc_id only, no cartesian product") {
     val p = executedPlan("q69_gopher_repetition")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
