@@ -20,7 +20,81 @@ object TextOps {
   def all: Seq[GraftQuery] = Seq(
     tokenStats, qualityScores, langId, fingerprints, exactDedup,
     minhashSignatures, ngramJaccardPairs, simhash, minhashLshPairs,
-    bpeAndRollingHash, nearDupComponents, curationPipeline, bm25)
+    bpeAndRollingHash, nearDupComponents, curationPipeline, bm25,
+    bigramPerplexity)
+
+  /** Per-document perplexity under a bigram LM trained on the corpus
+    * itself — the CCNet-style LM quality filter, self-contained so the
+    * whole train+score chain is oracle-checkable (no external model).
+    * Add-0.5 smoothing over the corpus vocabulary. Corpus uni/bigram
+    * counts are vocab-bounded aggregations; scoring joins each document's
+    * bigrams against them (hash equi-joins, broadcastable when the vocab
+    * is small, hash-shuffled when it isn't) and sums log-probabilities in
+    * DECIMAL — order-independent, so the score is identical under any
+    * partitioning; the average log-prob rounds at 12 decimals. (No exp()
+    * in the output: IEEE only guarantees correct rounding for the basic
+    * arithmetic ops and sqrt, so engines' exp implementations differ by
+    * 1 ULP on identical inputs and a perplexity column would flip
+    * round-12 hashes; perplexity is monotone in avg_logprob, so the
+    * filter quality band is computed from the rounded log-prob directly.)
+    */
+  val bigramPerplexity: GraftQuery = GraftQuery.sql(
+    "q81_bigram_perplexity",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), uni AS (
+      |  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+      |    SELECT unnest(tk) AS w1 FROM w) GROUP BY w1
+      |), v AS (SELECT COUNT(*) AS vsize FROM uni),
+      |bi AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+      |    SELECT tk[i] AS w1, tk[i+1] AS w2
+      |    FROM w, UNNEST(range(1, len(tk))) AS u(i)) GROUP BY w1, w2
+      |), db AS (
+      |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      |  FROM w, UNNEST(range(1, len(tk))) AS u(i)
+      |), scored AS (
+      |  SELECT db.doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CAST(ln((bi.c2 + 0.5) / (uni.c1 + 0.5 * v.vsize))
+      |      AS DECIMAL(25,15))) AS DOUBLE) AS lp
+      |  FROM db JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+      |  GROUP BY db.doc_id
+      |)
+      |SELECT doc_id, n_bigrams,
+      |  round(lp / n_bigrams, 12) AS avg_logprob,
+      |  CASE WHEN round(lp / n_bigrams, 12) >= -5.0 THEN 'keep'
+      |       WHEN round(lp / n_bigrams, 12) >= -6.0 THEN 'review'
+      |       ELSE 'drop' END AS ppl_band
+      |FROM scored ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val uniW = w.select(explode(col("tk")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = uniW.agg(count(lit(1)).as("vsize"))
+    val db = w.where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(shingles(col("tk"), 2)).as("g"))
+      .select(col("doc_id"),
+        substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
+    val bi = db.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val scored = db
+      .join(bi, Seq("w1", "w2"))
+      .join(uniW, Seq("w1"))
+      .join(v)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(log((col("c2") + 0.5) / (col("c1") + lit(0.5) * col("vsize")))
+          .cast(DecimalType(25, 15))).cast("double").as("lp"))
+    val alp = round(col("lp") / col("n_bigrams"), 12)
+    scored.select(col("doc_id"), col("n_bigrams"),
+      alp.as("avg_logprob"),
+      when(alp >= -5.0, "keep").when(alp >= -6.0, "review")
+        .otherwise("drop").as("ppl_band"))
+      .orderBy("doc_id")
+  }
 
   /** BM25 retrieval scoring (Robertson/Spärck Jones; k1 = 1.2, b = 0.75)
     * for a fixed 3-term query — the ranking function every RAG / search

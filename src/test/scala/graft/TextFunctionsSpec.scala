@@ -31,6 +31,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("q81 perplexity: one row per doc, logprobs negative, bands match thresholds") {
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q81_bigram_perplexity")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(r.length == nDocs, "every (multi-token) document scores")
+    val ntok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.foreach { x =>
+      val (id, nb, alp, band) = (x.getLong(0), x.getLong(1), x.getDouble(2), x.getString(3))
+      assert(nb == ntok(id) - 1, s"doc $id bigram count")
+      assert(alp < 0.0, s"doc $id smoothed logprob must be negative")
+      val expected = if (alp >= -5.0) "keep" else if (alp >= -6.0) "review" else "drop"
+      assert(band == expected, s"doc $id band")
+    }
+  }
+
   test("ShingleBandMins equals the declarative shingle→md5→rotate→min chain") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
