@@ -210,6 +210,19 @@ final class ClusterIndex private[cluster] (
   @volatile var serveMaxSnapshotRows: Long = 10000000L
   @volatile var serveTotalSnapshotRows: Long = 20000000L
 
+  /** Bound on the DRIVER-side result of the serve-row fallback (a level
+    * beyond the snapshot caps answers [[getClustersLocal]] through the
+    * distributed scan). The row API's contract is an in-process array, so
+    * its result is inherently driver-sized — this cap makes that explicit:
+    * the fallback streams through `toLocalIterator` and ABORTS with an
+    * error once the bbox result exceeds it, instead of collecting an
+    * unbounded level as boxed rows (a world-bbox probe of a >10M-row level
+    * would otherwise materialize the whole level on the driver). Callers
+    * with genuinely huge results belong on [[getClusters]], which stays
+    * distributed.
+    */
+  @volatile var serveMaxFallbackRows: Long = 10000000L
+
   /** Q1/Q2 at interactive latency: the driver-local serve mode. The first
     * probe of a zoom snapshots that level into sorted primitive SoA arrays
     * IF it fits the caps above; subsequent probes binary-search the
@@ -241,8 +254,22 @@ final class ClusterIndex private[cluster] (
         else xRanges.foreach { case (lo, hi) => s.query(lo, hi, minY, maxY, out) }
         out.toArray
       case None =>
-        getClusters(bbox, zoom).collect().map(r =>
-          ClusterRow(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+        // above-cap fallback: stream the distributed result and abort as
+        // soon as it exceeds serveMaxFallbackRows — toLocalIterator pulls
+        // partitions lazily, so an over-cap probe stops after ~cap rows
+        // instead of materializing the whole level as boxed rows
+        val out = new scala.collection.mutable.ArrayBuffer[ClusterRow](1024)
+        val it = getClusters(bbox, zoom).toLocalIterator()
+        while (it.hasNext) {
+          if (out.length.toLong >= serveMaxFallbackRows)
+            throw new IllegalStateException(
+              s"getClustersLocal fallback at zoom $z exceeds serveMaxFallbackRows=" +
+                s"$serveMaxFallbackRows rows; the row API returns a driver-sized array — " +
+                "use getClusters(bbox, zoom) to keep the result distributed")
+          val r = it.next()
+          out += ClusterRow(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))
+        }
+        out.toArray
     }
   }
 

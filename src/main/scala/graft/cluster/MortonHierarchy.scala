@@ -269,8 +269,16 @@ object MortonHierarchy {
             }
             val cmx = Mercator.fround(swx / cnt)
             val cmy = Mercator.fround(swy / cnt)
+            // the resolved record's ord is the MIN finest-scale ord of all
+            // contributions (member ords and partial ords are both finest-
+            // cell mortons), so shallower-level folds interleave in true
+            // Morton order no matter where partition boundaries fell — a
+            // cell-scale morton(ccx,ccy) or a packets-then-carried
+            // headOption would be incomparable with finest-scale ords and
+            // leave the fold order partitioning-dependent
             DRec(cid, cmx, cmy, Mercator.xLng(cmx), Mercator.yLat(cmy),
-              cnt, isCluster = true, members.headOption.map(_.ord).getOrElse(morton(ccx, ccy)))
+              cnt, isCluster = true,
+              (members.map(_.ord) ++ partials.map(_.ord)).min)
           } else {
             val m = members.head // mTotal == 1 ⇒ exactly one member, no partials
             emitted += LevelRow(z + 1, m.mx, m.my, m.id, -1L, m.cnt,

@@ -43,6 +43,13 @@ object Mercator {
   // association (constants folded the way Catalyst folds them) and the
   // same intrinsics — Spark's `exp`/`log` lower to StrictMath, its
   // `sin`/`atan` to Math, and `radians` to Math.toRadians.
+  //
+  // NOTE: aligning the association to Catalyst (r6) also moved these
+  // scalars' results at sub-ULP level for their PRE-EXISTING callers (the
+  // golden-locked exact build in GreedyCore and the engine's bbox math) —
+  // the exact-build golden differential fixture was re-verified green
+  // under the new association (f32 quantization absorbs the shift), so
+  // the Catalyst-matching form IS the scalar contract from r6 on.
 
   def latY(lat: Double): Double = {
     val s = Math.sin(Math.toRadians(lat))

@@ -103,8 +103,12 @@ object Similarity {
     * same data) — memoize it per (session, dir) so one Lloyd training
     * serves both, with the assignment persisted so downstream actions
     * don't replay it. Same discipline as the spatial index caches:
-    * synchronized, stopped sessions evicted, assignment unpersisted on
-    * eviction.
+    * synchronized, stopped sessions evicted. Eviction only drops the map
+    * entry — the persisted blocks died with the stopped SparkContext, so
+    * no unpersist() call is needed (if eviction is ever extended to LIVE
+    * sessions, call indexed.unpersist() before dropping the entry); for a
+    * live session the persisted assignment is intentionally held for the
+    * session's lifetime, like the spatial snapshots.
     */
   private val ivfExactCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String),

@@ -27,9 +27,11 @@ object TextOps {
     * itself — the CCNet-style LM quality filter, self-contained so the
     * whole train+score chain is oracle-checkable (no external model).
     * Add-0.5 smoothing over the corpus vocabulary. Corpus uni/bigram
-    * counts are vocab-bounded aggregations; scoring joins each document's
-    * bigrams against them (hash equi-joins, broadcastable when the vocab
-    * is small, hash-shuffled when it isn't) and sums log-probabilities in
+    * counts are vocab-bounded aggregations; bigram counts attach to the
+    * exploded bigram stream in-frame ((w1,w2)-partitioned window count —
+    * one explode, one shuffle), unigram counts join on the word key (hash
+    * equi-join, broadcastable when the vocab is small), and scoring sums
+    * log-probabilities in
     * DECIMAL — order-independent, so the score is identical under any
     * partitioning; the average log-prob rounds at 12 decimals. (No exp()
     * in the output: IEEE only guarantees correct rounding for the basic
@@ -38,7 +40,9 @@ object TextOps {
     * round-12 hashes; perplexity is monotone in avg_logprob, so the
     * filter quality band is computed from the rounded log-prob directly.)
     */
-  val bigramPerplexity: GraftQuery = GraftQuery.sql(
+  val bigramPerplexity: GraftQuery = {
+    import org.apache.spark.sql.expressions.Window
+    GraftQuery.sql(
     "q81_bigram_perplexity",
     """WITH w AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
@@ -70,17 +74,26 @@ object TextOps {
     import org.apache.spark.sql.types.DecimalType
     val w = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
+    // vocab-bounded unigram counts, localCheckpointed (same lifecycle as
+    // q60's frames) so the corpus token explode runs ONCE even though the
+    // frame feeds both the vocabulary size and the scoring join
     val uniW = w.select(explode(col("tk")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
     val v = uniW.agg(count(lit(1)).as("vsize"))
     val db = w.where(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(shingles(col("tk"), 2)).as("g"))
       .select(col("doc_id"),
         substring_index(col("g"), " ", 1).as("w1"),
         substring_index(col("g"), " ", -1).as("w2"))
-    val bi = db.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val scored = db
-      .join(bi, Seq("w1", "w2"))
+    // corpus bigram counts attach IN-FRAME via a (w1,w2)-partitioned window
+    // count: the shingle explode is consumed exactly once (the previous
+    // bi-aggregate + self-join re-ran the explode over the whole corpus),
+    // and the window's hash shuffle on (w1,w2) is the same exchange the
+    // join already paid. PlanShapeSpec locks the single-Generate shape.
+    val withC2 = db.withColumn("c2",
+      count(lit(1)).over(Window.partitionBy(col("w1"), col("w2"))))
+    val scored = withC2
       .join(uniW, Seq("w1"))
       .join(v)
       .groupBy(col("doc_id"))
@@ -94,6 +107,7 @@ object TextOps {
       when(alp >= -5.0, "keep").when(alp >= -6.0, "review")
         .otherwise("drop").as("ppl_band"))
       .orderBy("doc_id")
+  }
   }
 
   /** BM25 retrieval scoring (Robertson/Spärck Jones; k1 = 1.2, b = 0.75)

@@ -126,6 +126,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected a distributed top-K (TakeOrderedAndProject) over the vocab aggregate")
   }
 
+  test("q81 perplexity: the corpus explodes run ONCE (bigram counts attach via window, vocab is checkpointed)") {
+    // AQE's toString prints the Final AND Initial plans — count in the
+    // final section only, or one node would count twice
+    val p = executedPlan("q81_bigram_perplexity").split("== Initial Plan ==").head
+    // exactly one Generate: the shingle explode feeding the scoring frame.
+    // The bigram counts come from a (w1,w2)-partitioned window over that
+    // same frame (not a re-exploded aggregate), and the unigram explode is
+    // behind the localCheckpoint, so neither appears as a second Generate —
+    // the pre-r7 plan re-ran the corpus explode for the bigram aggregate.
+    assert("Generate".r.findAllIn(p).size == 1,
+      p.linesIterator.filter(_.contains("Generate")).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ALL registry queries: every partition-less window sorts only limit-bounded input") {
     import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -74,6 +74,26 @@ class ServeModeSpec extends AnyFunSuite {
     } finally fresh.unpersist()
   }
 
+  test("the fallback never materializes an above-cap result: it errors, and getClusters still serves") {
+    // above-cap level + world bbox: the row-API fallback must ABORT instead
+    // of collecting the whole level to the driver as boxed rows
+    val fresh = ClusterEngine.load(pointsDf, ClusterOptions(radius = 75.0), idCol = Some("row_id"))
+    fresh.serveMaxSnapshotRows = 0 // force the fallback path for every zoom
+    fresh.serveMaxFallbackRows = 5 // z16 has 500 leaves — far over this cap
+    try {
+      val world = bboxes.head._2
+      val e = intercept[IllegalStateException](fresh.getClustersLocal(world, 16))
+      assert(e.getMessage.contains("serveMaxFallbackRows"))
+      assert(e.getMessage.contains("getClusters"), "error must route callers to the distributed API")
+      // the distributed API is the sanctioned path and still serves the level
+      assert(fresh.getClusters(world, 16).count() == 500)
+      // a bbox whose RESULT fits the cap still answers through the fallback
+      // (the bound is on the result, not the level)
+      val tiny = fresh.getClustersLocal(bboxes(2)._2, 16)
+      assert(tiny.length <= 5 && tiny.toSet == dfRows(fresh, bboxes(2)._2, 16))
+    } finally fresh.unpersist()
+  }
+
   test("the total snapshot budget stops accumulation but never changes results") {
     // budget admits roughly one level: later zooms must fall back, equal rows
     val fresh = ClusterEngine.load(pointsDf, ClusterOptions(radius = 75.0), idCol = Some("row_id"))
