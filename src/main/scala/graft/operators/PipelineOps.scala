@@ -175,8 +175,27 @@ object PipelineOps {
 
   /** The q77 core on any (doc_id, text) frame: one row per merge, in
     * merge order.
+    *
+    * ENVELOPE: merges are inherently sequential, and each one costs two
+    * Spark jobs over the vocab table plus a driver top-1 collect — so the
+    * wall cost is `iters × (one vocab-sized aggregation)`, NOT corpus-
+    * sized (the corpus is touched once, to build `vocab0`). That shape is
+    * right for oracle/teaching scale and for modest production vocabs
+    * (hundreds to a few thousand merges over an already-aggregated word
+    * table); it is NOT a 32k-merge tokenizer trainer, which batches rank
+    * updates instead of re-aggregating per merge. `iters` is capped at
+    * [[MaxBpeMerges]] to make that contract explicit, and the working
+    * table is re-rooted via localCheckpoint every [[BpeCheckpointEvery]]
+    * merges so the plan lineage stays O(32) deep no matter how many
+    * merges a caller requests (an un-checkpointed loop would stack one
+    * `replace` projection per merge and eventually blow analysis/codegen).
     */
+  val MaxBpeMerges = 4096
+  val BpeCheckpointEvery = 32
   def bpeMergeTable(docs: org.apache.spark.sql.DataFrame, iters: Int): org.apache.spark.sql.DataFrame = {
+    require(iters >= 0 && iters <= MaxBpeMerges,
+      s"iters=$iters out of the supported envelope [0, $MaxBpeMerges] — " +
+        "per-merge cost is a full vocab aggregation; see bpeMergeTable scaladoc")
     val spark = docs.sparkSession
     import spark.implicits._
     val vocab0 = docs.select(explode(tokens(col("text"))).as("w"))
@@ -187,6 +206,7 @@ object PipelineOps {
         col("freq"))
       .persist()
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long, Long)]
+    var lastCkpt: Option[org.apache.spark.sql.DataFrame] = None
     try {
       vocab0.count(): Unit // materialize once; iterations re-read the cache
       var cur: org.apache.spark.sql.DataFrame = vocab0
@@ -215,10 +235,23 @@ object PipelineOps {
             .collect()(0).getLong(0)
           rows += ((t.toLong, l, r, l + r, cnt, applied))
           cur = ap.select(col("sn").as("s"), col("freq"))
+          // re-root the lineage every BpeCheckpointEvery merges: the eager
+          // localCheckpoint materializes the current vocab and frees the
+          // previous checkpoint's blocks, so both lineage depth and cached
+          // state stay O(1) in the merge count
+          if (t % BpeCheckpointEvery == 0) {
+            val ck = cur.localCheckpoint()
+            lastCkpt.foreach(_.unpersist())
+            lastCkpt = Some(ck)
+            cur = ck
+          }
           t += 1
         }
       }
-    } finally vocab0.unpersist(): Unit
+    } finally {
+      vocab0.unpersist(): Unit
+      lastCkpt.foreach(_.unpersist()): Unit
+    }
     rows.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq", "applied_freq")
   }
 
@@ -235,7 +268,17 @@ object PipelineOps {
          |  FROM (SELECT string_split(s[2:len(s)-1], ')(') AS sym, freq FROM $prev),
          |       UNNEST(range(1, len(sym))) AS u(i)
          |  GROUP BY lhs, rhs
-         |), b$t AS (SELECT lhs, rhs, cnt FROM p$t ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |), b$t AS (
+         |  -- total even when p$t is empty (merges exhausted): the sentinel
+         |  -- ('','',-1) loses to every real pair (cnt >= 1) and its replace
+         |  -- pattern '()()' can never occur (symbols are non-empty), so an
+         |  -- exhausted chain passes strings through unchanged instead of
+         |  -- collapsing the downstream CROSS JOINs to zero rows — mirroring
+         |  -- the Spark side's foldLeft over however many merges exist
+         |  SELECT lhs, rhs, cnt FROM (
+         |    SELECT lhs, rhs, cnt FROM p$t
+         |    UNION ALL SELECT '', '', CAST(-1 AS BIGINT))
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
          |a$t AS (
          |  SELECT s.freq, s.s AS so,
          |    replace(s.s, '(' || b.lhs || ')(' || b.rhs || ')',
@@ -248,7 +291,7 @@ object PipelineOps {
          |    b.lhs || b.rhs AS merged, b.cnt AS pair_freq,
          |    (SELECT CAST(SUM(freq * ((len(so) - len(sn)) // 2)) AS BIGINT)
          |     FROM a$t) AS applied_freq
-         |  FROM b$t b
+         |  FROM b$t b WHERE b.cnt >= 0
          |)""".stripMargin
     }
     s"""WITH v0 AS (

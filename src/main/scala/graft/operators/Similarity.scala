@@ -243,8 +243,20 @@ object Similarity {
     * LOWER-id vector in its cluster matches at ≥ tau (greedy keep-lowest,
     * deterministic under any partitioning).
     */
-  def semDedupFrame(emb: org.apache.spark.sql.DataFrame, tau: Double): org.apache.spark.sql.DataFrame =
-    semDedupFromIndex(AnnIvf.buildIndex(emb, exactScores = true)._1, tau)
+  def semDedupFrame(emb: org.apache.spark.sql.DataFrame, tau: Double,
+      k: Int = 0): org.apache.spark.sql.DataFrame = {
+    // k = 0 (default) picks the paper's regime k ≈ ⌈√n⌉ — the choice that
+    // keeps the within-cluster pair stage subquadratic: balanced clusters
+    // hold ~√n vectors, so per-cluster pair work is ~n and the corpus
+    // total ~n^1.5, never n². Pass an explicit k only when the space has a
+    // known coarser structure (q76's ORACLE pins k = 16 via the shared
+    // ivfExactIndex so the DuckDB replay stays identical to q47's chain).
+    // SemDedupScaleSpec guards the pair-count bound.
+    val kk =
+      if (k > 0) k
+      else math.max(math.ceil(math.sqrt(emb.count().toDouble)).toInt, 1)
+    semDedupFromIndex(AnnIvf.buildIndex(emb, k = kk, exactScores = true)._1, tau)
+  }
 
   private def semDedupFromIndex(indexed: org.apache.spark.sql.DataFrame, tau: Double): org.apache.spark.sql.DataFrame = {
     val withN = indexed.select(col("vec_id"), col("embedding"), col("_centroid"),

@@ -86,6 +86,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert((r(0).getLong(4), r(0).getLong(5)) == ((3L, 2L)))
   }
 
+  test("q77 envelope: merge counts past the checkpoint boundary keep lineage flat; the cap is enforced") {
+    import spark.implicits._
+    // a corpus whose longest word sustains > BpeCheckpointEvery merges: a
+    // 41-distinct-char word trains a 40-merge chain (every adjacent pair
+    // counts 1, so each merge extends the left prefix by one symbol),
+    // crossing the 32-merge localCheckpoint boundary — without the
+    // re-rooting this plan is a 40-deep stack of replace projections
+    val word = (('a' to 'z') ++ ('A' to 'O')).mkString // 41 distinct chars
+    val docs = Seq(0L -> word).toDF("doc_id", "text")
+    val r = graft.operators.PipelineOps.bpeMergeTable(docs, iters = 40)
+      .orderBy("merge_rank").collect()
+    assert(r.length == 40, s"expected 40 merges, got ${r.length}")
+    // single-occurrence chains: every merge has pair_freq = applied = 1
+    assert(r.forall(x => x.getLong(4) == 1L && x.getLong(5) == 1L))
+    // exhaustion still terminates early when asked for more than exists
+    val tiny = graft.operators.PipelineOps.bpeMergeTable(
+      Seq(0L -> "ab").toDF("doc_id", "text"), iters = 10).collect()
+    assert(tiny.length == 1, "a 2-char vocab exhausts after its single merge")
+    // the envelope cap is a hard require, not a silent truncation
+    intercept[IllegalArgumentException] {
+      graft.operators.PipelineOps.bpeMergeTable(docs,
+        iters = graft.operators.PipelineOps.MaxBpeMerges + 1)
+    }
+  }
+
   test("q79: mixture sampling tracks target rates and is partitioning-stable") {
     val rows = SparkEntry.queries("q79_mixture_sampling")(spark, dir).collect()
       .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getDouble(4), x.getLong(5)))
