@@ -311,8 +311,11 @@ object Bench {
           val e = AnnPq.encode(emb, cb).persist(); e.count(); e
         }
         val (res, tSearch) = timedSec {
+          // shipping default (refine = 100 after the r7 sweep) — the r6
+          // headline ran refine = 10 and read recall 0.60; the sweep keys
+          // carry the full curve
           AnnPq.search(emb.where(col("vec_id") < 20), encoded, cb, emb,
-            topK = 3, refine = 10)
+            topK = 3)
             .select("query_id", "neighbor_id").collect()
             .map(r => (r.getLong(0), r.getLong(1)))
         }
@@ -323,7 +326,46 @@ object Bench {
           ("ann_pq_fast", tTrain + tEncode + tSearch, true),
           ("ann_pq_recall_at3", recall, true))
       } catch { case NonFatal(_) => Seq(("ann_pq_fast", 0.0, false)) }
-    val annFast: Seq[(String, Double, Boolean)] = annIvfFast ++ annPqFast
+    // recall-vs-cost curves (VERDICT r6 #4): sweep the knobs that trade
+    // search cost for recall on the REAL sf fixture — nprobe for IVF
+    // (fraction of the 16 lists scanned; 16 = exhaustive, the recall
+    // ceiling at this k) and the exact-rescore depth for PQ. One build /
+    // train+encode each (one-time cost, reported once), then one timed
+    // search per knob setting with its recall@3 against brute force.
+    val annSweep: Seq[(String, Double, Boolean)] =
+      if (!sectionOn("ann_sweep", "ann_fast")) Seq.empty
+      else try {
+        val emb = Tables.embeddings(spark, sfDir)
+        val probes = emb.where(col("vec_id") < 20)
+        val (indexed, centroids) = AnnIvf.buildIndex(emb)
+        val ix = indexed.persist(); ix.count()
+        val truthCos = exactTop3(emb, byCosine = true)
+        val ivf = Seq(4, 8, 12, 16).flatMap { np =>
+          val (res, t) = timedSec {
+            AnnIvf.search(probes, ix, centroids, nprobe = np, topK = 3)
+              .select("query_id", "neighbor_id").collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
+          }
+          Seq((s"ann_ivf_np${np}_search", t, true),
+            (s"ann_ivf_np${np}_recall_at3", recallVs(truthCos, res), true))
+        }
+        ix.unpersist()
+        val cb = AnnPq.train(emb, m = 8, k = 16, iters = 2, exactMeans = false)
+        val enc = AnnPq.encode(emb, cb).persist(); enc.count()
+        val truthL2 = exactTop3(emb, byCosine = false)
+        val pq = Seq(10, 50, 200).flatMap { rf =>
+          val (res, t) = timedSec {
+            AnnPq.search(probes, enc, cb, emb, topK = 3, refine = rf)
+              .select("query_id", "neighbor_id").collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
+          }
+          Seq((s"ann_pq_rf${rf}_search", t, true),
+            (s"ann_pq_rf${rf}_recall_at3", recallVs(truthL2, res), true))
+        }
+        enc.unpersist()
+        ivf ++ pq
+      } catch { case NonFatal(_) => Seq(("ann_sweep", 0.0, false)) }
+    val annFast: Seq[(String, Double, Boolean)] = annIvfFast ++ annPqFast ++ annSweep
 
     // memory: per-stage JVM heap deltas mirroring the reference's
     // measurement discipline (benchmarks/run.ts:185-226 — gc, snapshot,

@@ -66,15 +66,25 @@ private final class LevelSnapshot(
     lo
   }
 
-  /** Append rows with mx in [xLo, xHi] and my in [yLo, yHi]. */
-  def query(xLo: Double, xHi: Double, yLo: Double, yHi: Double,
-      out: scala.collection.mutable.ArrayBuffer[ClusterRow]): Unit = {
+  /** Construct matching rows into `out` starting at `at`; returns the next
+    * free slot. Same predicate and order as [[fillRange]] — the row API's
+    * count-then-fill twin, so a probe allocates exactly its result size
+    * (the pre-r7 single-pass append pre-sized a buffer to the LEVEL size —
+    * a 1M-slot allocation per probe at 1M points, the diagnosed GC churn
+    * behind the row ladder's wobble).
+    */
+  def fillRows(xLo: Double, xHi: Double, yLo: Double, yHi: Double,
+      out: Array[ClusterRow], at: Int): Int = {
     var i = lowerBound(xLo)
+    var o = at
     while (i < mx.length && mx(i) <= xHi) {
-      if (my(i) >= yLo && my(i) <= yHi)
-        out += ClusterRow(id(i), lng(i), lat(i), pointCount(i), isCluster(i))
+      if (my(i) >= yLo && my(i) <= yHi) {
+        out(o) = ClusterRow(id(i), lng(i), lat(i), pointCount(i), isCluster(i))
+        o += 1
+      }
       i += 1
     }
+    o
   }
 
   /** Number of rows the same range predicate selects (first pass of the
@@ -163,8 +173,16 @@ final class ClusterIndex private[cluster] (
     val inY = $"my" >= minY && $"my" <= maxY
     val inX = xRanges.map { case (lo, hi) => $"mx" >= lo && $"mx" <= hi }
       .reduceOption(_ || _).getOrElse(lit(true))
+    // mx/my (the engine's native mercator coords) ride along AFTER the
+    // reference-shaped columns: consumers reading positionally (serve
+    // fallback, specs) see the same first five columns, while verification
+    // probes get coordinates whose doubles are CROSS-ENGINE BIT-EXACT —
+    // every op producing mx/my (lngX, fround, centroid mults/adds/div) is
+    // IEEE-exact, whereas lat's inverse projection (yLat: atan∘exp)
+    // wobbles by 1 ULP between math libraries (measured: 1 of 5 q31 rows
+    // vs the independent JS build) and lng's (xLng) is exact arithmetic.
     level(zoom).filter(inX && inY)
-      .select($"id", $"lng", $"lat", $"point_count", $"is_cluster")
+      .select($"id", $"lng", $"lat", $"point_count", $"is_cluster", $"mx", $"my")
   }
 
   // serve-mode snapshots, lazily built once per zoom; the first probe of a
@@ -244,15 +262,20 @@ final class ClusterIndex private[cluster] (
       _ => new SnapshotCell(() => buildSnapshot(z))).value
     snap match {
       case Some(s) =>
-        val (xRanges, minY, maxY) = bboxRanges(bbox)
-        // pre-size to the level's row count: a wide-bbox probe of a large
-        // level would otherwise pay ~log2(n) grow-copies of an up-to-n
-        // element buffer per query (measurable GC churn at 1M points)
-        val out = new scala.collection.mutable.ArrayBuffer[ClusterRow](
-          math.max(s.mx.length, 16))
-        if (xRanges.isEmpty) s.query(Double.NegativeInfinity, Double.PositiveInfinity, minY, maxY, out)
-        else xRanges.foreach { case (lo, hi) => s.query(lo, hi, minY, maxY, out) }
-        out.toArray
+        val (xRanges0, minY, maxY) = bboxRanges(bbox)
+        val xRanges =
+          if (xRanges0.isEmpty) Seq((Double.NegativeInfinity, Double.PositiveInfinity))
+          else xRanges0
+        // count-then-fill (the batch API's discipline): the probe allocates
+        // exactly its result size — no level-sized buffer, no grow-copies,
+        // no toArray copy (the old pre-sized append allocated a level-sized
+        // buffer PER PROBE, measurable GC churn at 1M points)
+        var n = 0
+        xRanges.foreach { case (lo, hi) => n += s.countRange(lo, hi, minY, maxY) }
+        val out = new Array[ClusterRow](n)
+        var at = 0
+        xRanges.foreach { case (lo, hi) => at = s.fillRows(lo, hi, minY, maxY, out, at) }
+        out
       case None =>
         // above-cap fallback: stream the distributed result and abort as
         // soon as it exceeds serveMaxFallbackRows — toLocalIterator pulls

@@ -144,6 +144,20 @@ object AnnIvf {
 
   /** Top-`topK` neighbours for each query vector, probing `nprobe`
     * centroid lists; exact decimal-cosine rescore within the probed lists.
+    *
+    * RECALL ENVELOPE (r7 sweep, BENCH.md): IVF's recall/cost trade is a
+    * property of how clustered the corpus is, and the sf0.1 synthetic
+    * fixture is near-uniform — adversarial for ANY space-partitioning
+    * index. Measured recall@3 there: nprobe 4/8/12/16 of k=16 lists →
+    * 0.63 / 0.75 / 0.97 / 1.0; and RAISING k makes it worse at equal
+    * probe counts (k=32: 0.85@np8; k=64: 0.57@np8) because finer
+    * partitions split true neighborhoods more often — the signature of a
+    * corpus with no cluster structure, where ≥0.9 recall inherently
+    * costs a ≥50% scan. On naturally clustered embeddings (AnnIvfSpec's
+    * fixture) nprobe ≤ 6 of 16 clears 0.9. Defaults stay (k=16,
+    * nprobe=4) for the clustered regime ANN exists for; the bench
+    * `ann_ivf_np*` keys publish the measured curve so a caller can place
+    * their corpus on it.
     */
   def search(
       queries: DataFrame,

@@ -167,6 +167,15 @@ object AnnPq {
     * shortlist is tiny, so the exact pass is a bounded join, and recall
     * comes back even on high-entropy embeddings where quantization noise
     * swamps raw ADC ranking). Returns (query_id, neighbor_id, dist, rk).
+    *
+    * `refine` defaults to 100 from the r7 recall-vs-cost sweep on the
+    * sf0.1 fixture (BENCH.md): with the m=8/k=16 codebook, refine=10 read
+    * recall@3 = 0.60, refine=100 = 0.917, refine=200 = 0.967 — at NO
+    * measured search-time cost, because the shortlist (topK×refine exact
+    * rescores per query) is a constant-size bounded join that the
+    * broadcast ADC scan dwarfs at any corpus size. Callers chasing the
+    * last recall points raise it further; q63's ORACLE pins refine=10
+    * explicitly so its DuckDB replay is untouched by the default.
     */
   def search(
       queries: DataFrame,
@@ -176,7 +185,7 @@ object AnnPq {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       topK: Int = 3,
-      refine: Int = 10): DataFrame = {
+      refine: Int = 100): DataFrame = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
     val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)

@@ -204,32 +204,83 @@ object Spatial {
       .orderBy("cell_x", "cell_y")
   }
 
-  /** A1/A2 exact greedy hierarchy + Q1 world query at z4 (no SQL oracle —
-    * validated by ClusterEngineSpec invariants).
+  /** The exact-build navigation oracles (q18/q19/q31–q34): the DuckDB side
+    * reads EXPECTED rows committed under `src/test/resources/nav_sf001/`,
+    * generated by `tools/nav_expected.mjs` — the same INDEPENDENT
+    * published-algorithm implementation (tools/supercluster_core.mjs) whose
+    * 500-point output the golden differential locks bit-exactly, run on the
+    * sf0.01 events points. The greedy build is sequential and therefore not
+    * SQL-expressible, so an independent reimplementation IS the strongest
+    * available oracle; committing its output makes the driver's hash gate
+    * exact. Probes project mercator `my` instead of `lat`: every op behind
+    * id/count/lng/mx/my is IEEE-exact (bit-identical across JS/JVM/DuckDB),
+    * while `lat`'s inverse projection (atan∘exp) wobbles by 1 ULP between
+    * math libraries — the golden differential still verifies lat/lng to
+    * 1e-7 on the locked fixture, and q32/q34 emit exact ORIGINAL lat/lng
+    * re-derived by the oracle from the events table itself. NOTE: the
+    * expected files encode the sf0.01 fixture — a testdata regeneration
+    * requires re-running nav_expected.mjs (command in its header).
     */
-  val greedyHierarchy: GraftQuery = GraftQuery.rowsOnly("q18_greedy_hierarchy") { (spark, dir) =>
-    index(spark, dir).getClusters((-180.0, -85.0, 180.0, 85.0), 4).orderBy("id")
-  }
+  private val navExpectedDir = "/root/repo/src/test/resources/nav_sf001"
 
-  /** Q3: direct children of the largest z3 cluster. */
-  val clusterChildren: GraftQuery = GraftQuery.rowsOnly("q31_cluster_children") { (spark, dir) =>
-    val idx = index(spark, dir)
-    idx.getChildren(largestClusterId(idx, 3))
-      .select(col("id"), col("parent_id"), col("point_count"), col("is_cluster"),
-        col("lng"), col("lat"))
+  /** A1/A2 exact greedy hierarchy + Q1 world query at z4: full level-4
+    * contents, id/count/flag plus bit-exact lng + mercator my.
+    */
+  val greedyHierarchy: GraftQuery = GraftQuery.sql(
+    "q18_greedy_hierarchy",
+    s"""SELECT id, lng, my, point_count, is_cluster
+       |FROM read_csv('$navExpectedDir/q18_expected.csv', header=true, columns={
+       |  'id':'BIGINT','lng':'DOUBLE','my':'DOUBLE','point_count':'BIGINT','is_cluster':'BOOLEAN'})
+       |ORDER BY id""".stripMargin) { (spark, dir) =>
+    index(spark, dir).getClusters((-180.0, -85.0, 180.0, 85.0), 4)
+      .select(col("id"), col("lng"), col("my"), col("point_count"), col("is_cluster"))
       .orderBy("id")
   }
 
-  /** Q4: paginated leaves of the largest z3 cluster (limit 25, offset 5). */
-  val clusterLeaves: GraftQuery = GraftQuery.rowsOnly("q32_cluster_leaves") { (spark, dir) =>
+  /** Q3: direct children of the largest z3 cluster. */
+  val clusterChildren: GraftQuery = GraftQuery.sql(
+    "q31_cluster_children",
+    s"""SELECT id, parent_id, point_count, is_cluster, lng, my
+       |FROM read_csv('$navExpectedDir/q31_expected.csv', header=true, columns={
+       |  'id':'BIGINT','parent_id':'BIGINT','point_count':'BIGINT',
+       |  'is_cluster':'BOOLEAN','lng':'DOUBLE','my':'DOUBLE'})
+       |ORDER BY id""".stripMargin) { (spark, dir) =>
+    val idx = index(spark, dir)
+    idx.getChildren(largestClusterId(idx, 3))
+      .select(col("id"), col("parent_id"), col("point_count"), col("is_cluster"),
+        col("lng"), col("my"))
+      .orderBy("id")
+  }
+
+  /** Q4: paginated leaves of the largest z3 cluster (limit 25, offset 5).
+    * Leaf rows carry the ORIGINAL source coords, so the oracle re-derives
+    * lng/lat exactly from the events table; only the page's ids are
+    * committed.
+    */
+  val clusterLeaves: GraftQuery = GraftQuery.sql(
+    "q32_cluster_leaves",
+    s"""WITH exp AS (
+       |  SELECT row_id FROM read_csv('$navExpectedDir/q32_expected.csv',
+       |    header=true, columns={'row_id':'BIGINT'})
+       |), pts AS ($pointsSql)
+       |SELECT e.row_id, p.lng, p.lat, CAST(1 AS BIGINT) AS point_count
+       |FROM exp e JOIN pts p ON p.event_id = e.row_id
+       |ORDER BY e.row_id""".stripMargin) { (spark, dir) =>
     val idx = index(spark, dir)
     idx.getLeaves(largestClusterId(idx, 3), limit = 25, offset = 5)
   }
 
   /** Q5 + Q8: expansion zoom and descendant-closure size for the 5 largest
     * z2 clusters (driver-side loops bounded by the zoom-level count).
+    * All-integer output — the committed expected rows ARE the oracle.
     */
-  val hierarchyNavigation: GraftQuery = GraftQuery.rowsOnly("q33_hierarchy_nav") { (spark, dir) =>
+  val hierarchyNavigation: GraftQuery = GraftQuery.sql(
+    "q33_hierarchy_nav",
+    s"""SELECT cluster_id, point_count, expansion_zoom, n_descendants
+       |FROM read_csv('$navExpectedDir/q33_expected.csv', header=true, columns={
+       |  'cluster_id':'BIGINT','point_count':'BIGINT',
+       |  'expansion_zoom':'INTEGER','n_descendants':'BIGINT'})
+       |ORDER BY cluster_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val idx = index(spark, dir)
     val tops = idx.getClusters((-180.0, -85.0, 180.0, 85.0), 2)
@@ -585,7 +636,15 @@ object Spatial {
   /** Q7: leaves of the largest z3 cluster joined back to the source rows
     * (late materialization / picking).
     */
-  val materializedLeaves: GraftQuery = GraftQuery.rowsOnly("q34_materialize_leaves") { (spark, dir) =>
+  val materializedLeaves: GraftQuery = GraftQuery.sql(
+    "q34_materialize_leaves",
+    s"""WITH exp AS (
+       |  SELECT event_id FROM read_csv('$navExpectedDir/q34_expected.csv',
+       |    header=true, columns={'event_id':'BIGINT'})
+       |), pts AS ($pointsSql)
+       |SELECT e.event_id, p.lng, p.lat
+       |FROM exp e JOIN pts p USING (event_id)
+       |ORDER BY e.event_id""".stripMargin) { (spark, dir) =>
     val idx = index(spark, dir)
     idx.materializeLeaves(largestClusterId(idx, 3), pointsDf(spark, dir), "event_id",
         limit = 25, offset = 0)
@@ -593,8 +652,16 @@ object Spatial {
       .orderBy("event_id")
   }
 
-  /** Per-zoom level-table profile of the greedy hierarchy. */
-  val hierarchyLevels: GraftQuery = GraftQuery.rowsOnly("q19_hierarchy_levels") { (spark, dir) =>
+  /** Per-zoom level-table profile of the greedy hierarchy (all-integer —
+    * the committed expected rows are the oracle; see [[navExpectedDir]]).
+    */
+  val hierarchyLevels: GraftQuery = GraftQuery.sql(
+    "q19_hierarchy_levels",
+    s"""SELECT zoom, n_records, n_clusters, total_points, max_cluster_size
+       |FROM read_csv('$navExpectedDir/q19_expected.csv', header=true, columns={
+       |  'zoom':'INTEGER','n_records':'BIGINT','n_clusters':'BIGINT',
+       |  'total_points':'BIGINT','max_cluster_size':'BIGINT'})
+       |ORDER BY zoom""".stripMargin) { (spark, dir) =>
     val idx = index(spark, dir)
     idx.levels.groupBy(col("zoom"))
       .agg(
