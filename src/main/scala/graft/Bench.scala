@@ -233,6 +233,26 @@ object Bench {
     val queryLadder1m: Option[Ladder] =
       if (sectionOn("query_ladder_1m")) runLadder(1000000) else None
 
+    // distributed-build scale ladder: the MortonHierarchy (single range
+    // shuffle) build at 250k / 1M / 4M uniform synthetic points — direct
+    // evidence the 17-level build scales near-linearly in input size (the
+    // 100 TB posture q44 claims). One measurement per size (a build is a
+    // section, not a query; reps would triple the suite's heaviest block).
+    val gridBuildLadder: Seq[(String, Double, Boolean)] =
+      if (!sectionOn("grid_build_ladder")) Seq.empty
+      else Seq(250000, 1000000, 4000000).map { nPts =>
+        val key = s"grid_build_${if (nPts >= 1000000) s"${nPts / 1000000}m" else s"${nPts / 1000}k"}"
+        val t0 = System.nanoTime()
+        val ok = try {
+          val idx = ClusterEngine.loadDistributed(
+            graft.io.SyntheticPoints.uniform(spark, nPts),
+            ClusterOptions(radius = 75), idCol = "row_id")
+          idx.unpersist()
+          true
+        } catch { case NonFatal(_) => false }
+        (key, (System.nanoTime() - t0) / 1e9, ok)
+      }
+
     // production-mode ANN kernels: q47/q63's oracle rows deliberately run
     // the decimal-exact replay (cross-engine reproducible, ~dim× heavier);
     // these entries time the fast double kernels shipping callers run
@@ -398,7 +418,8 @@ object Bench {
     // sfDir/outPath must not break the "guaranteed parseable last line"
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val errors = (results ++ maskTimes ++ annFast).collect { case (k, _, false) => "\"" + k + "\"" }
+    val errors = (results ++ maskTimes ++ annFast ++ gridBuildLadder)
+      .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val wireJson = wire.map { case (ipc, gj) =>
@@ -428,11 +449,14 @@ object Bench {
     val ranksBuildJson = ranksBuild.map { case (off, on) =>
       s""","build_insertion_ranks":{"ranks_off_sec":$off,"ranks_on_sec":$on}"""
     }.getOrElse("")
+    val gridLadderJson =
+      if (gridBuildLadder.isEmpty) ""
+      else s""","grid_build_ladder":${jmap(gridBuildLadder)}"""
     val totalCold = resultsCold.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jmap(results)},""" +
         s""""queries_cold":${jmap(resultsCold)},"total_cold":$totalCold,""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$ranksBuildJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson,"sf":"${jstr(sfDir)}"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$ranksBuildJson$gridLadderJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson,"sf":"${jstr(sfDir)}"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(

@@ -177,6 +177,27 @@ object TextFunctions {
       when(col(s"$prefix$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** 60-bit SimHash bit sums (q82's banded near-dup signature): bit
+    * b = bit (b%4) of md5 hex nibble (b/4) — the first 15 nibbles give 60
+    * usable bits, wide enough that 15-bit bands prune candidates ~2^15×
+    * (the 16-bit q27 signature is an oracle-friendly teaching hash; its
+    * 4-bit bands would only prune 16×, an n²/16 shape). Sign bit 63 is
+    * never used, so the signature is a non-negative BIGINT in every
+    * engine. Same map-side-combinable aggregation discipline as
+    * [[simhashBitSums]].
+    */
+  def simhashWideBitSums(h: Column): Seq[Column] =
+    (0 until 60).map { b =>
+      val nibVal = conv(substring(h, b / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(nibVal, b % 4).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+        .as(s"wbit$b")
+    }
+
+  def simhashWideFromBitSums(prefix: String = "wbit"): Column =
+    (0 until 60).map { b =>
+      when(col(s"$prefix$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Token-set Jaccard similarity (distinct tokens), exact integer ratio. */
   def jaccard(tokensA: Column, tokensB: Column): Column =
     size(array_intersect(tokensA, tokensB)).cast("double") /

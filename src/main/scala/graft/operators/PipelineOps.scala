@@ -323,9 +323,11 @@ object PipelineOps {
     * duplicated-token fraction — the "how much of this doc is boilerplate"
     * signal that drives span-level removal.
     *
-    * 100 TB shape: span hashing is a map + explode (no shuffle); duplicate
-    * detection is ONE hash aggregation of the span hashes; the join-back is
-    * a hash equi-join on the same key; the island merge is a window
+    * 100 TB shape: span hashing is a map + explode (no shuffle) that runs
+    * ONCE — duplicate detection attaches corpus-wide occurrence counts
+    * in-frame via an h-partitioned window count (one hash shuffle, the
+    * same exchange a dup-aggregate + join-back would pay, minus the
+    * second corpus-wide hash pass); the island merge is a window
     * partitioned by doc_id — per-document, never global. No all-pairs
     * stage anywhere.
     */
@@ -391,12 +393,17 @@ object PipelineOps {
             md5(concat_ws(" ", slice(col("tk"), i, lit(n)))
               .cast("binary")).as("h")))).as("s"))
       .select(col("doc_id"), col("ntok"), col("s.pos"), col("s.h"))
-    val dup = spans.groupBy(col("h"))
-      .agg(count(lit(1)).as("n_occ"))
-      .where(col("n_occ") >= 2)
-      .select(col("h"))
+    // corpus-wide occurrence counts attach IN-FRAME via an h-partitioned
+    // window count: the span explode (each row an md5 over an n-token
+    // window — the scan's dominant cost) runs ONCE, where the previous
+    // dup-aggregate + self-join re-ran it over the whole corpus; the
+    // window's hash shuffle on h is the same exchange the join paid.
+    // Same restructure as q81's bigram frame; PlanShapeSpec locks the
+    // single-Generate shape.
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val hits = spans.join(dup, "h")
+    val hits = spans
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("n_occ") >= 2)
       .select(col("doc_id"), col("ntok"), col("pos"),
         (col("pos") + (n - 1)).as("endp"))
       .withColumn("prev_end",

@@ -21,7 +21,7 @@ object TextOps {
     tokenStats, qualityScores, langId, fingerprints, exactDedup,
     minhashSignatures, ngramJaccardPairs, simhash, minhashLshPairs,
     bpeAndRollingHash, nearDupComponents, curationPipeline, bm25,
-    bigramPerplexity)
+    bigramPerplexity, simhashHammingPairs)
 
   /** Per-document perplexity under a bigram LM trained on the corpus
     * itself — the CCNet-style LM quality filter, self-contained so the
@@ -657,5 +657,86 @@ object TextOps {
       .agg(simhashBitSums(col("h")).head, simhashBitSums(col("h")).tail: _*)
       .select(col("doc_id"), simhashFromBitSums().as("simhash"))
       .orderBy("doc_id")
+  }
+
+  /** SimHash Hamming-distance near-dup PAIRS (Charikar 2002; the
+    * Manku/Jain/Das Sarma 2007 "Detecting Near-Duplicates for Web
+    * Crawling" table scheme): 60-bit per-doc signature (one scan + one
+    * map-side-combinable aggregation), split into 4 bands of 15 bits;
+    * candidate pairs come from a BAND EQUI-JOIN (never all-pairs) and are
+    * verified by popcount of the signature XOR. By pigeonhole, any pair
+    * within Hamming distance 3 agrees on at least one of the 4 bands, so
+    * the band join is COMPLETE for the hd ≤ 3 report — the exact
+    * guarantee the 2007 paper's table scheme is built on.
+    *
+    * 100 TB shape: signature build is one scan; the band join shuffles on
+    * (band, 15-bit value) — ~2^15 buckets per band, so candidates stay
+    * ~n²/2^15 per band under dispersion, and a boilerplate-heavy bucket
+    * (many IDENTICAL signatures) degrades toward that bucket's own pair
+    * count, which is exactly the duplicate mass the operator exists to
+    * report. No cross join anywhere (plan-guarded).
+    */
+  val simhashHammingPairs: GraftQuery = GraftQuery.sql(
+    "q82_simhash_hamming_pairs", {
+      val sums = (0 until 60).map { b =>
+        s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1) // ${1 << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS wbit$b"
+      }.mkString(",\n    ")
+      val hash = (0 until 60).map(b =>
+        s"CASE WHEN wbit$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, md5(UNNEST(string_split(text, ' '))) AS h FROM documents
+         |), bits AS (
+         |  SELECT doc_id,
+         |    $sums
+         |  FROM tok GROUP BY doc_id
+         |), sig AS (
+         |  SELECT doc_id, CAST($hash AS BIGINT) AS sig FROM bits
+         |), bands AS (
+         |  SELECT doc_id, sig, k AS band,
+         |    (sig // (CAST(1 AS BIGINT) << (15 * CAST(k AS INT)))) % 32768 AS bval
+         |  FROM sig, UNNEST(range(0, 4)) AS t(k)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.sig AS sa, b.sig AS sb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (spark, dir) =>
+    simhashPairReport(Tables.documents(spark, dir), maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The q82 core on any (doc_id, text) frame: all pairs within
+    * `maxHamming` of each other on the 60-bit signature. COMPLETE for
+    * maxHamming ≤ 3 (4 bands, pigeonhole); a larger radius needs more
+    * bands to keep the guarantee.
+    */
+  def simhashPairReport(docs: org.apache.spark.sql.DataFrame, maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    require(maxHamming <= 3,
+      "4×15-bit bands guarantee completeness only to Hamming distance 3 — " +
+        "raise the band count before the radius")
+    val sig = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), tokenHash(col("t")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(simhashWideBitSums(col("h")).head, simhashWideBitSums(col("h")).tail: _*)
+      .select(col("doc_id"), simhashWideFromBitSums().as("sig"))
+    val bands = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"),
+          shiftright(col("sig"), 15 * k).bitwiseAND(lit(32767L)).as("bval"))): _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bval").as("bval"))
+    val a = bands.select(col("band"), col("bval"), col("doc_id").as("doc_a"), col("sig").as("sa"))
+    val b = bands.select(col("band"), col("bval"), col("doc_id").as("doc_b"), col("sig").as("sb"))
+    a.join(b, Seq("band", "bval"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 }

@@ -57,15 +57,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
-  test("q75 dup-spans: span-hash joins are equi-joins, windows per-document") {
-    val p = executedPlan("q75_dup_spans")
+  test("q75 dup-spans: ONE span explode (occurrence counts attach via window), no cartesian") {
+    val p = executedPlan("q75_dup_spans").split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // the md5-per-window span explode is the scan's dominant cost — the
+    // pre-r7 plan ran it twice (dup-aggregate + join-back)
+    assert("Generate".r.findAllIn(p).size == 1,
+      p.linesIterator.filter(_.contains("Generate")).mkString("\n"))
   }
 
   test("q76 semdedup: the pair stage joins on the cluster key, never all-pairs") {
     val p = executedPlan("q76_semdedup")
     assert(!p.contains("CartesianProduct"),
       "within-cluster pairs must come from an equi-join on _centroid")
+  }
+
+  test("q82 simhash pairs: candidates come from the band equi-join, never all-pairs") {
+    val p = executedPlan("q82_simhash_hamming_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "pairs must come from an equi-join on (band, bval)")
   }
 
   test("q78 bm25: corpus stats broadcast; the top-20 cut is distributed") {
