@@ -672,6 +672,27 @@ final class ClusterIndex private[cluster] (
 
   def indexedPointCount: Long = numPoints
 
+  /** Persist the BUILT index to `path` (levels parquet + a 1-row metadata
+    * parquet), reloadable by [[ClusterEngine.loadIndex]] with every query
+    * surface intact — bbox scans, serve snapshots, children, paginated
+    * leaves, navigation, and (when stamped) insertion-order ranks. The
+    * reference has no index persistence at all (it rebuilds from source on
+    * every process start); at 100 TB the build is the expensive step, so
+    * save/load IS the production deployment shape: build once on the big
+    * cluster, serve anywhere. Levels are plain parquet — partition-count
+    * independent, readable by any engine for audit.
+    */
+  def save(path: String): Unit = {
+    val spark = levels.sparkSession
+    import spark.implicits._
+    levels.toDF().write.mode("overwrite").parquet(s"$path/levels")
+    Seq((numPoints, opts.minZoom, opts.maxZoom, opts.radius, opts.extent,
+      opts.minPoints, opts.insertionRanks, ranksAvailable))
+      .toDF("num_points", "min_zoom", "max_zoom", "radius", "extent",
+        "min_points", "insertion_ranks", "ranks_available")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   def persist(): this.type = { levels.persist(StorageLevel.MEMORY_AND_DISK); this }
   def unpersist(): this.type = {
     snapshots.clear(); snapshotRowsUsed.set(0L); levels.unpersist(); this
@@ -759,6 +780,30 @@ object ClusterEngine {
     val cached = levels.persist(StorageLevel.MEMORY_AND_DISK)
     val total = cached.filter(col("zoom") === opts.maxZoom + 1).count()
     new ClusterIndex(cached, total, opts, ranksAvailable = opts.insertionRanks)
+  }
+
+  /** Reload an index persisted by [[ClusterIndex.save]]: the levels read
+    * back as an ordinary parquet scan (pruned + predicate-pushed like any
+    * other), metadata reconstructs the exact [[ClusterOptions]], and every
+    * query surface works unchanged. No rebuild, no source data needed —
+    * the deployment shape for serving a hierarchy that was expensive to
+    * build (IndexPersistenceSpec proves scan/serve/navigation equality
+    * with the original).
+    */
+  def loadIndex(spark: SparkSession, path: String): ClusterIndex = {
+    import spark.implicits._
+    val m = spark.read.parquet(s"$path/meta").collect()(0)
+    val opts = ClusterOptions(
+      minZoom = m.getAs[Int]("min_zoom"),
+      maxZoom = m.getAs[Int]("max_zoom"),
+      radius = m.getAs[Double]("radius"),
+      extent = m.getAs[Double]("extent"),
+      minPoints = m.getAs[Int]("min_points"),
+      insertionRanks = m.getAs[Boolean]("insertion_ranks"))
+    val levels = spark.read.parquet(s"$path/levels").as[LevelRow]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new ClusterIndex(levels, m.getAs[Long]("num_points"), opts,
+      ranksAvailable = m.getAs[Boolean]("ranks_available"))
   }
 
   /** The scale-mode build behind the SAME query surface: levels come from

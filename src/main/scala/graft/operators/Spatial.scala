@@ -29,7 +29,7 @@ object Spatial {
     clusterChildren, clusterLeaves, hierarchyNavigation, materializedLeaves,
     geoParquetRoundtrip, gridHierarchyProfile,
     distChildren, distLeaves, distNavigation, distMaterialize,
-    arrowIpcRoundtrip, zorderProfile)
+    arrowIpcRoundtrip, zorderProfile, indexRoundtrip)
 
   /** The hierarchy is built once per (data dir, session, options) and shared
     * by every query on it (the reference's engine-rebuild gating, C1 — build
@@ -650,6 +650,34 @@ object Spatial {
         limit = 25, offset = 0)
       .select(col("event_id"), col("lng"), col("lat"))
       .orderBy("event_id")
+  }
+
+  /** Index persistence roundtrip: save the built exact index to parquet,
+    * reload it WITHOUT the source data, and emit the reloaded index's
+    * per-zoom profile — which must equal q19's committed expected rows
+    * exactly (the oracle replays the same file), so a broken write, a
+    * lost column, or a metadata mismatch fails the hash compare. The
+    * reference rebuilds from source on every start; at 100 TB the build
+    * is the expensive step, so save/load is the deployment shape
+    * (IndexPersistenceSpec proves the full query surface survives).
+    */
+  val indexRoundtrip: GraftQuery = GraftQuery.sql(
+    "q83_index_roundtrip",
+    s"""SELECT zoom, n_records, n_clusters, total_points, max_cluster_size
+       |FROM read_csv('$navExpectedDir/q19_expected.csv', header=true, columns={
+       |  'zoom':'INTEGER','n_records':'BIGINT','n_clusters':'BIGINT',
+       |  'total_points':'BIGINT','max_cluster_size':'BIGINT'})
+       |ORDER BY zoom""".stripMargin) { (spark, dir) =>
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_index_roundtrip"
+    index(spark, dir).save(path)
+    val reloaded = ClusterEngine.loadIndex(spark, path)
+    reloaded.levels.groupBy(col("zoom"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when(col("is_cluster"), 1L).otherwise(0L)).as("n_clusters"),
+        sum(col("point_count")).as("total_points"),
+        max(col("point_count")).as("max_cluster_size"))
+      .orderBy("zoom")
   }
 
   /** Per-zoom level-table profile of the greedy hierarchy (all-integer —
