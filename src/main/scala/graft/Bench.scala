@@ -66,10 +66,18 @@ object Bench {
       val s = xs.sorted
       (s((s.size - 1) / 2) + s(s.size / 2)) / 2.0
     }
+    // Force FULL-ROW materialization, not count(): under count() Catalyst
+    // prunes unreferenced aggregate expressions and can eliminate
+    // preserved-cardinality outer joins outright, so a query's expensive
+    // columns may never compute (q84's cleaned-text hash benched as a bare
+    // scan before this fix — 0.17 s for a 2 s plan). toRdd executes the
+    // planned output rows — every column, no driver collect — which is
+    // what Verify writes and what a consumer reads.
     val resultsFull = selected.map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case NonFatal(_) => false }
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case NonFatal(_) => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       (name, median(runs.map(_._1)), runs.head._1, runs.forall(_._2))

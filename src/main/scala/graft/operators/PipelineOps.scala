@@ -37,7 +37,7 @@ object PipelineOps {
   def all: Seq[GraftQuery] =
     Seq(trainSplit, sequencePacking, decontamination, sourceQuota,
       gopherRepetition, vocabulary, docChunking, jsonlRoundtrip, dupSpans,
-      bpeMerges, mixtureSampling, bpeEncode)
+      bpeMerges, mixtureSampling, bpeEncode, dupSpanRemoval)
 
   /** BPE tokenizer APPLICATION — q77's other half: train the 4-merge
     * table, then encode every document with it and report per-doc token
@@ -423,6 +423,121 @@ object PipelineOps {
       .select(col("doc_id"), col("ntok").as("n_tokens"),
         col("n_dup_spans"), col("n_regions"), col("dup_tokens"),
         (col("dup_tokens").cast("double") / col("ntok")).as("dup_token_frac"))
+  }
+
+  /** Duplicated-span REMOVAL — the actionable half of Lee et al. 2021:
+    * q75 reports where the duplicated spans are; this operator emits the
+    * CLEANED corpus with every duplicated region's tokens removed. Policy
+    * is SYMMETRIC removal (every occurrence of a duplicated window goes,
+    * including the "original") — the conservative, order-free policy
+    * that needs no canonical-occurrence choice and is therefore exactly
+    * reproducible in SQL; keep-one-occurrence is a caller-side variant
+    * (filter q75's regions to non-first occurrences before removing).
+    * Output is per-document: token counts before/after and the md5 of
+    * the cleaned text (tokens rejoined with single spaces, so the hash
+    * is engine-portable), with fully-duplicated documents collapsing to
+    * the empty-string hash.
+    *
+    * 100 TB shape: the span-hash stage is q75's (one explode, occurrence
+    * counts in-frame via the h-window); removed positions explode each
+    * duplicated window into its N covered positions (≤ N× the DUPLICATED
+    * span count only, not the corpus); the kept-token pass is one
+    * LEFT ANTI equi-join on (doc_id, pos) — never a range join — and the
+    * rebuild is one per-doc aggregation. No all-pairs, no unpartitioned
+    * windows.
+    */
+  val dupSpanRemoval: GraftQuery = {
+    val N = 10 // span width, matches q75
+    GraftQuery.sql(
+      "q84_dedup_span_removal",
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(list_slice(tk, i, i + ${N - 1}), ' ')) AS h
+        |  FROM t, UNNEST(range(1, CAST(ntok AS INT) - ${N - 2})) AS u(i)
+        |), occ AS (
+        |  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS n_occ FROM sp
+        |), rem AS (
+        |  SELECT DISTINCT doc_id, pos + i AS rpos
+        |  FROM occ, UNNEST(range(0, $N)) AS u(i) WHERE n_occ >= 2
+        |), tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS w
+        |  FROM t, UNNEST(range(1, CAST(ntok AS INT) + 1)) AS u(i)
+        |), kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.w FROM tok
+        |  ANTI JOIN rem ON tok.doc_id = rem.doc_id AND tok.pos = rem.rpos
+        |), agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+        |    md5(string_agg(w, ' ' ORDER BY pos)) AS cleaned_md5
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, t.ntok AS n_tokens,
+        |  COALESCE(a.kept_tokens, 0) AS kept_tokens,
+        |  t.ntok - COALESCE(a.kept_tokens, 0) AS removed_tokens,
+        |  COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin) { (spark, dir) =>
+      dedupSpanRemovalReport(Tables.documents(spark, dir), N).orderBy("doc_id")
+    }
+  }
+
+  /** The q84 core on any (doc_id, text) frame: one row per document with
+    * (n_tokens, kept_tokens, removed_tokens, cleaned_md5) after symmetric
+    * removal of every duplicated `n`-token window's positions.
+    */
+  def dedupSpanRemovalReport(docs: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+    val withTk = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("ntok", size(col("tk")).cast("long"))
+    val spans = withTk
+      .where(col("ntok") >= n)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), (col("ntok") - (n - 1)).cast("int")),
+          i => struct(
+            i.cast("long").as("pos"),
+            md5(concat_ws(" ", slice(col("tk"), i, lit(n)))
+              .cast("binary")).as("h")))).as("s"))
+      .select(col("doc_id"), col("s.pos"), col("s.h"))
+    // duplicated windows (corpus-wide h-window count, q75's single-pass
+    // shape) → the distinct token positions they cover
+    val removed = spans
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("n_occ") >= 2)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("rpos"))
+      .distinct()
+    val toks = withTk
+      .select(col("doc_id"), col("ntok"), posexplode(col("tk")).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("w"))
+    // flag removed positions with a LEFT join and fold everything in ONE
+    // per-doc aggregation (count / kept / removed / cleaned hash). A
+    // left-ANTI + join-back-to-base formulation computes the same values,
+    // but its final preserved-cardinality outer join is eliminable — a
+    // downstream count() over it optimizes to a bare scan, so nothing
+    // guarantees the operator's work actually runs for aggregate-only
+    // consumers. Here the aggregation consumes the join output directly:
+    // every doc keeps all its token rows, fully-removed docs fall out as
+    // kept=0 with md5('') naturally, and no join-back is needed at all.
+    val flagged = toks.join(removed,
+      toks("doc_id") === removed("doc_id") && toks("pos") === removed("rpos"),
+      "left")
+      .select(toks("doc_id"), col("pos"), col("w"),
+        removed("rpos").isNotNull.as("rm"))
+    val keptArr = filter(
+      array_sort(collect_list(struct(col("pos"), col("rm"), col("w")))),
+      s => !s.getField("rm"))
+    flagged.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(!col("rm"), 1L).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("removed_tokens"),
+        md5(concat_ws(" ", transform(keptArr, s => s.getField("w")))
+          .cast("binary")).as("cleaned_md5"))
+      .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
+        col("removed_tokens"), col("cleaned_md5"))
   }
 
   /** Deterministic content-hash train/val/test split: the split key is the

@@ -86,6 +86,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert((r(0).getLong(4), r(0).getLong(5)) == ((3L, 2L)))
   }
 
+  test("q84 removal: conservation, full-dup collapse, untouched docs keep their exact text") {
+    import spark.implicits._
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ") // 30 unique tokens
+    val docsDf = Seq(
+      0L -> body, // duplicated verbatim by doc 1 → BOTH collapse (symmetric)
+      1L -> body,
+      2L -> (1 to 25).map(i => s"solo$i").mkString(" "), // unique → untouched
+      3L -> "short doc under span width" // ntok < 10 → untouched
+    ).toDF("doc_id", "text")
+    val r = graft.operators.PipelineOps.dedupSpanRemovalReport(docsDf, n = 10)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4))).toMap
+    // conservation on every row
+    r.values.foreach { case (nt, kept, rem, _) => assert(kept + rem == nt) }
+    // the duplicated pair collapses to nothing, both sides
+    Seq(0L, 1L).foreach { id =>
+      assert(r(id) == ((30L, 0L, 30L, "d41d8cd98f00b204e9800998ecf8427e")), s"doc $id")
+    }
+    // untouched docs hash to their ORIGINAL token join
+    def md5of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(2L)._4 == md5of((1 to 25).map(i => s"solo$i").mkString(" ")))
+    assert(r(2L)._2 == 25L && r(3L)._2 == 5L, "unique and short docs keep everything")
+    // cross-consistency with q75 on the real fixture: removal's per-doc
+    // removed_tokens equals the report's dup_tokens for every reported doc
+    val docs = Tables.documents(spark, dir)
+    val removal = graft.operators.PipelineOps.dedupSpanRemovalReport(docs, 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    val report = SparkEntry.queries("q75_dup_spans")(spark, dir)
+      .collect().map(x => x.getLong(0) -> x.getLong(4))
+    assert(report.nonEmpty)
+    report.foreach { case (id, dupToks) =>
+      assert(removal(id) == dupToks, s"doc $id: removal ${removal(id)} != report $dupToks")
+    }
+    // every doc q75 does NOT report removes zero tokens
+    val reported = report.map(_._1).toSet
+    removal.foreach { case (id, rem) =>
+      if (!reported.contains(id)) assert(rem == 0L, s"unreported doc $id removed $rem")
+    }
+  }
+
   test("q77 envelope: merge counts past the checkpoint boundary keep lineage flat; the cap is enforced") {
     import spark.implicits._
     // a corpus whose longest word sustains > BpeCheckpointEvery merges: a
