@@ -18,7 +18,78 @@ object Similarity {
 
   def all: Seq[GraftQuery] = Seq(
     knnBruteForce, embeddingNearDup, annLsh, annIvf, embeddingQuantize, annPq,
-    semDedup)
+    semDedup, embeddingOutliers)
+
+  /** Embedding-space outlier pruning: distance of every vector to its
+    * label centroid, flagging the top ceil(5%) per label — the
+    * mislabeled/noise-document filter that complements SemDeDup (q76
+    * removes redundancy near the centroids; this removes junk far from
+    * them).
+    *
+    * Determinism: centroids are DECIMAL sums (order-independent) turned
+    * into one double division per (label, dim); per-element deviations
+    * are double subtract/multiply (correctly rounded, engine-identical),
+    * re-summed in DECIMAL so dist² is partitioning-invariant; the 5%
+    * threshold is pure integer arithmetic on the per-label rank — no
+    * percentile-value float compare anywhere. The per-label windows are
+    * partitioned (bounded per-key work); centroid join is a hash
+    * equi-join on (label, dim), labels·dims rows — broadcastable.
+    */
+  val embeddingOutliers: GraftQuery = GraftQuery.sql(
+    "q87_embedding_outliers",
+    """WITH ex AS (
+      |  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+      |), cent AS (
+      |  SELECT label, i,
+      |    SUM(CAST(x AS DECIMAL(25,15))) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ex GROUP BY label, i
+      |), c AS (
+      |  SELECT label, i, CAST(s AS DOUBLE) / n AS c FROM cent
+      |), d AS (
+      |  SELECT vec_id, ex.label,
+      |    SUM(CAST((x - c) * (x - c) AS DECIMAL(25,15))) AS s2
+      |  FROM ex JOIN c USING (label, i) GROUP BY vec_id, ex.label
+      |), r AS (
+      |  SELECT vec_id, label, round(CAST(s2 AS DOUBLE), 9) AS dist2 FROM d
+      |), w AS (
+      |  SELECT vec_id, label, dist2,
+      |    CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY label ORDER BY dist2 DESC, vec_id) AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS n_label
+      |  FROM r
+      |)
+      |SELECT vec_id, label, dist2, rk,
+      |  rk <= (n_label + 19) // 20 AS is_outlier
+      |FROM w ORDER BY label, rk""".stripMargin) { (spark, dir) =>
+    embeddingOutlierReport(Tables.embeddings(spark, dir)).orderBy("label", "rk")
+  }
+
+  /** The q87 core on any (vec_id, label, embedding) frame: squared L2
+    * distance to the label centroid, per-label rank, top-ceil(5%) flag.
+    */
+  def embeddingOutlierReport(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ex = emb
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"),
+        col("xf").cast("double").as("x"))
+    val cent = ex.groupBy(col("label"), col("i"))
+      .agg(sum(col("x").cast(DecimalType(25, 15))).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("i"), (col("s").cast("double") / col("n")).as("c"))
+    val dist = ex.join(cent, Seq("label", "i"))
+      .withColumn("dd", col("x") - col("c"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("dd") * col("dd")).cast(DecimalType(25, 15))).as("s2"))
+      .select(col("vec_id"), col("label"), round(col("s2").cast("double"), 9).as("dist2"))
+    val w = Window.partitionBy(col("label"))
+    dist
+      .withColumn("rk",
+        row_number().over(w.orderBy(desc("dist2"), col("vec_id"))).cast("long"))
+      .withColumn("n_label", count(lit(1)).over(w).cast("long"))
+      .select(col("vec_id"), col("label"), col("dist2"), col("rk"),
+        (col("rk") <= expr("(n_label + 19) div 20")).as("is_outlier"))
+  }
 
   /** Int8 scalar quantization of embeddings (per-vector min/max range) —
     * THE storage lever for 100 TB embedding tables (4×–8× smaller than

@@ -21,7 +21,7 @@ object TextOps {
     tokenStats, qualityScores, langId, fingerprints, exactDedup,
     minhashSignatures, ngramJaccardPairs, simhash, minhashLshPairs,
     bpeAndRollingHash, nearDupComponents, curationPipeline, bm25,
-    bigramPerplexity, simhashHammingPairs)
+    bigramPerplexity, simhashHammingPairs, kmvDistinct, tfidfTopTerms)
 
   /** Per-document perplexity under a bigram LM trained on the corpus
     * itself — the CCNet-style LM quality filter, self-contained so the
@@ -707,6 +707,181 @@ object TextOps {
     }) { (spark, dir) =>
     simhashPairReport(Tables.documents(spark, dir), maxHamming = 3)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** KMV (k-minimum-values) distinct-BIGRAM sketch per source — the
+    * MERGEABLE cardinality estimator a 100 TB corpus profile needs: each
+    * group's state is its k smallest distinct bigram hashes (bounded at k
+    * longs, union-mergeable across partitions/shards/days), and the
+    * estimate is (k−1)·2^32 / h_k (Bar-Yossef et al. 2002). Bigrams, not
+    * unigrams, because the fixture's unigram vocabulary (~31/source) is
+    * below k — bigram cardinality (~700/source) actually exercises the
+    * estimation branch at every SF while the < k exact fallback still
+    * covers tiny groups. Fully deterministic: the hash is the first 8 md5
+    * nibbles (an exact 32-bit integer), the estimate is one
+    * integer-valued double division (correctly rounded per IEEE in every
+    * engine) — no transcendentals, no float accumulation.
+    *
+    * The Spark plan is the two-phase distributed top-k: per
+    * (source, input-partition) k smallest DISTINCT hashes first
+    * (dense_rank over a partition-local window — no skew, no full sort),
+    * then the global k over the ≤ k·partitions candidates. The global
+    * k-smallest-distinct set is contained in the union of partition-local
+    * k-smallest-distinct sets, so the result is partition-count invariant
+    * (KmvSketchSpec proves it); the DuckDB oracle states the one-phase
+    * semantics directly. Exact distinct counts ride along to report the
+    * realized relative error. When a source has fewer than k distinct
+    * hashes the sketch IS the exact count.
+    */
+  val kmvDistinct: GraftQuery = {
+    val k = 64
+    val hexToInt = (1 to 8).map(j =>
+      s"(strpos('0123456789abcdef', substr(md5(token), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+      .mkString("\n      + ")
+    GraftQuery.sql(
+      "q85_kmv_distinct",
+      s"""WITH w AS (
+         |  SELECT source, string_split(text, ' ') AS tk FROM documents
+         |), tok AS (
+         |  SELECT source, tk[i] || ' ' || tk[i+1] AS token
+         |  FROM w, UNNEST(range(1, len(tk))) AS u(i)
+         |), h AS (
+         |  SELECT DISTINCT source,
+         |      $hexToInt AS h
+         |  FROM tok
+         |), ranked AS (
+         |  SELECT source, h,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+         |  FROM h
+         |), sk AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS sketch_size,
+         |    MAX(CASE WHEN rk = $k THEN h END) AS h_k
+         |  FROM ranked WHERE rk <= $k GROUP BY source
+         |), ex AS (
+         |  SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct
+         |  FROM tok GROUP BY source
+         |), est AS (
+         |  SELECT source, sketch_size, h_k,
+         |    round(CASE WHEN sketch_size < $k THEN CAST(sketch_size AS DOUBLE)
+         |          ELSE ${(k - 1).toDouble * 4294967296.0} / h_k END, 6) AS est_distinct,
+         |    exact_distinct
+         |  FROM sk JOIN ex USING (source)
+         |)
+         |SELECT source, sketch_size, h_k, est_distinct, exact_distinct,
+         |  round(abs(est_distinct - exact_distinct) / exact_distinct, 6) AS rel_err
+         |FROM est ORDER BY source""".stripMargin) { (spark, dir) =>
+      kmvSketchReport(Tables.documents(spark, dir), k).orderBy("source")
+    }
+  }
+
+  /** The q85 core on any (source, text) frame: per-source KMV
+    * distinct-bigram sketch + exact count + realized error. Partition-
+    * count invariant (KmvSketchSpec): the global k smallest distinct
+    * hashes are contained in the union of per-input-partition k smallest
+    * distinct hashes, so phase 1 never loses a sketch member.
+    */
+  def kmvSketchReport(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "KMV needs k >= 2 (the estimate is (k-1)*2^32/h_k)")
+    val tok = docs
+      .select(col("source"), tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("source"), explode(shingles(col("tk"), 2)).as("token"))
+    val hashed = tok.select(col("source"),
+      conv(substring(md5(col("token").cast("binary")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+    // phase 1: k smallest distinct hashes per (source, input partition) —
+    // bounded candidates, no global sort, skew-free
+    val candidates = hashed
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rk",
+        dense_rank().over(Window.partitionBy(col("source"), col("pid")).orderBy(col("h"))))
+      .where(col("rk") <= k)
+      .select(col("source"), col("h")).distinct()
+    // phase 2: the true global k smallest distinct
+    val ranked = candidates
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("source")).orderBy(col("h"))))
+      .where(col("rk") <= k)
+    val sketch = ranked.groupBy(col("source")).agg(
+      count(lit(1)).as("sketch_size"),
+      max(when(col("rk") === k, col("h"))).as("h_k"))
+    val exact = tok.groupBy(col("source"))
+      .agg(countDistinct(col("token")).as("exact_distinct"))
+    sketch.join(exact, "source")
+      .withColumn("est_distinct",
+        round(when(col("sketch_size") < k, col("sketch_size").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 4294967296.0) / col("h_k")), 6))
+      .withColumn("rel_err",
+        round(abs(col("est_distinct") - col("exact_distinct"))
+          / col("exact_distinct"), 6))
+      .select("source", "sketch_size", "h_k", "est_distinct", "exact_distinct", "rel_err")
+  }
+
+  /** TF-IDF keyword extraction: the top 5 terms per document by
+    * tf · ln(N/df) — the classic curation/diversity signal (and BM25's
+    * (q78) untuned cousin: q78 scores documents against a fixed query,
+    * this extracts each document's own most characteristic terms).
+    *
+    * Plan: one explode → (doc,term) count → vocab-sized df aggregation
+    * joined back on the term key (hash equi-join; broadcastable when the
+    * vocab is small), corpus size as a 1-row broadcast. The per-doc top-5
+    * is a window partitioned BY DOCUMENT — bounded work per key at any
+    * corpus size, never a global sort. Ranking happens on the ROUNDED
+    * score (6 dp) with a term tie-break, so the selected rows are
+    * engine-stable (the q81 precedent: ln on identical doubles plus
+    * coarse rounding before any comparison).
+    */
+  val tfidfTopTerms: GraftQuery = {
+    val topN = 5
+    GraftQuery.sql(
+      "q86_tfidf_topterms",
+      s"""WITH tok AS (
+         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n
+         |), ranked AS (
+         |  SELECT doc_id, term, tf, df, score,
+         |    CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk
+         |  FROM scored
+         |)
+         |SELECT doc_id, term, tf, df, score, rk
+         |FROM ranked WHERE rk <= $topN ORDER BY doc_id, rk""".stripMargin) { (spark, dir) =>
+      tfidfReport(Tables.documents(spark, dir), topN).orderBy("doc_id", "rk")
+    }
+  }
+
+  /** The q86 core on any (doc_id, text) frame: top `topN` terms per doc
+    * by tf·ln(N/df), ranked on the 6-dp-rounded score with a term
+    * tie-break (engine- and partitioning-stable selection).
+    */
+  def tfidfReport(docs: org.apache.spark.sql.DataFrame, topN: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term")
+      .join(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("term")))
+          .cast("long"))
+      .where(col("rk") <= topN)
+      .select("doc_id", "term", "tf", "df", "score", "rk")
   }
 
   /** The q82 core on any (doc_id, text) frame: all pairs within
