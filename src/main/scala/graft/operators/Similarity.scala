@@ -18,7 +18,7 @@ object Similarity {
 
   def all: Seq[GraftQuery] = Seq(
     knnBruteForce, embeddingNearDup, annLsh, annIvf, embeddingQuantize, annPq,
-    semDedup, embeddingOutliers)
+    semDedup, embeddingOutliers, hardNegatives)
 
   /** Embedding-space outlier pruning: distance of every vector to its
     * label centroid, flagging the top ceil(5%) per label — the
@@ -89,6 +89,90 @@ object Similarity {
       .withColumn("n_label", count(lit(1)).over(w).cast("long"))
       .select(col("vec_id"), col("label"), col("dist2"), col("rk"),
         (col("rk") <= expr("(n_label + 19) div 20")).as("is_outlier"))
+  }
+
+  /** Contrastive training-pair mining: for each anchor vector, the most
+    * similar SAME-label vector (the positive) and the top-3 most similar
+    * DIFFERENT-label vectors (the hard negatives, Karpukhin et al. 2020's
+    * in-batch-negative upgrade), with the pos−neg margin — the pair
+    * generator for embedding-model finetuning over a labeled corpus.
+    *
+    * Scale shape: the bounded anchor set broadcasts against one corpus
+    * scan (same contract as q28/q29 — at 100 TB the candidate set comes
+    * from the LSH/IVF index, then this exact decimal rescore runs on the
+    * shortlist). Scores are decimal-exact cosines rounded at 12 decimals;
+    * the margin is one IEEE subtract of two identically-rounded doubles,
+    * so it hash-matches cross-engine. Both windows partition by anchor.
+    * Anchors lacking any same-label or any different-label counterpart
+    * drop via the inner joins — mirrored exactly in the oracle.
+    */
+  val hardNegatives: GraftQuery = GraftQuery.sql(
+    "q88_hard_negatives",
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |a AS (
+       |  SELECT vec_id AS anchor_id, label AS a_label, embedding AS av
+       |  FROM e WHERE vec_id < 50
+       |), scored AS (
+       |  SELECT anchor_id, a_label, e.vec_id AS cand_id, e.label AS c_label,
+       |    ${cosineSql("av", "embedding")} AS cos_sim
+       |  FROM a, e WHERE anchor_id <> e.vec_id
+       |), pos AS (
+       |  SELECT anchor_id, cand_id AS pos_id, cos_sim AS pos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |      ORDER BY cos_sim DESC, cand_id) AS prk
+       |  FROM scored WHERE c_label = a_label
+       |), neg AS (
+       |  SELECT anchor_id, a_label, cand_id AS neg_id, cos_sim AS neg_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |      ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS neg_rk
+       |  FROM scored WHERE c_label <> a_label
+       |)
+       |SELECT n.anchor_id, n.a_label AS label, p.pos_id, p.pos_sim,
+       |  n.neg_id, n.neg_sim, n.neg_rk,
+       |  round(p.pos_sim - n.neg_sim, 12) AS margin
+       |FROM neg n JOIN pos p ON n.anchor_id = p.anchor_id AND p.prk = 1
+       |WHERE n.neg_rk <= 3
+       |ORDER BY n.anchor_id, neg_rk""".stripMargin) { (spark, dir) =>
+    hardNegativeReport(Tables.embeddings(spark, dir), anchorMax = 50, kNeg = 3)
+      .orderBy("anchor_id", "neg_rk")
+  }
+
+  /** The q88 core on any (vec_id, label, embedding) frame. */
+  def hardNegativeReport(
+      emb: org.apache.spark.sql.DataFrame,
+      anchorMax: Long,
+      kNeg: Int): org.apache.spark.sql.DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"),
+      VectorFunctions.normSqExact(col("embedding")).cast("double").as("nsq"))
+    val a = e.where(col("vec_id") < anchorMax)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").as("av"), col("nsq").as("an"))
+    val c = e.select(col("vec_id").as("cand_id"), col("label").as("c_label"),
+      col("embedding").as("cv"), col("nsq").as("cn"))
+    // one corpus scan; scored feeds BOTH the positive and negative rank
+    // windows, so pin it (q81's lesson: an unpersisted shared frame
+    // re-runs its upstream once per consumer)
+    val scored = c.join(broadcast(a), col("anchor_id") =!= col("cand_id"))
+      .select(col("anchor_id"), col("a_label"), col("cand_id"), col("c_label"),
+        VectorFunctions.cosineFromNormSq(col("av"), col("cv"), col("an"), col("cn"))
+          .as("cos_sim"))
+      .localCheckpoint()
+    val wA = Window.partitionBy(col("anchor_id"))
+      .orderBy(desc("cos_sim"), col("cand_id"))
+    val pos = scored.where(col("c_label") === col("a_label"))
+      .withColumn("prk", row_number().over(wA))
+      .where(col("prk") === 1)
+      .select(col("anchor_id"), col("cand_id").as("pos_id"),
+        col("cos_sim").as("pos_sim"))
+    val neg = scored.where(col("c_label") =!= col("a_label"))
+      .withColumn("neg_rk", row_number().over(wA).cast("long"))
+      .where(col("neg_rk") <= kNeg)
+      .select(col("anchor_id"), col("a_label").as("label"),
+        col("cand_id").as("neg_id"), col("cos_sim").as("neg_sim"), col("neg_rk"))
+    neg.join(pos, Seq("anchor_id"))
+      .select(col("anchor_id"), col("label"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_sim"), col("neg_rk"),
+        round(col("pos_sim") - col("neg_sim"), 12).as("margin"))
   }
 
   /** Int8 scalar quantization of embeddings (per-vector min/max range) —

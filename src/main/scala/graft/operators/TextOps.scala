@@ -21,7 +21,8 @@ object TextOps {
     tokenStats, qualityScores, langId, fingerprints, exactDedup,
     minhashSignatures, ngramJaccardPairs, simhash, minhashLshPairs,
     bpeAndRollingHash, nearDupComponents, curationPipeline, bm25,
-    bigramPerplexity, simhashHammingPairs, kmvDistinct, tfidfTopTerms)
+    bigramPerplexity, simhashHammingPairs, kmvDistinct, tfidfTopTerms,
+    pmiCollocations)
 
   /** Per-document perplexity under a bigram LM trained on the corpus
     * itself — the CCNet-style LM quality filter, self-contained so the
@@ -858,6 +859,91 @@ object TextOps {
          |FROM ranked WHERE rk <= $topN ORDER BY doc_id, rk""".stripMargin) { (spark, dir) =>
       tfidfReport(Tables.documents(spark, dir), topN).orderBy("doc_id", "rk")
     }
+  }
+
+  /** Collocation extraction by pointwise mutual information (Church &
+    * Hanks 1990): adjacent word pairs whose co-occurrence beats the
+    * independence assumption, min corpus count 5, top 25 — the phrase
+    * miner feeding tokenizer vocab curation and n-gram decontamination.
+    *
+    * Determinism without ln: PMI is monotone in the association RATIO
+    * n·c(w1,w2) / (c(w1)·c(w2)), so the report ranks the ratio itself —
+    * all inputs are exact BIGINT counts below 2^53, the product and
+    * quotient are single correctly-rounded IEEE ops, and round-9 pins the
+    * hash cross-engine (no transcendental anywhere, one less ULP risk
+    * than q86's ln).
+    *
+    * Scale shape: two vocab-bounded hash aggregations off one token
+    * explode; unigram counts broadcast back onto the bigram table (vocab
+    * ≪ corpus); the global top-25 is a distributed TakeOrdered on the
+    * rounded ratio, never a full sort, and the rank window runs on ≤ 25
+    * rows (the q78 pattern).
+    */
+  val pmiCollocations: GraftQuery = {
+    val minCount = 5
+    val topK = 25
+    GraftQuery.sql(
+      "q89_pmi_collocations",
+      s"""WITH w AS (
+         |  SELECT string_split(text, ' ') AS tk FROM documents
+         |), uni AS (
+         |  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(tk) AS w1 FROM w) GROUP BY w1
+         |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+         |bi AS (
+         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+         |    SELECT tk[i] AS w1, tk[i+1] AS w2
+         |    FROM w, UNNEST(range(1, len(tk))) AS u(i)) GROUP BY w1, w2
+         |), scored AS (
+         |  SELECT b.w1, b.w2, b.c12,
+         |    round(CAST(b.c12 AS DOUBLE) * t.n / (u1.c * u2.c), 9) AS pmi_ratio
+         |  FROM bi b
+         |  JOIN uni u1 ON b.w1 = u1.w1
+         |  JOIN uni u2 ON b.w2 = u2.w1
+         |  CROSS JOIN tot t
+         |  WHERE b.c12 >= $minCount
+         |), ranked AS (
+         |  SELECT w1, w2, c12, pmi_ratio,
+         |    CAST(ROW_NUMBER() OVER (
+         |      ORDER BY pmi_ratio DESC, w1, w2) AS BIGINT) AS rk
+         |  FROM scored
+         |)
+         |SELECT w1, w2, c12, pmi_ratio, rk
+         |FROM ranked WHERE rk <= $topK ORDER BY rk""".stripMargin) { (spark, dir) =>
+      pmiReport(Tables.documents(spark, dir), minCount, topK).orderBy("rk")
+    }
+  }
+
+  /** The q89 core on any (doc_id, text) frame: top `topK` adjacent-pair
+    * collocations by the PMI ratio, pairs below `minCount` dropped.
+    */
+  def pmiReport(docs: org.apache.spark.sql.DataFrame, minCount: Int, topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.select(tokens(col("text")).as("tk"))
+    // vocab-bounded unigram counts; feeds the total, and both sides of the
+    // bigram attach — localCheckpoint so the corpus explode runs once
+    val uni = w.select(explode(col("tk")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = uni.agg(sum(col("c")).cast("long").as("n"))
+    val bi = w.where(size(col("tk")) >= 2)
+      .select(explode(shingles(col("tk"), 2)).as("g"))
+      .select(
+        substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+    val scored = bi
+      .join(broadcast(uni.select(col("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w1").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .join(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(col("c12").cast("double") * col("n") / (col("c1") * col("c2")), 9)
+          .as("pmi_ratio"))
+    scored.orderBy(desc("pmi_ratio"), col("w1"), col("w2")).limit(topK)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(desc("pmi_ratio"), col("w1"), col("w2")))
+          .cast("long"))
   }
 
   /** The q86 core on any (doc_id, text) frame: top `topN` terms per doc
