@@ -137,7 +137,18 @@ object Similarity {
       .orderBy("anchor_id", "neg_rk")
   }
 
-  /** The q88 core on any (vec_id, label, embedding) frame. */
+  /** The q88 core on any (vec_id, label, embedding) frame.
+    *
+    * Two-phase like q29/q47: a cheap codegen'd double cosine ranks every
+    * (anchor, candidate) pair, and the DECIMAL-exact rescore runs only on
+    * a per-(anchor, same-label?) shortlist that provably contains the
+    * exact top-max(kNeg, 1): a pair can miss the shortlist only if it is
+    * below the group's approx 3rd-best minus 2e-6, in which case the
+    * approx error bound (≪ 1e-6 per side) puts at least kNeg pairs
+    * strictly above it exactly — it cannot be in the exact top-kNeg.
+    * Exact ties (duplicate vectors) survive via the ε-band and resolve on
+    * the cand_id tie-break, same as the all-decimal plan.
+    */
   def hardNegativeReport(
       emb: org.apache.spark.sql.DataFrame,
       anchorMax: Long,
@@ -149,10 +160,30 @@ object Similarity {
         col("embedding").as("av"), col("nsq").as("an"))
     val c = e.select(col("vec_id").as("cand_id"), col("label").as("c_label"),
       col("embedding").as("cv"), col("nsq").as("cn"))
-    // one corpus scan; scored feeds BOTH the positive and negative rank
-    // windows, so pin it (q81's lesson: an unpersisted shared frame
-    // re-runs its upstream once per consumer)
-    val scored = c.join(broadcast(a), col("anchor_id") =!= col("cand_id"))
+    val approx = c.join(broadcast(a), col("anchor_id") =!= col("cand_id"))
+      .select(col("anchor_id"), col("a_label"), col("cand_id"), col("c_label"),
+        col("av"), col("cv"), col("an"), col("cn"),
+        VectorFunctions.cosineApprox(col("av"), col("cv"), col("an"), col("cn"))
+          .as("apx"))
+    // both windows share the (anchor, same-label?) partition keys → ONE
+    // exchange, one scan: rank by approx score, then surface the k-th
+    // value group-wide to draw the ε-band (groups smaller than k have a
+    // null bound and keep everything)
+    val wGrp = Window.partitionBy(col("anchor_id"), col("c_label") === col("a_label"))
+    val kKeep = math.max(kNeg, 1)
+    val short = approx
+      .withColumn("rk_apx",
+        row_number().over(wGrp.orderBy(desc("apx"), col("cand_id"))))
+      .withColumn("kth_apx",
+        max(when(col("rk_apx") === kKeep, col("apx"))).over(wGrp))
+      .where(col("rk_apx") <= kKeep ||
+        col("kth_apx").isNull || col("apx") >= col("kth_apx") - 2e-6)
+      .select(col("anchor_id"), col("a_label"), col("cand_id"), col("c_label"),
+        col("av"), col("cv"), col("an"), col("cn"))
+    // exact rescore of the shortlist only; scored feeds BOTH the positive
+    // and negative rank windows, so pin it (q81's lesson: an unpersisted
+    // shared frame re-runs its upstream once per consumer)
+    val scored = short
       .select(col("anchor_id"), col("a_label"), col("cand_id"), col("c_label"),
         VectorFunctions.cosineFromNormSq(col("av"), col("cv"), col("an"), col("cn"))
           .as("cos_sim"))

@@ -46,6 +46,21 @@ class HardNegativeSpec extends AnyFunSuite {
     }
   }
 
+  test("exact ties resolve on cand_id through the approx shortlist") {
+    import spark.implicits._
+    // six IDENTICAL negatives (exact cosine ties): the prefilter's ε-band
+    // must keep them all so the exact rerank picks the 3 smallest ids —
+    // the same answer the all-decimal plan gives
+    val emb = (Seq((0L, "a", Array(1f, 0f)), (1L, "a", Array(0.5f, 0.5f))) ++
+      (2L to 7L).map(i => (i, "b", Array(0.9f, 0.1f))))
+      .toDF("vec_id", "label", "embedding")
+    val rows = Similarity.hardNegativeReport(emb, anchorMax = 1, kNeg = 3)
+      .orderBy("neg_rk").collect()
+    assert(rows.map(_.getAs[Long]("neg_id")).toSeq == Seq(2L, 3L, 4L),
+      "tied negatives must rank by ascending cand_id")
+    assert(rows.map(_.getAs[Double]("neg_sim")).distinct.length == 1)
+  }
+
   test("labels are consistent and ranks contiguous on sf0.001") {
     val rows = Similarity.hardNegativeReport(
       Tables.embeddings(spark, "/root/testdata/sf0.001"), anchorMax = 50, kNeg = 3)
