@@ -13,7 +13,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.Spatial.all ++
       operators.TextOps.all ++ operators.Similarity.all ++
       operators.Streaming.all ++ operators.MultimodalOps.all ++
-      operators.PipelineOps.all ++ operators.Privacy.all ++ operators.Skew.all
+      operators.PipelineOps.all ++ operators.Privacy.all ++ operators.Skew.all ++
+      operators.Profiling.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{GraftQuery, Tables}
+
+/** Data-quality / statistics surface: distribution-drift monitoring
+  * (PSI), column profiling (the dataset-card + ANALYZE stats), and a
+  * mergeable fixed-bin quantile sketch.
+  *
+  * These are the pipeline-health operators a 100 TB training-data run
+  * needs around the transform stages: PSI tells you an upstream source
+  * shifted before the loss curve does, the profile feeds both humans and
+  * the optimizer, and the histogram sketch answers percentile questions
+  * with one scan + mergeable partials where an exact global sort is off
+  * the table.
+  */
+object Profiling {
+
+  def all: Seq[GraftQuery] = Seq(psiDrift, columnProfile, histogramQuantiles)
+
+  /** Population stability index (the standard model-monitoring drift
+    * score) of the event value distribution, hour over hour: 10 fixed
+    * value bins, Laplace-smoothed shares p = (c+1)/(n+10) so empty bins
+    * stay finite, PSI_t = Σ_bins (p_t − p_{t−1})·ln(p_t / p_{t−1})
+    * against the previous hour; bands at the conventional 0.1/0.25
+    * thresholds (computed from the ROUNDED score, the q81 discipline).
+    *
+    * Determinism: bin shares are single IEEE divides of exact integer
+    * counts; the 10 per-bin terms sum in DECIMAL (order-independent)
+    * and round at 9 — the same ln-then-decimal pattern q81 hash-proved.
+    * Scale shape: one scan → (hour, bin) hash agg; the dense
+    * hour×10-bin grid and the self-join on hour−1 are hour-cardinality
+    * frames (≪ data), shuffle-parallel on the hour key.
+    */
+  val psiDrift: GraftQuery = GraftQuery.sql(
+    "q91_psi_drift",
+    """WITH ev AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+      |    LEAST(CAST(floor(value / 50) AS INT), 9) AS bin
+      |  FROM events
+      |), cnt AS (
+      |  SELECT h, bin, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY h, bin
+      |), tot AS (
+      |  SELECT h, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY h
+      |), bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+      |p AS (
+      |  SELECT t.h, b.bin, (COALESCE(c.c, 0) + 1.0) / (t.n + 10) AS p, t.n
+      |  FROM tot t CROSS JOIN bins b
+      |  LEFT JOIN cnt c ON c.h = t.h AND c.bin = b.bin
+      |), s AS (
+      |  SELECT cur.h, MIN(cur.n) AS n_events,
+      |    CAST(SUM(CAST((cur.p - prv.p) * ln(cur.p / prv.p)
+      |      AS DECIMAL(25,15))) AS DOUBLE) AS raw
+      |  FROM p cur JOIN p prv ON prv.h = cur.h - 1 AND prv.bin = cur.bin
+      |  GROUP BY cur.h
+      |)
+      |SELECT h AS hour_bucket, n_events, round(raw, 9) AS psi,
+      |  CASE WHEN round(raw, 9) >= 0.25 THEN 'major'
+      |       WHEN round(raw, 9) >= 0.1 THEN 'moderate'
+      |       ELSE 'stable' END AS drift_band
+      |FROM s ORDER BY hour_bucket""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).select(
+      expr("ts_us div 3600000000").as("h"),
+      least(floor(col("value") / 50).cast("int"), lit(9)).as("bin"))
+    psiReport(ev).orderBy("hour_bucket")
+  }
+
+  /** The q91 core on any (h, bin) frame with bins in [0, 10). */
+  def psiReport(binned: DataFrame): DataFrame = {
+    val spark = binned.sparkSession
+    val cnt = binned.groupBy(col("h"), col("bin")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("h")).agg(sum(col("c")).cast("long").as("n"))
+    val bins = spark.range(0, 10).select(col("id").cast("int").as("bin"))
+    val p = tot.join(broadcast(bins))
+      .join(cnt, Seq("h", "bin"), "left")
+      .select(col("h"), col("bin"), col("n"),
+        ((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("n") + lit(10))).as("p"))
+    val prv = p.select((col("h") + 1).as("h"), col("bin"), col("p").as("p_prv"))
+    val s = p.join(prv, Seq("h", "bin"))
+      .groupBy(col("h"))
+      .agg(min(col("n")).as("n_events"),
+        sum(((col("p") - col("p_prv")) * log(col("p") / col("p_prv")))
+          .cast(DecimalType(25, 15))).cast("double").as("raw"))
+    val psi = round(col("raw"), 9)
+    s.select(col("h").as("hour_bucket"), col("n_events"), psi.as("psi"),
+      when(psi >= 0.25, "major").when(psi >= 0.1, "moderate")
+        .otherwise("stable").as("drift_band"))
+  }
+
+  private val NumCols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+    "l_discount", "shipdate_ms")
+  private val StrCols = Seq("l_returnflag", "l_linestatus")
+
+  /** Column profile of `lineitem` — null counts, exact distinct counts,
+    * min/max per column, one row per column (the ANALYZE/dataset-card
+    * stats). ONE scan computes every column's stats in a single
+    * aggregation (exact distincts expand the scan internally — the
+    * standard price of exact ANALYZE; swap in the q85 KMV sketch per
+    * column when approximate is acceptable); the per-column rows are
+    * constant-width selects of that one cached row. Numeric min/max
+    * surface as DOUBLE (integers < 2^53 exact), strings as VARCHAR,
+    * timestamps as epoch millis — every cast engine-unambiguous.
+    */
+  val columnProfile: GraftQuery = {
+    def numSql(c: String, src: String = null) = {
+      val e = Option(src).getOrElse(c)
+      s"""SELECT '$c' AS col_name,
+         |  CAST(COUNT(*) FILTER (WHERE $e IS NULL) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $e) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($e) AS DOUBLE) AS min_num, CAST(MAX($e) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin
+    }
+    def strSql(c: String) =
+      s"""SELECT '$c' AS col_name,
+         |  CAST(COUNT(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         |  MIN($c) AS min_str, MAX($c) AS max_str
+         |FROM lineitem""".stripMargin
+    val parts = (NumCols.filterNot(_ == "shipdate_ms").map(c => numSql(c)) :+
+      numSql("shipdate_ms", "epoch_ms(l_shipdate)")) ++ StrCols.map(strSql)
+    GraftQuery.sql(
+      "q92_column_profile",
+      parts.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")) { (spark, dir) =>
+      columnProfileReport(
+        Tables.lineitem(spark, dir)
+          .withColumn("shipdate_ms", expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 1000")),
+        NumCols, StrCols).orderBy("col_name")
+    }
+  }
+
+  /** The q92 core on any frame: one-scan stats for the given numeric and
+    * string columns, one output row per column.
+    */
+  def columnProfileReport(src: DataFrame, numCols: Seq[String], strCols: Seq[String]): DataFrame = {
+    val aggExprs = (numCols ++ strCols).flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"))
+    } ++ numCols.flatMap { c =>
+      Seq(min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    } ++ strCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))
+    }
+    val one = src.agg(aggExprs.head, aggExprs.tail: _*).localCheckpoint()
+    val rows = numCols.map { c =>
+      one.select(lit(c).as("col_name"),
+        col(s"${c}__nulls").as("n_nulls"), col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_num"), col(s"${c}__max").as("max_num"),
+        lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+    } ++ strCols.map { c =>
+      one.select(lit(c).as("col_name"),
+        col(s"${c}__nulls").as("n_nulls"), col(s"${c}__distinct").as("n_distinct"),
+        lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+        col(s"${c}__min").as("min_str"), col(s"${c}__max").as("max_str"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  /** Mergeable fixed-bin quantile sketch over `l_extendedprice`: 1000
+    * equal-width bins between the column min and max, per-bin counts,
+    * and each target quantile answered by the first bin whose cumulative
+    * count reaches ceil(q·n) — error bounded by one bin width
+    * ((max−min)/1000), with NO global sort of the data anywhere. This is
+    * the quantile path that scales: per-partition partial histograms
+    * merge by addition (Spark's map-side partial agg does it for free),
+    * unlike exact percentile_disc which must sort.
+    *
+    * Determinism: bin edges derive from the exact double min/max; the
+    * bin index is floor((x−m)/(M−m)·1000) — three correctly-rounded IEEE
+    * ops in the same order both engines; counts are exact integers and
+    * the rank thresholds ceil(q·n) are the same double product
+    * cross-engine. The cumulative profile is a broadcast range-join over
+    * the ≤1000-row histogram (bin-cardinality work, independent of data
+    * size — no partition-less window anywhere).
+    */
+  val histogramQuantiles: GraftQuery = GraftQuery.sql(
+    "q93_histogram_quantiles",
+    """WITH stats AS (
+      |  SELECT MIN(l_extendedprice) AS m, MAX(l_extendedprice) AS mx,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem
+      |), binned AS (
+      |  SELECT CASE WHEN s.mx = s.m THEN 0
+      |    ELSE LEAST(CAST(floor((l_extendedprice - s.m) / (s.mx - s.m) * 1000)
+      |      AS INT), 999) END AS bin
+      |  FROM lineitem CROSS JOIN stats s
+      |), hist AS (
+      |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY bin
+      |), cum AS (
+      |  SELECT a.bin, CAST(SUM(b.c) AS BIGINT) AS cum
+      |  FROM hist a JOIN hist b ON b.bin <= a.bin GROUP BY a.bin
+      |), targets AS (
+      |  SELECT q, CAST(ceil(q * s.n) AS BIGINT) AS need, s.m, s.mx, s.n
+      |  FROM (SELECT unnest([0.5, 0.95, 0.99]) AS q) CROSS JOIN stats s
+      |), pick AS (
+      |  SELECT t.q AS quantile, MIN(c.bin) AS bin, MIN(t.need) AS need,
+      |    MIN(t.m) AS m, MIN(t.mx) AS mx, MIN(t.n) AS n_rows
+      |  FROM targets t JOIN cum c ON c.cum >= t.need
+      |  GROUP BY t.q
+      |)
+      |SELECT quantile, CAST(bin AS BIGINT) AS bin,
+      |  m + CAST(bin AS DOUBLE) * (mx - m) / 1000 AS lower_edge,
+      |  need, n_rows
+      |FROM pick ORDER BY quantile""".stripMargin) { (spark, dir) =>
+    histogramQuantileReport(
+      Tables.lineitem(spark, dir).select(col("l_extendedprice").as("x")),
+      Seq(0.5, 0.95, 0.99), 1000).orderBy("quantile")
+  }
+
+  /** The q93 core on any single-column frame `x`: fixed-`bins`-bin
+    * histogram quantiles for the given targets.
+    */
+  def histogramQuantileReport(xs: DataFrame, targets: Seq[Double], bins: Int): DataFrame = {
+    require(bins >= 1, s"bin count must be >= 1, got $bins")
+    val stats = xs.agg(min(col("x")).as("m"), max(col("x")).as("mx"),
+      count(lit(1)).as("n")).localCheckpoint()
+    val binned = xs.join(broadcast(stats))
+      .select(when(col("mx") === col("m"), 0)
+        .otherwise(least(floor((col("x") - col("m")) / (col("mx") - col("m")) * bins)
+          .cast("int"), lit(bins - 1))).as("bin"))
+    val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val a = hist.select(col("bin"))
+    val b = hist.select(col("bin").as("b_bin"), col("c").as("b_c"))
+    val cum = a.join(broadcast(b), col("b_bin") <= col("bin"))
+      .groupBy(col("bin")).agg(sum(col("b_c")).cast("long").as("cum"))
+    val tgt = xs.sparkSession.createDataFrame(targets.map(Tuple1(_)))
+      .toDF("q")
+      .join(broadcast(stats))
+      .select(col("q"), ceil(col("q") * col("n")).cast("long").as("need"),
+        col("m"), col("mx"), col("n"))
+    tgt.join(broadcast(cum), col("cum") >= col("need"))
+      .groupBy(col("q"))
+      .agg(min(col("bin")).as("bin"), min(col("need")).as("need"),
+        min(col("m")).as("m"), min(col("mx")).as("mx"),
+        min(col("n")).as("n_rows"))
+      .select(col("q").as("quantile"), col("bin").cast("long").as("bin"),
+        (col("m") + col("bin").cast("double") * (col("mx") - col("m")) / bins)
+          .as("lower_edge"),
+        col("need"), col("n_rows"))
+  }
+}
