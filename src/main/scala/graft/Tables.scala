@@ -22,15 +22,21 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * Read nanos as a raw long (legacy conf) and expose `ts_us` (epoch micros,
-    * integer division — exact, unlike a double divide at 1e18 magnitude) plus
-    * a proper micros timestamp `ts_t`.
+  /** `events.ts` is parquet timestamp[us] without UTC adjustment, which Spark
+    * reads as TIMESTAMP_NTZ. Expose `ts_us` (epoch micros of the naive wall
+    * clock, computed with `timestampdiff` from the NTZ epoch so the value is
+    * independent of `spark.sql.session.timeZone` — matching DuckDB's
+    * `epoch_us(ts)`, which also treats the naive value as UTC) plus `ts_t`, a
+    * plain TIMESTAMP (LTZ) column for event-time/watermark operators.
+    *
+    * (Earlier driver rounds shipped `ts` as TIMESTAMP(NANOS); the legacy
+    * nanos-as-long read + `div 1000` lived here. Same contract: downstream
+    * code only ever sees `ts_us`/`ts_t`.)
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
-  }
+      .withColumn(
+        "ts_us",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
 }
