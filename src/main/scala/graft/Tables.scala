@@ -34,8 +34,17 @@ object Tables {
     * code only ever sees `ts_us`/`ts_t`.)
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn(
+    withEventTime(table(spark, dir, "events"))
+
+  /** The ONE `ts` → (`ts_us`, `ts_t`) derivation, shared by the batch reader
+    * above and the streaming file source (`StreamingOps.runFileStream`).
+    * Works on any plan with the raw `ts` column — batch or streaming — so the
+    * two readers cannot drift when the driver's testdata schema changes
+    * (round 7 regression: the streaming copy kept the old TIMESTAMP(NANOS)
+    * derivation after `ts` became timestamp[us] NTZ and broke q37).
+    */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn(
         "ts_us",
         expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))

@@ -19,13 +19,22 @@ object Verify {
     // (driver runs unfiltered); oracle_sql.json stays complete either way
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    // a thrown query must leave a loud artifact, not just a stderr line:
+    // the round-7 q37 regression was invisible in CORRECTNESS_r07 because
+    // the failed query was simply absent. Write <name>.ERROR next to the
+    // results plus a summary errors.json so the driver's compare (and any
+    // human diffing the outDir) sees a failure, never a silent shrink.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failed(name) = msg
+        Files.writeString(Paths.get(s"$outDir/$name.ERROR"), msg + "\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +52,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    // exit 0 even on failures — the driver must still get the partial dump
+    // + oracle_sql.json for the queries that did run; errors.json and the
+    // .ERROR markers carry the failure signal
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.keys.mkString(", "))
   }
 }

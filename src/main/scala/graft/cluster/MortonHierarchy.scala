@@ -49,7 +49,11 @@ object MortonHierarchy {
   /** One record of the fold (any level): position, identity, mass, and its
     * finest-level cell (whose prefixes are its cells at every zoom).
     */
-  private final case class Rec(
+  // NOT `private`: janino-generated UnsafeProjection code instantiates and
+  // reads these from outside the object; `private` forces every projection
+  // of the build to fall back to interpreted mode (a per-row throughput tax
+  // on the 100× path). MortonHierarchySpec pins codegen with a log guard.
+  final case class Rec(
       id: Long, mx: Double, my: Double, lng: Double, lat: Double,
       cnt: Long, isCluster: Boolean, fcx: Long, fcy: Long)
 
@@ -57,7 +61,7 @@ object MortonHierarchy {
     * driver-deferred member records of open cells (kind 1), and partial
     * sums of open cells whose fusion is already certain (kind 2).
     */
-  private final case class Out(
+  final case class Out(
       kind: Int,
       zoom: Int, mx: Double, my: Double, id: Long, parent_id: Long,
       point_count: Long, is_cluster: Boolean, lng: Double, lat: Double,

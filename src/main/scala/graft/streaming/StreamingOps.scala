@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.time.Instant
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -279,12 +280,11 @@ object StreamingOps {
       spark: SparkSession,
       dir: String,
       transform: DataFrame => DataFrame): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the streaming file source needs a directory or glob, not a plain file
     // path; the testdata layout is one file per table, so glob the file
-    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.*")
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val raw = Tables.withEventTime(
+      spark.readStream.schema(schema).parquet(s"$dir/events.*"))
     val name = s"graft_stream_${runCounter.incrementAndGet()}"
     val q = transform(raw).writeStream
       .format("memory").queryName(name)

@@ -96,6 +96,52 @@ class MortonHierarchySpec extends AnyFunSuite {
     assert(MortonHierarchy.build(none).count() == 0)
   }
 
+  test("the build runs fully codegen'd — no UnsafeProjection interpreter fallback") {
+    // Round-7 regression: `private final case class Out` made every
+    // projection of the build fall back to interpreted mode ("Private
+    // member cannot be accessed" from janino), a per-row tax on the 100×
+    // path that no correctness test could see. Capture WARNs during a
+    // fresh build and require zero codegen-fallback messages.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val appender = new AbstractAppender(
+        "graft-codegen-guard", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        captured.add(e.getMessage.getFormattedMessage): Unit
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    cfg.getRootLogger.addAppender(appender, Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      // materialize EVERY output column — a bare count() prunes the
+      // serializer projection down to zero fields and the accessor Invokes
+      // (the part janino can't compile against a private class) never
+      // appear, making the guard vacuous
+      canon(MortonHierarchy.build(pts(8), idCol = "event_id")): Unit
+    } finally {
+      cfg.getRootLogger.removeAppender("graft-codegen-guard")
+      ctx.updateLoggers()
+      appender.stop()
+    }
+    // two distinct surfaces of the same failure: non-WSCG projections WARN
+    // "falling back to interpreter mode" (UnsafeProjection), whole-stage
+    // codegen ERRORs "Failed to compile the generated Java code"
+    // (CodeGenerator) and silently re-plans without codegen
+    val fallbacks = captured.toArray(Array.empty[String])
+      .filter(m => m.contains("falling back to interpreter mode") ||
+        m.contains("Expr codegen error") ||
+        m.contains("Failed to compile the generated Java code"))
+    assert(fallbacks.isEmpty,
+      s"${fallbacks.length} codegen-fallback WARNs during the Morton build; " +
+        s"first: ${fallbacks.headOption.getOrElse("")}")
+  }
+
   test("non-default zoom window and antimeridian points agree across builds") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
