@@ -207,7 +207,17 @@ object Bench {
           }.sorted
           (runs(4) + runs(5)) / 2.0
         }
-        val medRows = zooms.map(z => z -> median(idx.getClustersLocal(world, _).length)(z))
+        // rows probe TOUCHES every row: since r8 the row API is a lazy view
+        // over the batch arrays, so a bare .length would time exactly the
+        // batch path — iterating keeps this ladder an honest measure of
+        // what a caller consuming row objects pays (per-element boxing)
+        def rowsProbe(z: Int): Int = {
+          val rs = idx.getClustersLocal(world, z)
+          var i = 0; var acc = 0L
+          while (i < rs.length) { acc += rs(i).pointCount; i += 1 }
+          rs.length + (acc & 0L).toInt
+        }
+        val medRows = zooms.map(z => z -> median(rowsProbe)(z))
         val snapshotHeapMb = (heapUsed() - h0) / 1048576.0
         val medBatch = zooms.map(z => z -> median(idx.getClustersLocalBatch(world, _).size)(z))
         idx.unpersist()

@@ -45,6 +45,21 @@ final class ClusterBatch(
     ClusterRow(id(i), lng(i), lat(i), pointCount(i), isCluster(i))
 }
 
+/** The row-shaped serve result as a LAZY view over a [[ClusterBatch]]:
+  * `apply(i)` materializes one [[ClusterRow]] on access and nothing is
+  * allocated up front beyond the batch's five primitive arrays. This is
+  * what keeps `getClustersLocal` at batch-path cost at deep zooms — the
+  * pre-r8 eager `Array[ClusterRow]` allocated a million short-lived row
+  * objects per 1M-point world probe (150–640 ms GC spikes vs ~13 ms
+  * batch); callers that iterate still pay per-row boxing, but only for
+  * the rows they actually touch, and the probe itself allocates none.
+  */
+final class ClusterRows(val batch: ClusterBatch)
+    extends scala.collection.immutable.IndexedSeq[ClusterRow] {
+  def length: Int = batch.size
+  def apply(i: Int): ClusterRow = batch.row(i)
+}
+
 /** One zoom level snapshotted into driver-local primitive struct-of-arrays,
   * sorted by `mx` so a bbox probe is a binary-searched x-slice plus a y
   * filter — the reference's pre-allocated in-memory query loop
@@ -64,27 +79,6 @@ private final class LevelSnapshot(
       if (mx(mid) < x) lo = mid + 1 else hi = mid
     }
     lo
-  }
-
-  /** Construct matching rows into `out` starting at `at`; returns the next
-    * free slot. Same predicate and order as [[fillRange]] — the row API's
-    * count-then-fill twin, so a probe allocates exactly its result size
-    * (the pre-r7 single-pass append pre-sized a buffer to the LEVEL size —
-    * a 1M-slot allocation per probe at 1M points, the diagnosed GC churn
-    * behind the row ladder's wobble).
-    */
-  def fillRows(xLo: Double, xHi: Double, yLo: Double, yHi: Double,
-      out: Array[ClusterRow], at: Int): Int = {
-    var i = lowerBound(xLo)
-    var o = at
-    while (i < mx.length && mx(i) <= xHi) {
-      if (my(i) >= yLo && my(i) <= yHi) {
-        out(o) = ClusterRow(id(i), lng(i), lat(i), pointCount(i), isCluster(i))
-        o += 1
-      }
-      i += 1
-    }
-    o
   }
 
   /** Number of rows the same range predicate selects (first pass of the
@@ -256,52 +250,15 @@ final class ClusterIndex private[cluster] (
     * equality on the golden fixture). `unpersist()` drops all snapshots
     * and resets the budget.
     */
-  def getClustersLocal(bbox: (Double, Double, Double, Double), zoom: Int): Array[ClusterRow] = {
-    val z = limitZoom(zoom)
-    val snap = snapshots.computeIfAbsent(z,
-      _ => new SnapshotCell(() => buildSnapshot(z))).value
-    snap match {
-      case Some(s) =>
-        val (xRanges0, minY, maxY) = bboxRanges(bbox)
-        val xRanges =
-          if (xRanges0.isEmpty) Seq((Double.NegativeInfinity, Double.PositiveInfinity))
-          else xRanges0
-        // count-then-fill (the batch API's discipline): the probe allocates
-        // exactly its result size — no level-sized buffer, no grow-copies,
-        // no toArray copy (the old pre-sized append allocated a level-sized
-        // buffer PER PROBE, measurable GC churn at 1M points)
-        var n = 0
-        xRanges.foreach { case (lo, hi) => n += s.countRange(lo, hi, minY, maxY) }
-        val out = new Array[ClusterRow](n)
-        var at = 0
-        xRanges.foreach { case (lo, hi) => at = s.fillRows(lo, hi, minY, maxY, out, at) }
-        out
-      case None =>
-        // above-cap fallback: stream the distributed result and abort as
-        // soon as it exceeds serveMaxFallbackRows — toLocalIterator pulls
-        // partitions lazily, so an over-cap probe stops after ~cap rows
-        // instead of materializing the whole level as boxed rows
-        val out = new scala.collection.mutable.ArrayBuffer[ClusterRow](1024)
-        val it = getClusters(bbox, zoom).toLocalIterator()
-        while (it.hasNext) {
-          if (out.length.toLong >= serveMaxFallbackRows)
-            throw new IllegalStateException(
-              s"getClustersLocal fallback at zoom $z exceeds serveMaxFallbackRows=" +
-                s"$serveMaxFallbackRows rows; the row API returns a driver-sized array — " +
-                "use getClusters(bbox, zoom) to keep the result distributed")
-          val r = it.next()
-          out += ClusterRow(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))
-        }
-        out.toArray
-    }
-  }
+  def getClustersLocal(bbox: (Double, Double, Double, Double), zoom: Int): ClusterRows =
+    new ClusterRows(getClustersLocalBatch(bbox, zoom))
 
-  /** [[getClustersLocal]] in the reference's own COLUMNAR output shape
+  /** The serve-mode probe in the reference's own COLUMNAR output shape
     * (`ClusterOutput` typed arrays): count pass → exact-size primitive
-    * arrays → fill pass, zero per-row boxing. Identical rows and order to
-    * the row API (ServeModeSpec locks the equivalence); at large levels
-    * this is the serve path to prefer — a 1M-row world probe allocates
-    * five flat arrays instead of a million row objects.
+    * arrays → fill pass, zero per-row boxing. This is the PRIMARY serve
+    * path — [[getClustersLocal]] is a lazy row view over its result — so
+    * a 1M-row world probe allocates five flat arrays regardless of which
+    * API the caller holds (ServeModeSpec locks row/batch equivalence).
     */
   def getClustersLocalBatch(bbox: (Double, Double, Double, Double), zoom: Int): ClusterBatch = {
     val z = limitZoom(zoom)
@@ -313,6 +270,10 @@ final class ClusterIndex private[cluster] (
         val xRanges =
           if (xRanges0.isEmpty) Seq((Double.NegativeInfinity, Double.PositiveInfinity))
           else xRanges0
+        // count-then-fill: the probe allocates exactly its result size —
+        // no level-sized buffer, no grow-copies (the pre-r7 pre-sized
+        // append allocated a level-sized buffer PER PROBE, the diagnosed
+        // GC churn at 1M points)
         var n = 0
         xRanges.foreach { case (lo, hi) => n += s.countRange(lo, hi, minY, maxY) }
         val b = new ClusterBatch(new Array[Long](n), new Array[Double](n),
@@ -321,18 +282,31 @@ final class ClusterIndex private[cluster] (
         xRanges.foreach { case (lo, hi) => at = s.fillRange(lo, hi, minY, maxY, b, at) }
         b
       case None =>
-        val rows = getClustersLocal(bbox, zoom)
-        val n = rows.length
-        val b = new ClusterBatch(new Array[Long](n), new Array[Double](n),
-          new Array[Double](n), new Array[Long](n), new Array[Boolean](n))
-        var i = 0
-        while (i < n) {
-          val r = rows(i)
-          b.id(i) = r.id; b.lng(i) = r.lng; b.lat(i) = r.lat
-          b.pointCount(i) = r.pointCount; b.isCluster(i) = r.isCluster
-          i += 1
+        // above-cap fallback: stream the distributed result into growable
+        // PRIMITIVE builders and abort as soon as it exceeds
+        // serveMaxFallbackRows — toLocalIterator pulls partitions lazily,
+        // so an over-cap probe stops after ~cap rows instead of
+        // materializing the whole level on the driver
+        val bId = scala.collection.mutable.ArrayBuilder.make[Long]
+        val bLng = scala.collection.mutable.ArrayBuilder.make[Double]
+        val bLat = scala.collection.mutable.ArrayBuilder.make[Double]
+        val bPc = scala.collection.mutable.ArrayBuilder.make[Long]
+        val bIc = scala.collection.mutable.ArrayBuilder.make[Boolean]
+        var n = 0L
+        val it = getClusters(bbox, zoom).toLocalIterator()
+        while (it.hasNext) {
+          if (n >= serveMaxFallbackRows)
+            throw new IllegalStateException(
+              s"getClustersLocal fallback at zoom $z exceeds serveMaxFallbackRows=" +
+                s"$serveMaxFallbackRows rows; the serve APIs return a driver-sized result — " +
+                "use getClusters(bbox, zoom) to keep the result distributed")
+          val r = it.next()
+          bId += r.getLong(0); bLng += r.getDouble(1); bLat += r.getDouble(2)
+          bPc += r.getLong(3); bIc += r.getBoolean(4)
+          n += 1
         }
-        b
+        new ClusterBatch(bId.result(), bLng.result(), bLat.result(),
+          bPc.result(), bIc.result())
     }
   }
 

@@ -153,11 +153,14 @@ object AnnIvf {
     * probe counts (k=32: 0.85@np8; k=64: 0.57@np8) because finer
     * partitions split true neighborhoods more often — the signature of a
     * corpus with no cluster structure, where ≥0.9 recall inherently
-    * costs a ≥50% scan. On naturally clustered embeddings (AnnIvfSpec's
-    * fixture) nprobe ≤ 6 of 16 clears 0.9. Defaults stay (k=16,
-    * nprobe=4) for the clustered regime ANN exists for; the bench
-    * `ann_ivf_np*` keys publish the measured curve so a caller can place
-    * their corpus on it.
+    * costs a ≥50% scan. The bench `ann_ivf_np*` keys publish the measured
+    * curve so a caller can place their corpus on it. Since r8 the
+    * RECOMMENDED default path is [[searchAuto]] / [[autoNprobe]], which
+    * calibrates the probe count against a measured recall target on the
+    * index itself (AnnIvfSpec: picks 11 on the sf0.01 testdata embeddings
+    * where fixed nprobe=4 under-recalls, and the searched recall clears
+    * 0.9 on both spec corpora); the fixed `nprobe` parameter remains for
+    * callers who have placed their corpus on the curve themselves.
     */
   def search(
       queries: DataFrame,
@@ -196,4 +199,100 @@ object AnnIvf {
     cands.withColumn("rk", row_number().over(rw).cast("long"))
       .where(col("rk") <= topK)
   }
+
+  /** Calibrated probe count: the smallest `nprobe` whose estimated
+    * recall@`topK` on THIS index reaches `targetRecall` (falls back to `k`
+    * — a full scan, recall 1.0 by construction — when no smaller probe
+    * count suffices, so the default path can never silently under-recall
+    * the way a fixed nprobe does on an unclustered corpus; r7 measured
+    * recall@3 0.63 at the old fixed nprobe=4 on the near-uniform sf0.1
+    * fixture).
+    *
+    * Method: exact brute-force top-`topK` for a deterministic
+    * `sampleSize`-query sample (ONE corpus scan — a bounded broadcast of
+    * the sample against the index, the q88 hard-negative shape, affordable
+    * as a build-time calibration even at scale). For each (query, true
+    * neighbor) pair, the rank of the neighbor's assigned centroid in the
+    * query's centroid ordering — identical ordering to [[search]]'s probe
+    * selection — is the nprobe that pair needs; recall(p) is then the
+    * fraction of pairs with rank ≤ p, and the answer is the smallest p
+    * clearing the target. The per-pair ranks are `sampleSize·topK` rows;
+    * the fold runs on the driver.
+    */
+  def autoNprobe(
+      indexed: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      targetRecall: Double = 0.9,
+      sampleSize: Int = 32,
+      topK: Int = 3): Int = {
+    val cents = centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val k = cents.length
+    if (k <= 1) return math.max(k, 1)
+
+    // deterministic sample: the sampleSize smallest ids
+    val sample = indexed
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("_qv"))
+      .orderBy(col("query_id")).limit(sampleSize)
+
+    // exact top-topK of each sampled query, carrying the true neighbor's
+    // assigned centroid — one scan of the indexed corpus
+    val withNorm = (c: Column) => VectorFunctions.normSqExact(c).cast("double")
+    val rw = Window.partitionBy(col("query_id")).orderBy(desc("_cos"), col("neighbor_id"))
+    val truth = broadcast(sample)
+      .join(indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"),
+        col("_centroid").as("_nc")))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("_qv"), col("neighbor_id"), col("_nc"),
+        nanvl(VectorFunctions.cosineFromNormSq(
+          col("_qv"), col("_nv"), withNorm(col("_qv")), withNorm(col("_nv"))),
+          lit(-2.0)).as("_cos"))
+      .withColumn("_rk", row_number().over(rw))
+      .where(col("_rk") <= topK)
+      .select("query_id", "_qv", "_nc")
+      .collect()
+    if (truth.isEmpty) return k
+
+    // per query: centroid ids ordered exactly like search's probe
+    // selection (desc similarity, then centroid id)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(aa) * math.sqrt(bb)
+      if (d == 0.0 || ab.isNaN) -2.0 else ab / d
+    }
+    val rankCache = scala.collection.mutable.HashMap.empty[Long, Map[Int, Int]]
+    val needed = truth.map { r =>
+      val qid = r.getLong(0)
+      val ranks = rankCache.getOrElseUpdate(qid, {
+        val qv = r.getSeq[Double](1).toArray
+        cents.map { case (cid, cv) => (cid, cos(qv, cv)) }
+          .sortBy { case (cid, s) => (-s, cid) }
+          .zipWithIndex.map { case ((cid, _), i) => cid -> (i + 1) }.toMap
+      })
+      ranks.getOrElse(r.getInt(2), k)
+    }
+    val total = needed.length.toDouble
+    (1 to k).find(p => needed.count(_ <= p) / total >= targetRecall).getOrElse(k)
+  }
+
+  /** [[search]] with the probe count chosen by [[autoNprobe]] — the
+    * default path a caller should use when they have not placed their
+    * corpus on the committed recall/cost curve themselves.
+    */
+  def searchAuto(
+      queries: DataFrame,
+      indexed: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      targetRecall: Double = 0.9,
+      topK: Int = 3,
+      exactScores: Boolean = false): DataFrame =
+    search(queries, indexed, centroids, idCol, vecCol,
+      nprobe = autoNprobe(indexed, centroids, idCol, vecCol, targetRecall, topK = topK),
+      topK = topK, exactScores = exactScores)
 }
