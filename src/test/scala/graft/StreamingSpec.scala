@@ -90,6 +90,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(kinds == Seq("click", "view"))
   }
 
+  test("streaming file source derives event time identically to the batch reader") {
+    // the schema contract over the REAL testdata: any drift between
+    // runFileStream's ts derivation and Tables.events breaks here — the
+    // round-7 q37 regression class (the streaming copy kept a stale
+    // TIMESTAMP(NANOS) path after the driver moved events.ts to
+    // timestamp[us] NTZ; both now share Tables.withEventTime)
+    import org.apache.spark.sql.{functions => F, DataFrame}
+    val dir = "/root/testdata/sf0.001"
+    val agg: DataFrame => DataFrame = df => df.agg(
+      F.count(F.lit(1)).as("n"),
+      F.min(F.col("ts_us")).as("lo"), F.max(F.col("ts_us")).as("hi"),
+      F.min(F.col("ts_t")).as("lo_t"), F.max(F.col("ts_t")).as("hi_t"))
+    val streamed = StreamingOps.runFileStream(spark, dir, agg).collect().toSeq
+    val batch = agg(Tables.events(spark, dir)).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.head.getLong(0) > 0)
+  }
+
   test("windowed streaming aggregation equals batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
 
