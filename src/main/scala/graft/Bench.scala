@@ -199,6 +199,15 @@ object Bench {
         val zooms = Seq(0, 2, 4, 6, 8, 10, 12, 14, 16)
         val h0 = heapUsed()
         def median(probe: Int => Int)(z: Int): Double = {
+          // settle the heap before each zoom's timed loop: a deep-zoom 1M
+          // probe allocates five 1M-element (humongous-region) arrays, and
+          // G1's handling of old garbage accumulated by PRIOR sections
+          // otherwise dominates the median at z14/z16 (observed 11 ms →
+          // 196 ms run-to-run variance on an identical plan). Same
+          // discipline as the reference's --expose-gc benchmark harness
+          // (benchmarks/run.ts:90-99): measure the probe, not the
+          // leftover garbage.
+          System.gc()
           (1 to 3).foreach(_ => probe(z))
           val runs = (1 to 10).map { _ =>
             val t0 = System.nanoTime()

@@ -19,7 +19,8 @@ import graft.{GraftQuery, Tables}
   */
 object Profiling {
 
-  def all: Seq[GraftQuery] = Seq(psiDrift, columnProfile, histogramQuantiles)
+  def all: Seq[GraftQuery] =
+    Seq(psiDrift, columnProfile, histogramQuantiles, corrMatrix)
 
   /** Population stability index (the standard model-monitoring drift
     * score) of the event value distribution, hour over hour: 10 fixed
@@ -174,6 +175,99 @@ object Profiling {
         col(s"${c}__nulls").as("n_nulls"), lit(distincts(c)).as("n_distinct"),
         lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
         col(s"${c}__min").as("min_str"), col(s"${c}__max").as("max_str"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pearson correlation matrix of the numeric `lineitem` columns — the
+    * feature-interaction half of the dataset card (q92 is the per-column
+    * half): all C(4,2)=6 pairwise correlations from ONE scan.
+    *
+    * Shape: a single aggregation of 15 map-side-combinable sums (per
+    * column Σx and Σx², per pair Σxy) plus the row count — no expand, no
+    * per-pair scan, the textbook sufficient-statistics formulation; the
+    * six output rows are constant-width selects of the one aggregated row.
+    * At 100 TB this is exactly one pass whatever the pair count, and the
+    * partials merge by addition. (Bench note: the sf0.1 number is bound
+    * by INPUT SPLITS, not plan shape — lineitem is one 10.8 MB file, so
+    * the whole per-row decimal pipeline runs in a single scan task; on a
+    * real multi-split corpus the same plan fans out per split.)
+    *
+    * Determinism: each product x·y is ONE correctly-rounded IEEE multiply
+    * of bit-identical parquet doubles — same bits in both engines — then
+    * cast to DECIMAL(30,10) (identical rounding) so the SUMS are exact
+    * and order-independent (the q91 ln-then-decimal pattern; decimal
+    * × decimal would be exact too, but DuckDB's int64 decimal kernel
+    * overflows on these magnitudes). The closed-form
+    * r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²)) is then a
+    * fixed sequence of IEEE ops on bit-identical doubles in both engines
+    * (the oracle spells out the same formula rather than calling corr(),
+    * whose one-pass streaming accumulation is NOT order-stable), rounded
+    * at 9.
+    */
+  val corrMatrix: GraftQuery = {
+    val pairs = for {
+      i <- CorrCols.indices; j <- (i + 1) until CorrCols.size
+    } yield (CorrCols(i), CorrCols(j))
+    val sumSql = (CorrCols.flatMap { c =>
+      Seq(
+        s"SUM(CAST($c AS DECIMAL(30,10))) AS ${c}__s",
+        s"SUM(CAST($c * $c AS DECIMAL(30,10))) AS ${c}__ss")
+    } ++ pairs.map { case (x, y) =>
+      s"SUM(CAST($x * $y AS DECIMAL(30,10))) AS ${x}__${y}__sxy"
+    }).mkString(",\n    ")
+    val rowSql = pairs.map { case (x, y) =>
+      s"""SELECT '$x' AS col_x, '$y' AS col_y, n,
+         |  round((CAST(n AS DOUBLE) * CAST(${x}__${y}__sxy AS DOUBLE)
+         |      - CAST(${x}__s AS DOUBLE) * CAST(${y}__s AS DOUBLE))
+         |    / (sqrt(CAST(n AS DOUBLE) * CAST(${x}__ss AS DOUBLE)
+         |        - CAST(${x}__s AS DOUBLE) * CAST(${x}__s AS DOUBLE))
+         |      * sqrt(CAST(n AS DOUBLE) * CAST(${y}__ss AS DOUBLE)
+         |        - CAST(${y}__s AS DOUBLE) * CAST(${y}__s AS DOUBLE))), 9)
+         |    AS corr
+         |FROM s""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
+    GraftQuery.sql(
+      "q94_corr_matrix",
+      s"""WITH s AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    $sumSql
+         |  FROM lineitem
+         |)
+         |$rowSql""".stripMargin) { (spark, dir) =>
+      corrReport(Tables.lineitem(spark, dir), CorrCols).orderBy("col_x", "col_y")
+    }
+  }
+
+  /** The q94 core on any frame: pairwise Pearson correlations of the
+    * given numeric columns from one scan of sufficient statistics.
+    */
+  def corrReport(src: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlation needs at least two columns")
+    val dec = DecimalType(30, 10)
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val aggs = Seq(count(lit(1)).cast("long").as("n")) ++
+      cols.flatMap(c => Seq(
+        sum(col(c).cast(dec)).as(s"${c}__s"),
+        sum((col(c) * col(c)).cast(dec)).as(s"${c}__ss"))) ++
+      pairs.map { case (x, y) =>
+        sum((col(x) * col(y)).cast(dec)).as(s"${x}__${y}__sxy") }
+    val one = src.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    def dbl(name: String) = col(name).cast("double")
+    val rows = pairs.map { case (x, y) =>
+      val n = col("n").cast("double")
+      val num = n * dbl(s"${x}__${y}__sxy") - dbl(s"${x}__s") * dbl(s"${y}__s")
+      val denX = sqrt(n * dbl(s"${x}__ss") - dbl(s"${x}__s") * dbl(s"${x}__s"))
+      val denY = sqrt(n * dbl(s"${y}__ss") - dbl(s"${y}__s") * dbl(s"${y}__s"))
+      // a constant column has zero variance: correlation undefined → null
+      // (never hit by the lineitem oracle data, so the guard cannot
+      // diverge from the unguarded oracle formula there)
+      val den = denX * denY
+      one.select(lit(x).as("col_x"), lit(y).as("col_y"), col("n"),
+        when(den =!= 0.0, round(num / den, 9)).as("corr"))
     }
     rows.reduce(_.unionByName(_))
   }

@@ -22,7 +22,7 @@ object TextOps {
     minhashSignatures, ngramJaccardPairs, simhash, minhashLshPairs,
     bpeAndRollingHash, nearDupComponents, curationPipeline, bm25,
     bigramPerplexity, simhashHammingPairs, kmvDistinct, tfidfTopTerms,
-    pmiCollocations)
+    pmiCollocations, sparseCosinePairs)
 
   /** Per-document perplexity under a bigram LM trained on the corpus
     * itself — the CCNet-style LM quality filter, self-contained so the
@@ -912,6 +912,116 @@ object TextOps {
          |FROM ranked WHERE rk <= $topK ORDER BY rk""".stripMargin) { (spark, dir) =>
       pmiReport(Tables.documents(spark, dir), minCount, topK).orderBy("rk")
     }
+  }
+
+  /** Document-pair LEXICAL cosine similarity over tf-idf weights — the
+    * sparse-vector similarity join (the classic prefix/df-filtered
+    * SSJoin), complementing the dense-embedding cosine paths (q29/q76):
+    * pairs surface through an inverted-index EQUI-JOIN on shared terms,
+    * never a cross join.
+    *
+    * Scale shape: terms with df=1 cannot pair and terms with
+    * df > dfCutoff are dropped (the stop-term lever — exactly the
+    * posting lists that would quadratically blow up, and exactly the
+    * terms that carry no discriminative weight; ln(n/df) already ≈ 0
+    * there). Each surviving term contributes ≤ C(dfCutoff,2) candidate
+    * pairs, so total candidates are vocab-bounded × a constant — linear
+    * in vocabulary, independent of corpus skew. The dot product is one
+    * groupBy over candidate rows; norms attach by broadcastable hash
+    * join on doc_id.
+    *
+    * Determinism: weights round at 6 (the q86 ln discipline), the dot
+    * and norm sums accumulate w·w products in DECIMAL(25,12)
+    * (order-independent), and the final cosine is a fixed IEEE sequence
+    * rounded at 9. Cosine semantics are over the df-bounded term space
+    * (documented contract — the filter is part of the operator, and the
+    * oracle applies the identical filter).
+    */
+  val sparseCosinePairs: GraftQuery = {
+    val dfCutoff = 50
+    val minCos = 0.2
+    GraftQuery.sql(
+      "q95_sparse_cosine_pairs",
+      s"""WITH tok AS (
+         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |wt AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS w
+         |  FROM tf JOIN df USING (term) CROSS JOIN n
+         |  WHERE df.df BETWEEN 2 AND $dfCutoff
+         |), nrm AS (
+         |  SELECT doc_id, SUM(CAST(w * w AS DECIMAL(25,12))) AS n2
+         |  FROM wt GROUP BY doc_id
+         |), dot AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared,
+         |    SUM(CAST(a.w * b.w AS DECIMAL(25,12))) AS d
+         |  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |), scored AS (
+         |  SELECT doc_a, doc_b, n_shared,
+         |    round(CAST(d.d AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 9)
+         |      AS cos_sim
+         |  FROM dot d
+         |  JOIN nrm na ON na.doc_id = d.doc_a
+         |  JOIN nrm nb ON nb.doc_id = d.doc_b
+         |)
+         |SELECT doc_a, doc_b, n_shared, cos_sim
+         |FROM scored WHERE cos_sim >= $minCos
+         |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+      sparseCosineReport(Tables.documents(spark, dir), dfCutoff, minCos)
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
+  /** The q95 core on any (doc_id, text) frame: all document pairs with
+    * df-bounded tf-idf cosine ≥ `minCos`.
+    */
+  def sparseCosineReport(
+      docs: org.apache.spark.sql.DataFrame,
+      dfCutoff: Int,
+      minCos: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(25, 12)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, dfCutoff))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // df is filtered to the pairable vocabulary; one shuffle on term
+    // attaches it (broadcastable when the vocab fits), then the corpus
+    // explode never flows on — wt is the inverted index
+    val wt = tf.join(df, "term")
+      .join(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("w"))
+      .localCheckpoint()
+    val nrm = wt.groupBy(col("doc_id"))
+      .agg(sum((col("w") * col("w")).cast(dec)).as("n2"))
+    val a = wt.select(col("term"), col("doc_id").as("doc_a"), col("w").as("wa"))
+    val b = wt.select(col("term"), col("doc_id").as("doc_b"), col("w").as("wb"))
+    val dot = a.join(b, Seq("term"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum((col("wa") * col("wb")).cast(dec)).as("d"))
+    dot
+      .join(nrm.select(col("doc_id").as("doc_a"), col("n2").as("na")), Seq("doc_a"))
+      .join(nrm.select(col("doc_id").as("doc_b"), col("n2").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("d").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 9)
+          .as("cos_sim"))
+      .where(col("cos_sim") >= minCos)
   }
 
   /** The q89 core on any (doc_id, text) frame: top `topK` adjacent-pair

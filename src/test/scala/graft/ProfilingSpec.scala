@@ -66,6 +66,30 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("correlation matrix: exact on linear fixtures, null on constant, invariant") {
+    import spark.implicits._
+    // y = 2x+1 → corr exactly 1; z = -x → corr exactly -1; c constant → null
+    val df = (1 to 200).map(i => (i.toDouble, 2.0 * i + 1.0, -i.toDouble, 7.0))
+      .toDF("x", "y", "z", "c")
+    val r = Profiling.corrReport(df, Seq("x", "y", "z", "c"))
+      .collect()
+      .map(row => (row.getString(0), row.getString(1)) -> row).toMap
+    assert(r(("x", "y")).getAs[Double]("corr") == 1.0)
+    assert(r(("x", "z")).getAs[Double]("corr") == -1.0)
+    assert(r(("y", "z")).getAs[Double]("corr") == -1.0)
+    Seq(("x", "c"), ("y", "c"), ("z", "c")).foreach { p =>
+      assert(r(p).isNullAt(r(p).fieldIndex("corr")), s"constant column pair $p")
+    }
+    assert(r(("x", "y")).getAs[Long]("n") == 200)
+    // partition invariance: decimal sufficient statistics are exact
+    val base = Profiling.corrReport(df, Seq("x", "y", "z"))
+      .orderBy("col_x", "col_y").collect().toSeq
+    for (p <- Seq(1, 3, 32)) {
+      assert(Profiling.corrReport(df.repartition(p), Seq("x", "y", "z"))
+        .orderBy("col_x", "col_y").collect().toSeq == base, s"corr p=$p")
+    }
+  }
+
   test("all three reports are partition-count invariant (1/3/32 partitions)") {
     import spark.implicits._
     val binned = (0 until 2000).map(i => ((i % 7).toLong, (i * 13) % 10)).toDF("h", "bin")
