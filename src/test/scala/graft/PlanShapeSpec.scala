@@ -150,6 +150,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q94 correlation: ONE scan of sufficient statistics, pruned to the 4 numeric columns") {
+    // the statistics agg runs inside the operator's localCheckpoint, so it
+    // never appears in the returned DataFrame's plan — capture every plan
+    // the session executes during the query instead
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString): Unit
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      SparkEntry.queries("q94_corr_matrix")(spark, dir).collect(): Unit
+      // listener delivery is async — poll until the checkpoint's plan lands
+      val deadline = System.nanoTime() + 10e9.toLong
+      def stats(): Option[String] = {
+        import scala.jdk.CollectionConverters._
+        plans.iterator().asScala.find(_.contains("partial_sum"))
+      }
+      while (stats().isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      val p = stats().getOrElse(fail("no executed plan with the statistics agg arrived"))
+      assert(!p.contains("Join"), "sufficient statistics need no join")
+      assert(!p.contains("Expand"),
+        "the whole point vs countDistinct-style profiles: no row multiplication")
+      assert(p.contains(
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double>"),
+        p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("q95 sparse cosine: pairs come from the term equi-join, never all-pairs") {
+    val p = executedPlan("q95_sparse_cosine_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "candidates must surface through the df-bounded inverted-index equi-join")
+  }
+
   test("ALL registry queries: every partition-less window sorts only limit-bounded input") {
     import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
