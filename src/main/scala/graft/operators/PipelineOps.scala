@@ -37,7 +37,70 @@ object PipelineOps {
   def all: Seq[GraftQuery] =
     Seq(trainSplit, sequencePacking, decontamination, sourceQuota,
       gopherRepetition, vocabulary, docChunking, jsonlRoundtrip, dupSpans,
-      bpeMerges, mixtureSampling, bpeEncode, dupSpanRemoval)
+      bpeMerges, mixtureSampling, bpeEncode, dupSpanRemoval, weightedSample)
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006):
+    * select the k documents with the largest key u^(1/w) — here ranked by
+    * the monotone-equivalent ln(u)/w, avoiding pow() — where w is the
+    * document's token count and u is a uniform draw DERIVED FROM THE
+    * CONTENT HASH (the q64/q79 discipline): u = (u16+1)/65537 ∈ (0,1)
+    * from the first four md5 nibbles. Deterministic, so the sample is
+    * stable under re-ingestion AND engine-reproducible; token-weighting
+    * is the standard corpus-mixture primitive when "sample proportional
+    * to content mass, not document count" is the goal.
+    *
+    * Scale shape: ONE scan computes (w, u, key); the k winners come from
+    * a distributed TakeOrdered (never a global sort), and the rank window
+    * runs over the ≤ k survivors (the q78/q89 pattern). Determinism: the
+    * key is ln of an exact (integer+1)/65537 quotient divided by an
+    * integer count — identical IEEE sequence both engines (ln matches
+    * cross-engine on identical doubles; q81/q86 precedent), rounded at 12
+    * with doc_id tie-break before ranking.
+    */
+  val weightedSample: GraftQuery = {
+    val k = 50
+    GraftQuery.sql(
+      "q96_weighted_sample",
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+         |      + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+         |      + (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS u16
+         |  FROM documents
+         |), keyed AS (
+         |  SELECT doc_id, source, ntok,
+         |    round(ln((u16 + 1.0) / 65537.0) / ntok, 12) AS es_key
+         |  FROM t
+         |), ranked AS (
+         |  SELECT doc_id, source, ntok, es_key,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS rk
+         |  FROM keyed
+         |)
+         |SELECT doc_id, source, ntok, es_key, rk FROM ranked
+         |WHERE rk <= $k ORDER BY rk""".stripMargin) { (spark, dir) =>
+      weightedSampleReport(Tables.documents(spark, dir), k).orderBy("rk")
+    }
+  }
+
+  /** The q96 core on any (doc_id, source, text) frame: the k
+    * Efraimidis-Spirakis winners under token-count weights.
+    */
+  def weightedSampleReport(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    def nib(i: Int) =
+      expr(s"instr('0123456789abcdef', substring(md5(cast(text as binary)), $i, 1))") - 1
+    val u16 = nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+    val keyed = docs.select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("ntok"),
+      u16.as("u16"))
+      .select(col("doc_id"), col("source"), col("ntok"),
+        round(log((col("u16") + 1.0) / 65537.0) / col("ntok"), 12).as("es_key"))
+    keyed.orderBy(desc("es_key"), col("doc_id")).limit(k)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(desc("es_key"), col("doc_id"))).cast("long"))
+  }
 
   /** BPE tokenizer APPLICATION — q77's other half: train the 4-merge
     * table, then encode every document with it and report per-doc token

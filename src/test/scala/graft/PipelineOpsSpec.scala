@@ -302,6 +302,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(chunks.length > docs.count(), "long docs must produce multiple chunks")
   }
 
+  test("q96: E-S weighted sample agrees with a driver-side reference; partition-invariant") {
+    // independent reference implementation of the same selection: md5
+    // nibble hash → u, key = ln(u)/ntok, top-50 by (key desc, doc_id)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text").cache()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = docs.collect().map { r =>
+      val text = r.getAs[String]("text")
+      val hex = md.clone().asInstanceOf[java.security.MessageDigest]
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u16 = Integer.parseInt(hex.take(4), 16)
+      val ntok = text.split(" ", -1).length
+      val key = BigDecimal(math.log((u16 + 1.0) / 65537.0) / ntok)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r.getAs[Long]("doc_id"), key)
+    }.sortBy { case (id, key) => (-key, id) }.take(50).map(_._1).toSeq
+    val got = graft.operators.PipelineOps.weightedSampleReport(docs, 50)
+      .orderBy("rk").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(got == expected)
+    // partitioning cannot change a deterministic content-keyed selection
+    val reparts = graft.operators.PipelineOps.weightedSampleReport(docs.repartition(7), 50)
+      .orderBy("rk").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(reparts == got)
+  }
+
   test("q67: no source exceeds its quota and ranks are dense from 1") {
     val kept = SparkEntry.queries("q67_source_quota")(spark, dir).collect()
       .map(r => (r.getLong(1), r.getLong(3)))
