@@ -255,7 +255,19 @@ object Profiling {
         sum((col(c) * col(c)).cast(dec)).as(s"${c}__ss"))) ++
       pairs.map { case (x, y) =>
         sum((col(x) * col(y)).cast(dec)).as(s"${x}__${y}__sxy") }
-    val one = src.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    // the per-row decimal work (15 exact sums) is CPU-bound, and its
+    // parallelism equals the number of input splits: a small single-file
+    // input runs the whole pipeline in one task. Spreading a
+    // cores-shy input costs one tiny shuffle and is a NO-OP on any real
+    // multi-split corpus (the scale path keeps the scan→partial-agg
+    // shape); the decimal sums are exact, so the result is
+    // partition-invariant by construction (ProfilingSpec proves it).
+    val pruned = src.select((cols.map(col)): _*)
+    val cores = src.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (pruned.rdd.getNumPartitions < cores) pruned.repartition(cores)
+      else pruned
+    val one = spread.agg(aggs.head, aggs.tail: _*).localCheckpoint()
     def dbl(name: String) = col(name).cast("double")
     val rows = pairs.map { case (x, y) =>
       val n = col("n").cast("double")
