@@ -37,7 +37,87 @@ object PipelineOps {
   def all: Seq[GraftQuery] =
     Seq(trainSplit, sequencePacking, decontamination, sourceQuota,
       gopherRepetition, vocabulary, docChunking, jsonlRoundtrip, dupSpans,
-      bpeMerges, mixtureSampling, bpeEncode, dupSpanRemoval, weightedSample)
+      bpeMerges, mixtureSampling, bpeEncode, dupSpanRemoval, weightedSample,
+      fuzzyDecontamination)
+
+  /** FUZZY benchmark decontamination — q66's graded upgrade: instead of a
+    * boolean any-overlap flag, the per-(train, eval) CONTAINMENT score
+    * |train ∩ eval| / |eval| over distinct 3-gram shingles — the fuzzy
+    * n-gram-containment criterion production decontamination actually
+    * applies (a train doc that contains most of an eval item is
+    * contaminated even when no shingle run is verbatim-complete).
+    * Flagged pairs carry the score and the specific eval item —
+    * auditable, not just a drop list. Production thresholds sit at
+    * 0.5–0.7 of n-grams; the synthetic fixture has no planted
+    * contamination (its shingle overlap is incidental, max ≈ 0.054 at
+    * sf0.01), so the QUERY pins the mechanism at 0.02 — the knob is the
+    * `minContain` parameter of [[fuzzyContainmentReport]].
+    *
+    * Scale shape: the eval set is tiny by construction, so its exploded
+    * distinct shingles broadcast; candidates surface through the shingle
+    * equi-join (train corpus scanned once, never an all-pairs stage);
+    * the (train, eval) aggregation is the only shuffle. The score is one
+    * IEEE divide of exact integer counts — bit-identical cross-engine,
+    * no rounding needed (the q69 discipline).
+    */
+  val fuzzyDecontamination: GraftQuery = {
+    val minContain = 0.02
+    GraftQuery.sql(
+      "q97_fuzzy_decontamination",
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+         |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+         |        i -> concat_ws(' ', string_split(text, ' ')[i],
+         |                       string_split(text, ' ')[i+1],
+         |                       string_split(text, ' ')[i+2]))
+         |    ELSE [] END AS sh
+         |  FROM documents
+         |), e AS (
+         |  SELECT doc_id, unnest(list_distinct(sh)) AS g FROM s
+         |), ev AS (
+         |  SELECT doc_id AS eval_id, g FROM e WHERE doc_id % 97 = 0
+         |), evn AS (
+         |  SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS eval_n FROM ev GROUP BY eval_id
+         |), hits AS (
+         |  SELECT e.doc_id, ev.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM e JOIN ev ON e.g = ev.g
+         |  WHERE e.doc_id % 97 <> 0
+         |  GROUP BY e.doc_id, ev.eval_id
+         |)
+         |SELECT h.doc_id, h.eval_id, h.n_shared, evn.eval_n,
+         |  CAST(h.n_shared AS DOUBLE) / evn.eval_n AS containment
+         |FROM hits h JOIN evn USING (eval_id)
+         |WHERE CAST(h.n_shared AS DOUBLE) / evn.eval_n >= $minContain
+         |ORDER BY doc_id, eval_id""".stripMargin) { (spark, dir) =>
+      fuzzyContainmentReport(Tables.documents(spark, dir),
+        col("doc_id") % 97 === 0, minContain).orderBy("doc_id", "eval_id")
+    }
+  }
+
+  /** The q97 core on any (doc_id, text) frame: (train, eval) pairs whose
+    * distinct-3-gram containment |train ∩ eval| / |eval| clears
+    * `minContain`; `isEval` selects the held-out set.
+    */
+  def fuzzyContainmentReport(
+      docs: org.apache.spark.sql.DataFrame,
+      isEval: org.apache.spark.sql.Column,
+      minContain: Double): org.apache.spark.sql.DataFrame = {
+    val e = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"), isEval.as("_ev"))
+      .select(col("doc_id"), col("_ev"),
+        explode(array_distinct(shingles(col("tk"), 3))).as("g"))
+    val ev = e.where(col("_ev")).select(col("doc_id").as("eval_id"), col("g"))
+    val evn = ev.groupBy(col("eval_id")).agg(count(lit(1)).as("eval_n"))
+    val hits = e.where(!col("_ev"))
+      .join(broadcast(ev), "g")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    hits.join(broadcast(evn), "eval_id")
+      .select(col("doc_id"), col("eval_id"), col("n_shared"), col("eval_n"),
+        (col("n_shared").cast("double") / col("eval_n")).as("containment"))
+      .where(col("containment") >= minContain)
+  }
 
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006):
     * select the k documents with the largest key u^(1/w) — here ranked by

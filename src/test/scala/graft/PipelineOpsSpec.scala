@@ -327,6 +327,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(reparts == got)
   }
 
+  test("q97: containment is exact — full inclusion 1.0, partial counted, disjoint absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // EVAL: 3 distinct shingles
+      (1L, "intro alpha beta gamma delta epsilon outro"), // contains all 3
+      (2L, "alpha beta gamma zzz yyy"), // shares exactly 1 of 3
+      (3L, "totally different words here now") // disjoint
+    ).toDF("doc_id", "text")
+    val r = graft.operators.PipelineOps
+      .fuzzyContainmentReport(docs, col("doc_id") === 0, minContain = 0.0)
+      .collect().map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(r.keySet == Set(1L, 2L), s"got ${r.keySet}")
+    assert(r(1L).getAs[Double]("containment") == 1.0)
+    assert(r(1L).getAs[Long]("n_shared") == 3 && r(1L).getAs[Long]("eval_n") == 3)
+    assert(r(2L).getAs[Double]("containment") == 1.0 / 3.0)
+    // threshold drops the partial pair, keeps the full inclusion
+    val thresholded = graft.operators.PipelineOps
+      .fuzzyContainmentReport(docs, col("doc_id") === 0, minContain = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(thresholded == Set(1L))
+    // partitioning cannot change exact integer-count scores
+    val reparts = graft.operators.PipelineOps
+      .fuzzyContainmentReport(docs.repartition(5), col("doc_id") === 0, minContain = 0.0)
+      .orderBy("doc_id").collect().toSeq
+    assert(reparts == r.toSeq.sortBy(_._1).map(_._2))
+  }
+
   test("q67: no source exceeds its quota and ranks are dense from 1") {
     val kept = SparkEntry.queries("q67_source_quota")(spark, dir).collect()
       .map(r => (r.getLong(1), r.getLong(3)))
