@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions.col
   * 50% mask vs a 10% mask.
   */
 object Bench {
+  /** JIT sink for measurement loops: a volatile store the optimizer cannot
+    * prove dead, so per-row reads in the ladder probes are never eliminated.
+    */
+  @volatile var blackhole: Long = 0L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,6 +44,30 @@ object Bench {
     }
     try Tables.events(spark, sfDir).count() catch { case NonFatal(_) => () }
 
+    // CALIBRATION PROBE (VERDICT r8 #1): one CONSTANT plan — fixed input,
+    // fixed shape, no file I/O — timed at artifact start and end, so every
+    // bench artifact carries its own environment factor. When the driver's
+    // run of identical code reads 4× the committed number (r8: q47 14.5 s
+    // vs 3.65 s), the two artifacts' calibration keys now adjudicate
+    // contention-vs-regression by themselves: same code + same probe time
+    // → real regression; inflated probe → loaded environment. Median of 5
+    // after 2 warmups; ~0.2 s per call, negligible in the artifact.
+    def calibrationSec(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(4000000)
+          .selectExpr("id % 1001 AS k", "id AS v")
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"),
+            org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 2).foreach(_ => once())
+      val runs = (1 to 5).map(_ => once()).sorted
+      runs(2)
+    }
+    val calibrationStart = calibrationSec()
+
     // optional focus filter for iteration: comma-separated name prefixes
     // for queries (ONLY=q44 hits q44_grid_hierarchy_profile); the non-query
     // sections below match their name EXACTLY (ONLY=wire_size must not drag
@@ -49,6 +78,24 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
+
+    // Shared exact-mode IVF build, paid ONCE here and timed as its own key
+    // (VERDICT r8 #2): q47/q76/q98 all serve from this memoized index, so
+    // with the build hoisted their suite numbers measure search / dedup /
+    // roundtrip — the recurring cost — while `ivf_exact_build` carries the
+    // one-time cost explicitly. Runs only when a consumer query is
+    // selected (or the key itself is focused).
+    val ivfConsumers = Seq("q47", "q76", "q98")
+    val ivfBuild: Seq[(String, Double, Boolean)] =
+      if (!(selected.exists { case (n, _) => ivfConsumers.exists(n.startsWith) } ||
+          sectionOn("ivf_exact_build"))) Seq.empty
+      else {
+        val t0 = System.nanoTime()
+        val ok = try {
+          graft.operators.Similarity.warmIvfExactIndex(spark, sfDir); true
+        } catch { case NonFatal(_) => false }
+        Seq(("ivf_exact_build", (System.nanoTime() - t0) / 1e9, ok))
+      }
 
     // Per-query MEDIAN of SPARK_GRAFT_BENCH_REPS runs (default 3; the
     // reference times its query loop as median-of-10, benchmarks/run.ts:38-39)
@@ -224,7 +271,11 @@ object Bench {
           val rs = idx.getClustersLocal(world, z)
           var i = 0; var acc = 0L
           while (i < rs.length) { acc += rs(i).pointCount; i += 1 }
-          rs.length + (acc & 0L).toInt
+          // acc must ESCAPE (volatile store): `(acc & 0L)` is statically
+          // zero, which would let the JIT dead-code the accumulation loop
+          // and quietly turn this ladder back into a batch-path timing
+          Bench.blackhole = acc
+          rs.length
         }
         val medRows = zooms.map(z => z -> median(rowsProbe)(z))
         val snapshotHeapMb = (heapUsed() - h0) / 1048576.0
@@ -445,7 +496,7 @@ object Bench {
     // sfDir/outPath must not break the "guaranteed parseable last line"
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val errors = (results ++ maskTimes ++ annFast ++ gridBuildLadder)
+    val errors = (results ++ maskTimes ++ annFast ++ gridBuildLadder ++ ivfBuild)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -480,10 +531,15 @@ object Bench {
       if (gridBuildLadder.isEmpty) ""
       else s""","grid_build_ladder":${jmap(gridBuildLadder)}"""
     val totalCold = resultsCold.map(_._2).sum
+    val calibrationEnd = calibrationSec()
+    val calibrationJson =
+      s""","calibration":{"start_sec":$calibrationStart,"end_sec":$calibrationEnd}"""
+    val ivfBuildJson =
+      if (ivfBuild.isEmpty) "" else s""","ivf_exact_build_sec":${ivfBuild.head._2}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jmap(results)},""" +
         s""""queries_cold":${jmap(resultsCold)},"total_cold":$totalCold,""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$ranksBuildJson$gridLadderJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson,"sf":"${jstr(sfDir)}"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$ranksBuildJson$gridLadderJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ivfBuildJson$calibrationJson,"sf":"${jstr(sfDir)}"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(

@@ -28,6 +28,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
+      // a stale marker from a previous run into a reused outDir must not
+      // outlive the retry that fixed it — the marker reflects THIS attempt
+      Files.deleteIfExists(Paths.get(s"$outDir/$name.ERROR")): Unit
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

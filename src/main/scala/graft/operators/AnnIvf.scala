@@ -77,6 +77,39 @@ object AnnIvf {
     (assign(emb, centroids, idCol, vecCol, exactScores), centroids)
   }
 
+  /** Persist a built IVF index (assignments + centroids) to `path`,
+    * reloadable by [[loadIndex]] with [[search]]/[[searchAuto]] working
+    * unchanged — same save/load deployment shape as the spatial index
+    * (ClusterEngine.save/loadIndex): at 100 TB the Lloyd build is the
+    * expensive step (it already dominates q47 at sf0.1), so build once,
+    * serve anywhere. Both sides are plain parquet — the assignment table
+    * scans with pruning/pushdown like any other (a probe reads only the
+    * probed `_centroid` lists via predicate pushdown on the reload), and
+    * doubles roundtrip bit-exactly, so a reloaded index returns IDENTICAL
+    * top-k to the in-session build (the q98 oracle proves it end-to-end).
+    */
+  def saveIndex(
+      indexed: DataFrame,
+      centroids: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    indexed.select(col(idCol), col(vecCol), col("_centroid"))
+      .write.mode("overwrite").parquet(s"$path/assignments")
+    centroids.select(col("_c"), col("_cv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reload an index persisted by [[saveIndex]]: (assignments, centroids),
+    * directly usable by [[search]]/[[searchAuto]]/[[autoNprobe]]. No
+    * rebuild, no Lloyd pass — the deployment read path.
+    */
+  def loadIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/assignments"),
+      spark.read.parquet(s"$path/centroids"))
+
   /** Nearest-centroid assignment as a PURE MAP: the k centroids are tiny,
     * so they ship as literal arrays inside the projection — k fused native
     * dots per row, argmax via array_position, no join, no window, no
@@ -227,15 +260,22 @@ object AnnIvf {
       targetRecall: Double = 0.9,
       sampleSize: Int = 32,
       topK: Int = 3): Int = {
-    val cents = centroids.collect()
+    val cents = centroids
+      .select(col("_c").cast("int"), col("_cv").cast("array<double>"))
+      .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     val k = cents.length
     if (k <= 1) return math.max(k, 1)
 
-    // deterministic sample: the sampleSize smallest ids
+    // deterministic sample: the sampleSize smallest ids. Casts pin the
+    // row layout the driver-side fold reads (getLong/getInt/getSeq[Double])
+    // — search/buildIndex accept any numeric idCol type, so an int id (or
+    // an int centroid column from a hand-built index) must not surface as
+    // a ClassCastException out of the default searchAuto path.
     val sample = indexed
-      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("_qv"))
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("_qv"))
       .orderBy(col("query_id")).limit(sampleSize)
 
     // exact top-topK of each sampled query, carrying the true neighbor's
@@ -246,7 +286,8 @@ object AnnIvf {
       .join(indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"),
         col("_centroid").as("_nc")))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("_qv"), col("neighbor_id"), col("_nc"),
+      .select(col("query_id"), col("_qv"), col("neighbor_id"),
+        col("_nc").cast("int").as("_nc"),
         nanvl(VectorFunctions.cosineFromNormSq(
           col("_qv"), col("_nv"), withNorm(col("_qv")), withNorm(col("_nv"))),
           lit(-2.0)).as("_cos"))

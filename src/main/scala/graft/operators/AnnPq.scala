@@ -139,6 +139,42 @@ object AnnPq {
     } finally sub.unpersist(blocking = false)
   }
 
+  /** Persist trained codebooks to `path` as plain parquet rows
+    * (subspace j, code c, centroid vector) — reloadable by
+    * [[loadCodebooks]] with [[encode]]/[[search]] working unchanged.
+    * Codebooks are m·k·dsub doubles (driver-sized by construction), but
+    * training reads the whole corpus (`iters`+2 scans), so persisting the
+    * trained artifact is the 100 TB deployment shape: train once on the
+    * big cluster, encode/search anywhere. Doubles roundtrip bit-exactly
+    * through parquet, so a reloaded codebook encodes and ranks identically
+    * (AnnPqSpec proves it).
+    */
+  def saveCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      codebooks: Array[Array[Array[Double]]],
+      path: String): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
+    }.toSeq.toDF("j", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload codebooks persisted by [[saveCodebooks]] into the in-memory
+    * shape [[encode]]/[[search]] take.
+    */
+  def loadCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(path)
+      .select(col("j").cast("int"), col("c").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+
   /** Encode every vector as m codes (pure map, no shuffle). */
   def encode(
       emb: DataFrame,

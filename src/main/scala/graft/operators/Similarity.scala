@@ -18,7 +18,7 @@ object Similarity {
 
   def all: Seq[GraftQuery] = Seq(
     knnBruteForce, embeddingNearDup, annLsh, annIvf, embeddingQuantize, annPq,
-    semDedup, embeddingOutliers, hardNegatives)
+    semDedup, embeddingOutliers, hardNegatives, annIndexRoundtrip)
 
   /** Embedding-space outlier pruning: distance of every vector to its
     * label centroid, flagging the top ceil(5%) per label — the
@@ -283,6 +283,42 @@ object Similarity {
       emb.where(col("vec_id") < 20), indexed, centroids, nprobe = 6, topK = 3,
       exactScores = true)
       .orderBy("query_id", "rk")
+  }
+
+  /** IVF index persistence roundtrip (the ANN analogue of q83): build the
+    * exact-mode index (shared q47/q76 build), SAVE it to parquet, reload it
+    * with no rebuild, and search the RELOADED structures — results must be
+    * bit-identical to q47's in-session search, so the oracle is q47's SQL
+    * verbatim (same discipline as q83 reusing q19's expected file: the
+    * roundtrip must be invisible in results). A lost column, a
+    * precision-lossy write, or a centroid-id remap fails the hash compare.
+    * At 100 TB the Lloyd build is the expensive step; save/load is the
+    * deployment shape — build once, serve anywhere (AnnIvfSpec proves the
+    * fast-kernel path too).
+    */
+  val annIndexRoundtrip: GraftQuery = GraftQuery.sql(
+    "q98_ann_index_roundtrip", annIvfOracleSql) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val (indexed, centroids) = ivfExactIndex(spark, dir)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_roundtrip"
+    AnnIvf.saveIndex(indexed, centroids, path)
+    val (ix2, c2) = AnnIvf.loadIndex(spark, path)
+    AnnIvf.search(emb.where(col("vec_id") < 20), ix2, c2, nprobe = 6,
+      topK = 3, exactScores = true)
+      .orderBy("query_id", "rk")
+  }
+
+  /** Force (and persist) the shared exact-mode IVF build — the index
+    * q47/q76/q98 all serve from. Bench calls this BEFORE the query loop
+    * and times it as its own `ivf_exact_build` key, so the suite numbers
+    * for q47/q76/q98 measure their search/dedup/roundtrip work, not a
+    * build they happen to pay first (VERDICT r8 #2: the driver's q47
+    * number conflated the two).
+    */
+  def warmIvfExactIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val (indexed, _) = ivfExactIndex(spark, dir)
+    indexed.count(): Unit
   }
 
   /** q47 and q76 run the IDENTICAL exact-mode IVF build (same defaults,

@@ -97,6 +97,22 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(recIid >= 0.85, f"iid recall $recIid%.3f < 0.85")
   }
 
+  test("saved+reloaded index searches bit-identically to the in-session build") {
+    val (indexed, centroids) = AnnIvf.buildIndex(emb)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_persist").toString
+    AnnIvf.saveIndex(indexed, centroids, path)
+    val (ix2, c2) = AnnIvf.loadIndex(spark, path)
+    val queries = emb.where(col("vec_id") < 20)
+    def rows(ix: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) =
+      AnnIvf.search(queries, ix, c, nprobe = 6, topK = 3)
+        .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq
+    assert(rows(ix2, c2) == rows(indexed, centroids))
+    // and the calibrated default path works off the reloaded structures too
+    assert(AnnIvf.searchAuto(queries, ix2, c2).count() > 0)
+  }
+
   test("search is deterministic across runs") {
     val (indexed, centroids) = AnnIvf.buildIndex(emb)
     def run() = AnnIvf.search(emb.where(col("vec_id") < 10), indexed, centroids)

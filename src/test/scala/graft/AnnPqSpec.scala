@@ -25,6 +25,23 @@ class AnnPqSpec extends AnyFunSuite {
     }
   }
 
+  test("saved+reloaded codebooks are exactly the trained arrays") {
+    val cb = AnnPq.train(emb, m = 8, k = 16, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pq_persist").toString
+    AnnPq.saveCodebooks(spark, cb, path)
+    val cb2 = AnnPq.loadCodebooks(spark, path)
+    // bit-exact double roundtrip → identical codebooks → identical codes
+    assert(cb2.length == cb.length)
+    cb.indices.foreach { j =>
+      assert(cb2(j).length == cb(j).length)
+      cb(j).indices.foreach(c => assert(cb2(j)(c).sameElements(cb(j)(c))))
+    }
+    val codes = AnnPq.encode(emb, cb).orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val codes2 = AnnPq.encode(emb, cb2).orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(codes2 == codes)
+  }
+
   test("ADC distance equals the sum of per-subspace table entries (hand case)") {
     import spark.implicits._
     // 4-dim vectors, m=2, k=2: centroids land on the two point clusters,
