@@ -14,9 +14,14 @@ import graft.ids.ClusterId
   * (first-come order by row id), so the hierarchy is built inside ONE
   * `mapPartitions` task over a single sorted partition — the executors, not
   * the driver, do the work, and results are partition-count-invariant by
-  * construction. Fine to ~10M points per build; the scalable grid-binned
-  * variant with different (documented) semantics lives in
-  * [[graft.operators.Spatial]] as a declarative groupBy.
+  * construction. Fine to ~10M points per build — MEASURED, not asserted:
+  * 10M uniform points build in 245.9 s with a 48 GB driver/executor heap
+  * (the default 8 GB OOMs; `bench_exact10m.json`, r9), vs 158 s for the
+  * shuffle-parallel grid build at 4M — so the crossover to
+  * [[ClusterEngine.loadDistributed]] (Morton/grid, near-linear, any heap)
+  * sits well below 10M for throughput and AT 10M for feasibility. The
+  * scalable grid-binned variant with different (documented) semantics
+  * lives in [[graft.operators.Spatial]] as a declarative groupBy.
   *
   * The resulting per-zoom level table is a persisted Dataset[LevelRow]
   * keyed by `zoom` — every query below is an ordinary pruned scan of it.

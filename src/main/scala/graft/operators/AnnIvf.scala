@@ -214,11 +214,19 @@ object AnnIvf {
       .where(col("_rk") <= nprobe)
       .select(col("query_id"), col("_qv"), col("_c").as("_centroid"))
 
-    // scan only the probed lists; exact rescore
+    // scan only the probed lists; exact rescore. Norm² is hoisted to ONE
+    // decimal dot per probe row and per index row — projected BELOW the
+    // join, so each side's norm evaluates once per input row instead of
+    // once per candidate PAIR (the oracle SQL precomputes its norms the
+    // same way; the passed-in values are the identical decimal results,
+    // so scores are unchanged). At nprobe/k of the corpus per query this
+    // deletes ~2/3 of the rescore's decimal work.
     val withNorm = (c: Column) => VectorFunctions.normSqExact(c).cast("double")
-    val cands = probes.join(
-      indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"), col("_centroid")),
-      Seq("_centroid"))
+    val cands = probes.withColumn("_qnsq", withNorm(col("_qv")))
+      .join(
+        indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"), col("_centroid"))
+          .withColumn("_nnsq", withNorm(col("_nv"))),
+        Seq("_centroid"))
       .where(col("query_id") =!= col("neighbor_id"))
       // same NaN→-2.0 guard as assignment/probes: a zero-norm vector would
       // otherwise yield NaN, which Spark sorts FIRST under desc() while the
@@ -226,7 +234,7 @@ object AnnIvf {
       // rank (and the output value) engine-independent
       .select(col("query_id"), col("neighbor_id"),
         nanvl(VectorFunctions.cosineFromNormSq(
-          col("_qv"), col("_nv"), withNorm(col("_qv")), withNorm(col("_nv"))),
+          col("_qv"), col("_nv"), col("_qnsq"), col("_nnsq")),
           lit(-2.0)).as("cos_sim"))
     val rw = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("neighbor_id"))
     cands.withColumn("rk", row_number().over(rw).cast("long"))
@@ -280,16 +288,19 @@ object AnnIvf {
 
     // exact top-topK of each sampled query, carrying the true neighbor's
     // assigned centroid — one scan of the indexed corpus
+    // norm² hoisted below the join on both sides (same values, ~3× less
+    // decimal work per pair — the [[search]] rescore discipline)
     val withNorm = (c: Column) => VectorFunctions.normSqExact(c).cast("double")
     val rw = Window.partitionBy(col("query_id")).orderBy(desc("_cos"), col("neighbor_id"))
-    val truth = broadcast(sample)
+    val truth = broadcast(sample.withColumn("_qnsq", withNorm(col("_qv"))))
       .join(indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"),
-        col("_centroid").as("_nc")))
+        col("_centroid").as("_nc"))
+        .withColumn("_nnsq", withNorm(col("_nv"))))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("_qv"), col("neighbor_id"),
         col("_nc").cast("int").as("_nc"),
         nanvl(VectorFunctions.cosineFromNormSq(
-          col("_qv"), col("_nv"), withNorm(col("_qv")), withNorm(col("_nv"))),
+          col("_qv"), col("_nv"), col("_qnsq"), col("_nnsq")),
           lit(-2.0)).as("_cos"))
       .withColumn("_rk", row_number().over(rw))
       .where(col("_rk") <= topK)
