@@ -85,17 +85,22 @@ object Bench {
     // roundtrip — the recurring cost — while `ivf_exact_build` carries the
     // one-time cost explicitly. Runs only when a consumer query is
     // selected (or the key itself is focused).
-    val ivfConsumers = Seq("q47", "q76", "q98")
-    val ivfBuild: Seq[(String, Double, Boolean)] =
-      if (!(selected.exists { case (n, _) => ivfConsumers.exists(n.startsWith) } ||
-          sectionOn("ivf_exact_build"))) Seq.empty
+    def timedBuild(key: String, consumers: Seq[String])(
+        warm: => Unit): Seq[(String, Double, Boolean)] =
+      if (!(selected.exists { case (n, _) => consumers.exists(n.startsWith) } ||
+          sectionOn(key))) Seq.empty
       else {
         val t0 = System.nanoTime()
-        val ok = try {
-          graft.operators.Similarity.warmIvfExactIndex(spark, sfDir); true
-        } catch { case NonFatal(_) => false }
-        Seq(("ivf_exact_build", (System.nanoTime() - t0) / 1e9, ok))
+        val ok = try { warm; true } catch { case NonFatal(_) => false }
+        Seq((key, (System.nanoTime() - t0) / 1e9, ok))
       }
+    val ivfBuild = timedBuild("ivf_exact_build", Seq("q47", "q76", "q98")) {
+      graft.operators.Similarity.warmIvfExactIndex(spark, sfDir)
+    }
+    // q63's PQ train+encode, same discipline (one-time cost, own key)
+    val pqBuild = timedBuild("pq_exact_build", Seq("q63")) {
+      graft.operators.Similarity.warmPqExactIndex(spark, sfDir)
+    }
 
     // Per-query MEDIAN of SPARK_GRAFT_BENCH_REPS runs (default 3; the
     // reference times its query loop as median-of-10, benchmarks/run.ts:38-39)
@@ -540,7 +545,7 @@ object Bench {
     // sfDir/outPath must not break the "guaranteed parseable last line"
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val errors = (results ++ maskTimes ++ annFast ++ gridBuildLadder ++ ivfBuild ++ exactBuild10m)
+    val errors = (results ++ maskTimes ++ annFast ++ gridBuildLadder ++ ivfBuild ++ pqBuild ++ exactBuild10m)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -579,7 +584,8 @@ object Bench {
     val calibrationJson =
       s""","calibration":{"start_sec":$calibrationStart,"end_sec":$calibrationEnd}"""
     val ivfBuildJson =
-      if (ivfBuild.isEmpty) "" else s""","ivf_exact_build_sec":${ivfBuild.head._2}"""
+      (if (ivfBuild.isEmpty) "" else s""","ivf_exact_build_sec":${ivfBuild.head._2}""") +
+        (if (pqBuild.isEmpty) "" else s""","pq_exact_build_sec":${pqBuild.head._2}""")
     val ladder4mJson = queryLadder4m.map { l =>
       s""","query_ladder_4m_ms":${zoomsJson(l.rows)},"query_avg_4m_ms":${l.rowAvg}""" +
         s""","query_ladder_4m_batch_ms":${zoomsJson(l.batch)},"query_avg_4m_batch_ms":${l.batchAvg}""" +

@@ -542,11 +542,44 @@ object Similarity {
   val annPq: GraftQuery = GraftQuery.sql(
     "q63_ann_pq", annPqOracleSql) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
-    val cb = AnnPq.train(emb, m = 8, k = 16, iters = 2)
-    val encoded = AnnPq.encode(emb, cb)
+    val (cb, encoded) = pqExactIndex(spark, dir)
     AnnPq.search(emb.where(col("vec_id") < 20), encoded, cb, emb,
         topK = 3, refine = 10)
       .orderBy("query_id", "rk")
+  }
+
+  /** q63's exact-mode PQ train + encode, memoized per (session, dir) with
+    * the encoded table persisted — the [[ivfExactIndex]] discipline for
+    * the PQ rung: training is deterministic (decimal Lloyd means, fixed
+    * seeds), so a session pays it once and every call (and bench rep)
+    * after the first measures the recurring search. Bench times the build
+    * separately as `pq_exact_build_sec` via [[warmPqExactIndex]].
+    */
+  private val pqExactCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (Array[Array[Array[Double]]], org.apache.spark.sql.DataFrame)]
+  private def pqExactIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): (Array[Array[Array[Double]]], org.apache.spark.sql.DataFrame) = synchronized {
+    pqExactCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    pqExactCache.get((spark, dir)) match {
+      case Some(v) => v
+      case None =>
+        val emb = Tables.embeddings(spark, dir)
+        val cb = AnnPq.train(emb, m = 8, k = 16, iters = 2)
+        val v = (cb, AnnPq.encode(emb, cb).persist())
+        pqExactCache.put((spark, dir), v): Unit
+        v
+    }
+  }
+
+  /** Force (and persist) the shared exact-mode PQ build — see
+    * [[warmIvfExactIndex]].
+    */
+  def warmPqExactIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val (_, encoded) = pqExactIndex(spark, dir)
+    encoded.count(): Unit
   }
 
   /** DuckDB replay of the q63 PQ chain (m=8, k=16, 2 Lloyd iterations,
