@@ -113,6 +113,24 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(AnnIvf.searchAuto(queries, ix2, c2).count() > 0)
   }
 
+  test("searchAuto works with an integer id column (calibration casts pin the layout)") {
+    // the calibration fold reads getLong/getInt off fixed positions;
+    // search/buildIndex accept any numeric id type, so an INT vec_id must
+    // calibrate (not ClassCastException) and rank like the long-id run
+    val embInt = emb.select(col("vec_id").cast("int").as("vec_id"), col("embedding"))
+    val (indexed, centroids) = AnnIvf.buildIndex(embInt)
+    val queries = embInt.where(col("vec_id") < 20)
+    val got = AnnIvf.searchAuto(queries, indexed, centroids)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"), col("rk"))
+      .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    val (indexedL, centroidsL) = AnnIvf.buildIndex(emb)
+    val want = AnnIvf.searchAuto(emb.where(col("vec_id") < 20), indexedL, centroidsL)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+      .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
   test("search is deterministic across runs") {
     val (indexed, centroids) = AnnIvf.buildIndex(emb)
     def run() = AnnIvf.search(emb.where(col("vec_id") < 10), indexed, centroids)
