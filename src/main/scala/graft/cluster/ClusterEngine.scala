@@ -128,7 +128,14 @@ final class ClusterIndex private[cluster] (
       * `getLeaves(insertionOrder = true)` with a clear error instead of a
       * silently wrong page order.
       */
-    private[cluster] val ranksAvailable: Boolean) {
+    private[cluster] val ranksAvailable: Boolean,
+    /** The Dataset whose persistence BACKS `levels` when they differ —
+      * grid mode's `levels` is a lazy union over the persisted Morton fold,
+      * and unpersisting the union plan would not free the fold's cache
+      * (CacheManager matches cache entries by plan sameResult, not by
+      * containment). persist/unpersist go through this handle.
+      */
+    private[cluster] val cacheHandle: Option[Dataset[_]] = None) {
   import levels.sparkSession.implicits._
 
   def level(zoom: Int): Dataset[LevelRow] = {
@@ -672,9 +679,12 @@ final class ClusterIndex private[cluster] (
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  def persist(): this.type = { levels.persist(StorageLevel.MEMORY_AND_DISK); this }
+  def persist(): this.type = {
+    cacheHandle.getOrElse(levels).persist(StorageLevel.MEMORY_AND_DISK); this
+  }
   def unpersist(): this.type = {
-    snapshots.clear(); snapshotRowsUsed.set(0L); levels.unpersist(); this
+    snapshots.clear(); snapshotRowsUsed.set(0L)
+    cacheHandle.getOrElse(levels).unpersist(); this
   }
 }
 
@@ -802,9 +812,12 @@ object ClusterEngine {
     import spark.implicits._
     // MortonHierarchy ≡ GridHierarchy bit-for-bit (MortonHierarchySpec),
     // in ONE range shuffle instead of one shuffle per level
-    val levels = MortonHierarchy.build(points, opts, lngCol, latCol, idCol).as[LevelRow]
+    val (levelsDf, cacheHandle) =
+      MortonHierarchy.buildCached(points, opts, lngCol, latCol, idCol)
+    val levels = levelsDf.as[LevelRow]
     val total = levels.filter($"zoom" === opts.maxZoom + 1).count()
     // grid mode always stamps child_rank (= id: its documented child order)
-    new ClusterIndex(levels, total, opts, ranksAvailable = true)
+    new ClusterIndex(levels, total, opts, ranksAvailable = true,
+      cacheHandle = Some(cacheHandle))
   }
 }

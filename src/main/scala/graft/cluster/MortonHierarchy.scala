@@ -57,18 +57,34 @@ object MortonHierarchy {
       id: Long, mx: Double, my: Double, lng: Double, lat: Double,
       cnt: Long, isCluster: Boolean, fcx: Long, fcy: Long)
 
-  /** mapPartitions output — a union row: emitted level rows (kind 0),
-    * driver-deferred member records of open cells (kind 1), and partial
-    * sums of open cells whose fusion is already certain (kind 2).
+  /** Open-cell boundary state, shipped driver-ward through a
+    * `CollectionAccumulator` instead of rows in the fold's output — so the
+    * fold's ONLY output is the final `LevelRow` dataset, persisted once,
+    * instead of an 18-field union row persisted and then re-materialized
+    * into a second narrow cache (~35% of warm build time at 1M points).
+    *
+    * kind 1 = a deferred single member of an open cell; kind 2 = partial
+    * sums of an open cell whose fusion is already locally certain.
+    *
+    * `part` is the producing partition id: accumulator updates from
+    * transformations are at-least-once (stage retry, speculative attempt,
+    * cache-eviction recompute each re-append a partition's whole packet
+    * group), and two DIFFERENT partitions can legitimately emit value-equal
+    * packets (duplicate coordinates sharing a finest cell split across a
+    * boundary), so dedup must be full-tuple-INCLUDING-part: a repeated
+    * (part, …) tuple can only be a replay of the same deterministic task.
+    *
+    * `id` doubles as the fold-order tie-break: the packet's first member's
+    * record id. All members of one finest cell share `ord` (= that cell's
+    * Morton code), and each packet covers a CONTIGUOUS run of the global
+    * (morton, id) sort, so ordering packet blocks by (ord, id) reproduces
+    * the exact global fold order regardless of accumulator arrival order.
     */
-  final case class Out(
-      kind: Int,
-      zoom: Int, mx: Double, my: Double, id: Long, parent_id: Long,
-      point_count: Long, is_cluster: Boolean, lng: Double, lat: Double,
-      child_rank: Long,
-      z: Int, ccx: Long, ccy: Long,
-      pn: Long, pswx: Double, pswy: Double,
-      ord: Long)
+  final case class Packet(
+      part: Int, kind: Int, z: Int, ccx: Long, ccy: Long,
+      id: Long, mx: Double, my: Double, lng: Double, lat: Double,
+      cnt: Long, isCluster: Boolean,
+      pn: Long, pswx: Double, pswy: Double, ord: Long)
 
   private def spread(v: Long): Long = {
     var x = v & 0xffffffffL
@@ -80,15 +96,18 @@ object MortonHierarchy {
   }
   private def morton(cx: Long, cy: Long): Long = spread(cx) | (spread(cy) << 1)
 
-  /** Same output contract as [[GridHierarchy.build]]: the persisted union
-    * of all level tables (zoom maxZoom+1 … minZoom), LevelRow schema.
+  /** Same output contract as [[GridHierarchy.build]]: the union of all
+    * level tables (zoom maxZoom+1 … minZoom), LevelRow schema — plus the
+    * persisted Dataset that BACKS it (the fold output), which is the
+    * handle to persist/unpersist: the returned union itself is lazy and
+    * cheap (cached fold ∪ tiny local relation).
     */
-  def build(
+  def buildCached(
       points: DataFrame,
       opts: ClusterOptions = ClusterOptions(),
       lngCol: String = "lng",
       latCol: String = "lat",
-      idCol: String = "row_id"): DataFrame = {
+      idCol: String = "row_id"): (DataFrame, Dataset[LevelRow]) = {
     require(opts.minPoints <= 2,
       "MortonHierarchy fuses any multi-member cell; minPoints > 2 needs ClusterEngine")
     val maxCellsPerAxis =
@@ -100,12 +119,22 @@ object MortonHierarchy {
     val spark = points.sparkSession
     import spark.implicits._
 
+    // dev knob: -Dgraft.build.timing=true prints per-stage wall times
+    val timing = java.lang.Boolean.getBoolean("graft.build.timing")
+    var tMark = System.nanoTime()
+    def mark(label: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      println(f"[morton] $label%-24s ${(now - tMark) / 1e9}%7.2f s")
+      tMark = now
+    }
+
     val lat = col(latCol)
     val lng = {
       val d = col(lngCol).cast("double")
       d - lit(360.0) * floor((d + lit(180.0)) / lit(360.0))
     }
     val totalPoints = points.count()
+    mark("input count")
     val minZoom = opts.minZoom
     val maxZoom = opts.maxZoom
     val rFinest = opts.radius / (opts.extent * math.pow(2.0, maxZoom.toDouble))
@@ -138,10 +167,12 @@ object MortonHierarchy {
     def cellId(z: Int, cx: Long, cy: Long): Long =
       (((cx << 27) | (cy & ((1L << 27) - 1))) << 5 | (z + 1).toLong) + totalPoints
 
-    val folded: Dataset[Out] = base
+    val packAcc = spark.sparkContext.collectionAccumulator[Packet]("mortonBoundary")
+    val folded: Dataset[LevelRow] = base
       .select(col("id"), col("mx"), col("my"), col("lng"), col("lat"), col("fcx"), col("fcy"))
       .as[(Long, Double, Double, Double, Double, Long, Long)]
       .mapPartitions { it =>
+        val part = org.apache.spark.TaskContext.getPartitionId()
         val recs0 = new ArrayBuffer[Rec]()
         it.foreach { case (id, mx, my, lg, lt, fcx, fcy) =>
           recs0 += Rec(id, mx, my, lg, lt, 1L, isCluster = false, fcx, fcy)
@@ -156,7 +187,7 @@ object MortonHierarchy {
 
           var cur = recs0
           val levelIter = (maxZoom to minZoom by -1).iterator.flatMap { z =>
-            val out = new ArrayBuffer[Out]()
+            val out = new ArrayBuffer[LevelRow]()
             val shift = maxZoom - z
             val openLo = (loFcx >> shift, loFcy >> shift)
             val openHi = (hiFcx >> shift, hiFcy >> shift)
@@ -177,8 +208,8 @@ object MortonHierarchy {
                   var k = i
                   while (k < j) {
                     val r = cur(k)
-                    out += Out(0, z + 1, r.mx, r.my, r.id, cid, r.cnt, r.isCluster,
-                      r.lng, r.lat, r.id, 0, 0L, 0L, 0L, 0.0, 0.0, 0L)
+                    out += LevelRow(z + 1, r.mx, r.my, r.id, cid, r.cnt,
+                      r.isCluster, r.lng, r.lat, r.id)
                     cnt += r.cnt; swx += r.mx * r.cnt; swy += r.my * r.cnt
                     k += 1
                   }
@@ -188,8 +219,8 @@ object MortonHierarchy {
                     cnt, isCluster = true, cur(i).fcx, cur(i).fcy)
                 } else {
                   val r = cur(i)
-                  out += Out(0, z + 1, r.mx, r.my, r.id, -1L, r.cnt, r.isCluster,
-                    r.lng, r.lat, -1L, 0, 0L, 0L, 0L, 0.0, 0.0, 0L)
+                  out += LevelRow(z + 1, r.mx, r.my, r.id, -1L, r.cnt,
+                    r.isCluster, r.lng, r.lat, -1L)
                   next += r
                 }
               } else {
@@ -204,18 +235,19 @@ object MortonHierarchy {
                   var k = i
                   while (k < j) {
                     val r = cur(k)
-                    out += Out(0, z + 1, r.mx, r.my, r.id, cid, r.cnt, r.isCluster,
-                      r.lng, r.lat, r.id, 0, 0L, 0L, 0L, 0.0, 0.0, 0L)
+                    out += LevelRow(z + 1, r.mx, r.my, r.id, cid, r.cnt,
+                      r.isCluster, r.lng, r.lat, r.id)
                     cnt += r.cnt; swx += r.mx * r.cnt; swy += r.my * r.cnt
                     k += 1
                   }
-                  out += Out(2, 0, 0.0, 0.0, 0L, 0L, cnt, false, 0.0, 0.0, 0L,
-                    z, ccx, ccy, m.toLong, swx, swy, morton(cur(i).fcx, cur(i).fcy))
+                  packAcc.add(Packet(part, 2, z, ccx, ccy, cur(i).id,
+                    0.0, 0.0, 0.0, 0.0, cnt, isCluster = false,
+                    m.toLong, swx, swy, morton(cur(i).fcx, cur(i).fcy)))
                 } else {
                   val r = cur(i)
-                  out += Out(1, 0, r.mx, r.my, r.id, 0L, r.cnt, r.isCluster,
-                    r.lng, r.lat, 0L, z, ccx, ccy, 0L, 0.0, 0.0,
-                    morton(r.fcx, r.fcy))
+                  packAcc.add(Packet(part, 1, z, ccx, ccy, r.id,
+                    r.mx, r.my, r.lng, r.lat, r.cnt, r.isCluster,
+                    0L, 0.0, 0.0, morton(r.fcx, r.fcy)))
                 }
                 // the open cell's record (if any) is driver-owned from here
               }
@@ -226,18 +258,30 @@ object MortonHierarchy {
           }
           // final level: survivors of the minZoom pass
           val tail = () => cur.iterator.map(r =>
-            Out(0, minZoom, r.mx, r.my, r.id, -1L, r.cnt, r.isCluster,
-              r.lng, r.lat, -1L, 0, 0L, 0L, 0L, 0.0, 0.0, 0L))
+            LevelRow(minZoom, r.mx, r.my, r.id, -1L, r.cnt, r.isCluster,
+              r.lng, r.lat, -1L))
           levelIter ++ tail()
         }
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     folded.count()
+    mark("fold + cache write")
 
     // ── driver merge of the open-cell boundary state ─────────────────────
+    // ordId = the tie-break record id paired with ord: the id of the
+    // contribution's FIRST underlying record in the global (morton, id)
+    // sort. Members of one finest cell share ord, so (ord, ordId) — not
+    // ord alone — is what makes the merge order total, deterministic, and
+    // independent of accumulator arrival order.
     final case class DRec(id: Long, mx: Double, my: Double, lng: Double,
-      lat: Double, cnt: Long, isCluster: Boolean, ord: Long)
-    val packets = folded.filter(col("kind") > 0).collect()
+      lat: Double, cnt: Long, isCluster: Boolean, ord: Long, ordId: Long)
+    // full-tuple distinct (incl. `part`) drops task-replay duplicates
+    // exactly (see Packet doc); sort makes the merge input deterministic
+    val packets: Seq[Packet] = {
+      import scala.jdk.CollectionConverters._
+      packAcc.value.asScala.toSeq.distinct.sortBy(p => (p.z, p.ord, p.id))
+    }
+    mark("packet dedupe")
     val emitted = new ArrayBuffer[LevelRow]()
     // records resolved at the previous (deeper) pass, keyed by their cell
     // at the CURRENT level — a parent cell can receive up to 4 of them
@@ -250,39 +294,42 @@ object MortonHierarchy {
       keys.toSeq.sorted.foreach { key =>
         val (ccx, ccy) = key
         val members = here.filter(o => o.kind == 1 && (o.ccx, o.ccy) == key)
-          .map(o => DRec(o.id, o.mx, o.my, o.lng, o.lat, o.point_count, o.is_cluster, o.ord))
+          .map(o => DRec(o.id, o.mx, o.my, o.lng, o.lat, o.cnt, o.isCluster,
+            o.ord, o.id))
           .toBuffer ++ carried.getOrElse(key, Seq.empty)
         val partials = here.filter(o => o.kind == 2 && (o.ccx, o.ccy) == key)
         val mTotal = members.size + partials.map(_.pn).sum
         val resolved: DRec =
           if (mTotal >= 2) {
             val cid = cellId(z, ccx, ccy)
-            // fold in morton order — members and partials interleaved by ord
-            val contributions: Seq[Either[DRec, Out]] =
-              (members.map(m => (m.ord, Left(m): Either[DRec, Out])) ++
-                partials.map(p => (p.ord, Right(p): Either[DRec, Out])))
-                .sortBy(_._1).map(_._2).toSeq
+            // fold in global record order — members and partials interleave
+            // by (ord, ordId): each contribution covers a CONTIGUOUS run of
+            // the base sort (morton, id), so ordering the blocks by their
+            // first record's (morton, id) reproduces the sequential fold
+            // exactly, for any partitioning and any packet arrival order
+            val contributions: Seq[((Long, Long), Either[DRec, Packet])] =
+              (members.map(m => ((m.ord, m.ordId), Left(m): Either[DRec, Packet])) ++
+                partials.map(p => ((p.ord, p.id), Right(p): Either[DRec, Packet])))
+                .sortBy(_._1).toSeq
             var cnt = 0L; var swx = 0.0; var swy = 0.0
-            contributions.foreach {
+            contributions.map(_._2).foreach {
               case Left(m) =>
                 emitted += LevelRow(z + 1, m.mx, m.my, m.id, cid, m.cnt,
                   m.isCluster, m.lng, m.lat, m.id)
                 cnt += m.cnt; swx += m.mx * m.cnt; swy += m.my * m.cnt
               case Right(p) =>
-                cnt += p.point_count; swx += p.pswx; swy += p.pswy
+                cnt += p.cnt; swx += p.pswx; swy += p.pswy
             }
             val cmx = Mercator.fround(swx / cnt)
             val cmy = Mercator.fround(swy / cnt)
-            // the resolved record's ord is the MIN finest-scale ord of all
-            // contributions (member ords and partial ords are both finest-
-            // cell mortons), so shallower-level folds interleave in true
-            // Morton order no matter where partition boundaries fell — a
-            // cell-scale morton(ccx,ccy) or a packets-then-carried
-            // headOption would be incomparable with finest-scale ords and
-            // leave the fold order partitioning-dependent
+            // the resolved record's (ord, ordId) is its first contribution's
+            // — finest-scale coordinates, so shallower-level folds keep
+            // interleaving in true record order no matter where partition
+            // boundaries fell (a cell-scale morton(ccx,ccy) would be
+            // incomparable with finest-scale ords)
             DRec(cid, cmx, cmy, Mercator.xLng(cmx), Mercator.yLat(cmy),
               cnt, isCluster = true,
-              (members.map(_.ord) ++ partials.map(_.ord)).min)
+              contributions.head._1._1, contributions.head._1._2)
           } else {
             val m = members.head // mTotal == 1 ⇒ exactly one member, no partials
             emitted += LevelRow(z + 1, m.mx, m.my, m.id, -1L, m.cnt,
@@ -304,12 +351,27 @@ object MortonHierarchy {
 
     val levelCols = Seq("zoom", "mx", "my", "id", "parent_id", "point_count",
       "is_cluster", "lng", "lat", "child_rank")
-    val all = folded.filter(col("kind") === 0)
-      .select(levelCols.map(col): _*)
+    // the fold's output IS the final LevelRow data: no second
+    // materialization — the already-persisted `folded` unions with the
+    // (tiny, O(partitions × levels)) driver-resolved local rows lazily.
+    // `folded` is the cache handle: unpersisting the union plan would not
+    // free it (CacheManager matches plans by sameResult), so callers that
+    // manage the cache go through [[buildCached]].
+    val all = folded.toDF()
       .unionByName(spark.createDataFrame(emitted.toSeq).select(levelCols.map(col): _*))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    all.count()
-    folded.unpersist()
-    all
+    mark("driver merge")
+    (all, folded)
   }
+
+  /** [[buildCached]]'s result projected to just the level table — the
+    * persisted fold backs it; callers that need to free the cache should
+    * use [[buildCached]] and unpersist the handle.
+    */
+  def build(
+      points: DataFrame,
+      opts: ClusterOptions = ClusterOptions(),
+      lngCol: String = "lng",
+      latCol: String = "lat",
+      idCol: String = "row_id"): DataFrame =
+    buildCached(points, opts, lngCol, latCol, idCol)._1
 }
