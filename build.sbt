@@ -34,4 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pre-size the heap: the first build whose cache approaches Xmx otherwise
+  // pays seconds of incremental heap expansion + GC ergonomics adaptation
+  // (measured: first 4M grid build 20s -> 9s with Xms pinned)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -13,12 +13,12 @@ import graft.geo.Mercator
   * greedy pass, which cannot be distributed without changing results): at
   * each zoom z, records of level z+1 are fused by snapping their position
   * to a uniform grid of cell size r(z) = radius/(extent·2^z) — cells with
-  * ≥ minPoints points become clusters (weighted centroid, summed counts),
-  * singleton cells pass through unchanged, exactly like the greedy pass's
-  * passthrough branch. Every level is ONE hash-shuffle
-  * (groupBy cell) with map-side partial aggregation — the plan scales
-  * linearly with executors and is partition-count invariant by
-  * construction (no ordering dependence anywhere).
+  * ≥ 2 member records AND ≥ minPoints summed point mass become clusters
+  * (weighted centroid, summed counts); cells below the gate pass every
+  * member through unchanged, exactly like the greedy pass's passthrough
+  * branch. Every level is ONE shuffle (window over the cell key) — the
+  * plan scales linearly with executors and is partition-count invariant
+  * by construction (no ordering dependence anywhere).
   *
   * Shared invariants with the exact mode (verified in GridHierarchySpec):
   * count conservation per level, children's counts sum to parent's count,
@@ -56,11 +56,14 @@ object GridHierarchy {
       lngCol: String = "lng",
       latCol: String = "lat",
       idCol: String = "row_id"): DataFrame = {
-    // a multi-member cell below minPoints would need per-member passthrough,
-    // which the single-aggregation plan cannot express; the exact greedy
-    // mode (ClusterEngine) supports arbitrary minPoints
-    require(opts.minPoints <= 2,
-      "GridHierarchy fuses any multi-member cell; minPoints > 2 needs ClusterEngine")
+    // Fusion rule for any minPoints: a cell fuses iff it has >= 2 member
+    // records AND their summed point mass reaches minPoints (the grid-mode
+    // analogue of the reference's "numPoints >= minPoints" gate,
+    // arrow-cluster-engine.ts:389-401); a below-threshold multi-member cell
+    // passes EVERY member through unchanged — the window formulation keeps
+    // all member rows in frame, so per-member passthrough is one WHERE.
+    // (Member count >= 2 is required separately so a lone cluster record
+    // of mass >= minPoints is not re-wrapped at every coarser level.)
     // the 27-bit-per-axis cell-ID packing below is collision-free only while
     // the finest grid has < 2^27 cells per axis (maxZoom ≲ 23 at the default
     // radius/extent) — beyond that distinct cells would silently alias
@@ -182,7 +185,7 @@ object GridHierarchy {
       // deferred to the final union materialization, re-shuffling `prev`
       // after its checkpoint was already paid). Measured at sf0.1 (focused
       // q44, local[32]): 12.6 s two-shuffle → see BENCH.md round-6 note.
-      // A multi-member cell always fuses (minPoints <= 2 enforced above).
+      // Fusion gate: >= 2 members AND >= minPoints summed mass (see above).
       val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("_cell_id"))
       val wOrd = wc.orderBy(col("id"))
       val wide = prev
@@ -206,7 +209,7 @@ object GridHierarchy {
         // the final union replays NO shuffle.
         .localCheckpoint()
 
-      val isFused = col("_n_in_cell") >= 2
+      val isFused = col("_n_in_cell") >= 2 && col("_sum_cnt") >= opts.minPoints
       levels += wide.select(
         lit(z + 1).as("zoom"), col("mx"), col("my"), col("id"),
         when(isFused, col("_cell_id")).otherwise(lit(-1L)).as("parent_id"),
@@ -215,17 +218,19 @@ object GridHierarchy {
         // order, so the rank is the id on exactly the stamped rows
         when(isFused, col("id")).otherwise(lit(-1L)).as("child_rank"))
 
-      // next level: one record per cell — the fused cluster, or the single
-      // member unchanged (its own row IS the representative, _rn = 1)
+      // next level: one record per FUSED cell (the cluster, _rn = 1 as the
+      // representative row), and every member unchanged for cells below
+      // the fusion gate (per-member passthrough — with minPoints <= 2 only
+      // singleton cells land here, so _rn = 1 covers them identically)
       val cmx = Mercator.froundCol(col("_sum_wx") / col("_sum_cnt"))
       val cmy = Mercator.froundCol(col("_sum_wy") / col("_sum_cnt"))
-      prev = wide.where(col("_rn") === 1).select(
+      prev = wide.where(col("_rn") === 1 || !isFused).select(
         when(isFused, col("_cell_id")).otherwise(col("id")).as("id"),
         when(isFused, cmx).otherwise(col("mx")).as("mx"),
         when(isFused, cmy).otherwise(col("my")).as("my"),
         when(isFused, Mercator.xLngCol(cmx)).otherwise(col("lng")).as("lng"),
         when(isFused, Mercator.yLatCol(cmy)).otherwise(col("lat")).as("lat"),
-        col("_sum_cnt").as("point_count"),
+        when(isFused, col("_sum_cnt")).otherwise(col("point_count")).as("point_count"),
         when(isFused, lit(true)).otherwise(col("is_cluster")).as("is_cluster"))
       z -= 1
     }

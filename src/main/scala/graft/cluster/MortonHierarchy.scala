@@ -108,8 +108,12 @@ object MortonHierarchy {
       lngCol: String = "lng",
       latCol: String = "lat",
       idCol: String = "row_id"): (DataFrame, Dataset[LevelRow]) = {
-    require(opts.minPoints <= 2,
-      "MortonHierarchy fuses any multi-member cell; minPoints > 2 needs ClusterEngine")
+    // Fusion rule (any minPoints, same as [[GridHierarchy]]): a cell fuses
+    // iff it has >= 2 member records AND their summed mass >= minPoints;
+    // below-threshold cells pass every member through unchanged. The
+    // prefix-nesting argument is unchanged — passthrough members keep
+    // their own (f32 fixed-point) position, fused centroids stay inside
+    // their cell, so cell(z) = cell(maxZoom) >> (maxZoom - z) still holds.
     val maxCellsPerAxis =
       math.ceil(opts.extent * math.pow(2.0, opts.maxZoom.toDouble) / opts.radius).toLong
     require(maxCellsPerAxis < (1L << 27),
@@ -201,16 +205,23 @@ object MortonHierarchy {
               while (j < n && (cur(j).fcx >> shift) == ccx && (cur(j).fcy >> shift) == ccy) j += 1
               val m = j - i
               val open = (ccx, ccy) == openLo || (ccx, ccy) == openHi
+              // mass decides fusion alongside member count, so sum it first
+              var cnt = 0L; var swx = 0.0; var swy = 0.0
+              var k = i
+              while (k < j) {
+                val r = cur(k)
+                cnt += r.cnt; swx += r.mx * r.cnt; swy += r.my * r.cnt
+                k += 1
+              }
+              val fuseLocal = m >= 2 && cnt >= opts.minPoints
               if (!open) {
-                if (m >= 2) {
+                if (fuseLocal) {
                   val cid = cellId(z, ccx, ccy)
-                  var cnt = 0L; var swx = 0.0; var swy = 0.0
-                  var k = i
+                  k = i
                   while (k < j) {
                     val r = cur(k)
                     out += LevelRow(z + 1, r.mx, r.my, r.id, cid, r.cnt,
                       r.isCluster, r.lng, r.lat, r.id)
-                    cnt += r.cnt; swx += r.mx * r.cnt; swy += r.my * r.cnt
                     k += 1
                   }
                   val cmx = Mercator.fround(swx / cnt)
@@ -218,38 +229,47 @@ object MortonHierarchy {
                   next += Rec(cid, cmx, cmy, Mercator.xLng(cmx), Mercator.yLat(cmy),
                     cnt, isCluster = true, cur(i).fcx, cur(i).fcy)
                 } else {
-                  val r = cur(i)
-                  out += LevelRow(z + 1, r.mx, r.my, r.id, -1L, r.cnt,
-                    r.isCluster, r.lng, r.lat, -1L)
-                  next += r
+                  // below the fusion gate: every member passes through
+                  k = i
+                  while (k < j) {
+                    val r = cur(k)
+                    out += LevelRow(z + 1, r.mx, r.my, r.id, -1L, r.cnt,
+                      r.isCluster, r.lng, r.lat, -1L)
+                    next += r
+                    k += 1
+                  }
                 }
               } else {
-                // open cell: fate decided at the driver merge. With >= 2
-                // local members fusion is already certain — emit their
-                // stamped rows here and ship partial sums; a single local
-                // member defers entirely (its stamp depends on the global
-                // member count).
-                if (m >= 2) {
+                // open cell: fate decided at the driver merge. When the
+                // LOCAL members already satisfy the fusion gate, global
+                // fusion is certain (mass and member count only grow) —
+                // emit their stamped rows here and ship partial sums.
+                // Otherwise defer every local member: whether they fuse
+                // depends on the neighbour partitions, and there are at
+                // most minPoints - 1 of them (each has mass >= 1).
+                if (fuseLocal) {
                   val cid = cellId(z, ccx, ccy)
-                  var cnt = 0L; var swx = 0.0; var swy = 0.0
-                  var k = i
+                  k = i
                   while (k < j) {
                     val r = cur(k)
                     out += LevelRow(z + 1, r.mx, r.my, r.id, cid, r.cnt,
                       r.isCluster, r.lng, r.lat, r.id)
-                    cnt += r.cnt; swx += r.mx * r.cnt; swy += r.my * r.cnt
                     k += 1
                   }
                   packAcc.add(Packet(part, 2, z, ccx, ccy, cur(i).id,
                     0.0, 0.0, 0.0, 0.0, cnt, isCluster = false,
                     m.toLong, swx, swy, morton(cur(i).fcx, cur(i).fcy)))
                 } else {
-                  val r = cur(i)
-                  packAcc.add(Packet(part, 1, z, ccx, ccy, r.id,
-                    r.mx, r.my, r.lng, r.lat, r.cnt, r.isCluster,
-                    0L, 0.0, 0.0, morton(r.fcx, r.fcy)))
+                  k = i
+                  while (k < j) {
+                    val r = cur(k)
+                    packAcc.add(Packet(part, 1, z, ccx, ccy, r.id,
+                      r.mx, r.my, r.lng, r.lat, r.cnt, r.isCluster,
+                      0L, 0.0, 0.0, morton(r.fcx, r.fcy)))
+                    k += 1
+                  }
                 }
-                // the open cell's record (if any) is driver-owned from here
+                // the open cell's records (if any) are driver-owned from here
               }
               i = j
             }
@@ -299,8 +319,12 @@ object MortonHierarchy {
           .toBuffer ++ carried.getOrElse(key, Seq.empty)
         val partials = here.filter(o => o.kind == 2 && (o.ccx, o.ccy) == key)
         val mTotal = members.size + partials.map(_.pn).sum
-        val resolved: DRec =
-          if (mTotal >= 2) {
+        val massTotal = members.map(_.cnt).sum + partials.map(_.cnt).sum
+        // partials exist only when a partition proved fusion locally, so
+        // their presence implies the gate already passed; the explicit mass
+        // check covers the all-kind-1 case under minPoints > 2
+        val resolved: Seq[DRec] =
+          if (mTotal >= 2 && massTotal >= opts.minPoints) {
             val cid = cellId(z, ccx, ccy)
             // fold in global record order — members and partials interleave
             // by (ord, ordId): each contribution covers a CONTIGUOUS run of
@@ -327,17 +351,21 @@ object MortonHierarchy {
             // interleaving in true record order no matter where partition
             // boundaries fell (a cell-scale morton(ccx,ccy) would be
             // incomparable with finest-scale ords)
-            DRec(cid, cmx, cmy, Mercator.xLng(cmx), Mercator.yLat(cmy),
+            Seq(DRec(cid, cmx, cmy, Mercator.xLng(cmx), Mercator.yLat(cmy),
               cnt, isCluster = true,
-              contributions.head._1._1, contributions.head._1._2)
+              contributions.head._1._1, contributions.head._1._2))
           } else {
-            val m = members.head // mTotal == 1 ⇒ exactly one member, no partials
-            emitted += LevelRow(z + 1, m.mx, m.my, m.id, -1L, m.cnt,
-              m.isCluster, m.lng, m.lat, -1L)
-            m
+            // below the fusion gate ⇒ no partials (a partial implies local
+            // certainty): every member passes through and carries forward
+            val ms = members.sortBy(m => (m.ord, m.ordId)).toSeq
+            ms.foreach { m =>
+              emitted += LevelRow(z + 1, m.mx, m.my, m.id, -1L, m.cnt,
+                m.isCluster, m.lng, m.lat, -1L)
+            }
+            ms
           }
         val pkey = (ccx >> 1, ccy >> 1)
-        nextCarried(pkey) = nextCarried.getOrElse(pkey, Nil) :+ resolved
+        nextCarried(pkey) = nextCarried.getOrElse(pkey, Nil) ++ resolved
       }
       carried = nextCarried.toMap.map { case (k, v) => k -> (v: Seq[DRec]) }
       z -= 1

@@ -27,7 +27,7 @@ object Spatial {
   def all: Seq[GraftQuery] = Seq(
     mercatorProject, gridCluster, styleColumns, greedyHierarchy, hierarchyLevels,
     clusterChildren, clusterLeaves, hierarchyNavigation, materializedLeaves,
-    geoParquetRoundtrip, gridHierarchyProfile,
+    geoParquetRoundtrip, gridHierarchyProfile, gridMinPointsProfile,
     distChildren, distLeaves, distNavigation, distMaterialize,
     arrowIpcRoundtrip, zorderProfile, indexRoundtrip)
 
@@ -399,18 +399,18 @@ object Spatial {
       .replace("@PIPE@", "|")
   }
 
+  private def gridBaseCte: String =
+    s"""lvl17 AS (
+       |  SELECT event_id AS id,
+       |    CAST(CAST(lng / 360.0 + 0.5 AS REAL) AS DOUBLE) AS mx,
+       |    CAST(CAST(LEAST(GREATEST(
+       |      0.5 - 0.25 * LN((1.0 + SIN(RADIANS(lat))) / (1.0 - SIN(RADIANS(lat)))) / PI(),
+       |      0.0), 1.0) AS REAL) AS DOUBLE) AS my,
+       |    CAST(1 AS BIGINT) AS point_count, FALSE AS is_cluster
+       |  FROM ($pointsSql)
+       |)""".stripMargin
+
   private def gridLevelCtes: Seq[String] = {
-    val tot = "(SELECT COUNT(*) FROM events)"
-    val base =
-      s"""lvl17 AS (
-         |  SELECT event_id AS id,
-         |    CAST(CAST(lng / 360.0 + 0.5 AS REAL) AS DOUBLE) AS mx,
-         |    CAST(CAST(LEAST(GREATEST(
-         |      0.5 - 0.25 * LN((1.0 + SIN(RADIANS(lat))) / (1.0 - SIN(RADIANS(lat)))) / PI(),
-         |      0.0), 1.0) AS REAL) AS DOUBLE) AS my,
-         |    CAST(1 AS BIGINT) AS point_count, FALSE AS is_cluster
-         |  FROM ($pointsSql)
-         |)""".stripMargin
     val lvls = (16 to 0 by -1).map { z =>
       s"""lvl$z AS (
          |  SELECT
@@ -430,11 +430,45 @@ object Spatial {
          |  GROUP BY cell_id
          |)""".stripMargin.replace("@CELLID@", cellIdSqlAtPass(z))
     }
-    base +: lvls
+    gridBaseCte +: lvls
   }
 
-  private def gridProfileSql: String = {
-    val profiles = (17 to 0 by -1).map { z =>
+  /** The level fold with a minPoints fusion gate — the SQL mirror of
+    * GridHierarchy's window formulation: a cell fuses iff it holds >= 2
+    * member records AND their summed mass >= minPoints; otherwise EVERY
+    * member passes through (the GROUP BY form of [[gridLevelCtes]] cannot
+    * express per-member passthrough, the window form is exactly it).
+    */
+  private def gridLevelCtesMp(mp: Int): Seq[String] = {
+    val lvls = (16 to 0 by -1).map { z =>
+      s"""lvl$z AS (
+         |  SELECT
+         |    CASE WHEN _f THEN cell_id ELSE id END AS id,
+         |    CASE WHEN _f THEN CAST(CAST(_swx / _scnt AS REAL) AS DOUBLE) ELSE mx END AS mx,
+         |    CASE WHEN _f THEN CAST(CAST(_swy / _scnt AS REAL) AS DOUBLE) ELSE my END AS my,
+         |    CAST(CASE WHEN _f THEN _scnt ELSE point_count END AS BIGINT) AS point_count,
+         |    CASE WHEN _f THEN TRUE ELSE is_cluster END AS is_cluster
+         |  FROM (
+         |    SELECT *, (_n >= 2 AND _scnt >= $mp) AS _f
+         |    FROM (
+         |      SELECT *,
+         |        COUNT(*) OVER w AS _n,
+         |        SUM(point_count) OVER w AS _scnt,
+         |        SUM(mx * point_count) OVER w AS _swx,
+         |        SUM(my * point_count) OVER w AS _swy,
+         |        ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY id) AS _rn
+         |      FROM (SELECT *, @CELLID@ AS cell_id FROM lvl${z + 1})
+         |      WINDOW w AS (PARTITION BY cell_id)
+         |    )
+         |  )
+         |  WHERE (_f AND _rn = 1) OR NOT _f
+         |)""".stripMargin.replace("@CELLID@", cellIdSqlAtPass(z))
+    }
+    gridBaseCte +: lvls
+  }
+
+  private def profileUnionSql: String =
+    (17 to 0 by -1).map { z =>
       s"""SELECT $z AS zoom, CAST(COUNT(*) AS BIGINT) AS n_records,
          |  CAST(SUM(CASE WHEN is_cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters,
          |  CAST(SUM(point_count) AS BIGINT) AS total_points,
@@ -442,10 +476,15 @@ object Spatial {
          |  CAST(SUM(CAST(FLOOR(mx * 1048576.0) AS BIGINT)) AS BIGINT) AS mx_sum,
          |  CAST(SUM(CAST(FLOOR(my * 1048576.0) AS BIGINT)) AS BIGINT) AS my_sum
          |FROM lvl$z""".stripMargin
-    }
+    }.mkString("\nUNION ALL\n")
+
+  private def gridProfileSql: String =
     s"WITH ${gridLevelCtes.mkString(",\n")}\n" +
-      s"SELECT * FROM (\n${profiles.mkString("\nUNION ALL\n")}\n) ORDER BY zoom"
-  }
+      s"SELECT * FROM (\n$profileUnionSql\n) ORDER BY zoom"
+
+  private def gridMpProfileSql: String =
+    s"WITH ${gridLevelCtesMp(5).mkString(",\n")}\n" +
+      s"SELECT * FROM (\n$profileUnionSql\n) ORDER BY zoom"
 
   /** DuckDB mirror of Q3-on-the-distributed-build: replay the level fold,
     * pick the largest cluster created at pass 3, and select the lvl4 rows
@@ -619,9 +658,7 @@ object Spatial {
     * navigation queries through [[distIndex]] (C1 rebuild gating: one build,
     * many queries).
     */
-  val gridHierarchyProfile: GraftQuery = GraftQuery.sql(
-    "q44_grid_hierarchy_profile", gridProfileSql) { (spark, dir) =>
-    val levels = distIndex(spark, dir).levels.toDF()
+  private def profileAgg(levels: DataFrame): DataFrame =
     levels.groupBy(col("zoom"))
       .agg(
         count(lit(1)).as("n_records"),
@@ -631,6 +668,26 @@ object Spatial {
         sum(floor(col("mx") * 1048576.0).cast("long")).as("mx_sum"),
         sum(floor(col("my") * 1048576.0).cast("long")).as("my_sum"))
       .orderBy("zoom")
+
+  val gridHierarchyProfile: GraftQuery = GraftQuery.sql(
+    "q44_grid_hierarchy_profile", gridProfileSql) { (spark, dir) =>
+    profileAgg(distIndex(spark, dir).levels.toDF())
+  }
+
+  /** The minPoints fusion gate on the SCALE path (reference minPoints
+    * option, arrow-cluster-engine.ts:389-401, previously exact-mode-only
+    * here): cells fuse only at >= 2 members AND >= minPoints total mass;
+    * below-gate cells pass every member through. Hash-matched against
+    * DuckDB replaying the identical gated fold as window functions —
+    * per-member passthrough included.
+    */
+  private val mpIndexCache = new graft.cluster.IndexCache
+  val gridMinPointsProfile: GraftQuery = GraftQuery.sql(
+    "q99_grid_minpoints", gridMpProfileSql) { (spark, dir) =>
+    val opts = ClusterOptions(minPoints = 5)
+    val idx = mpIndexCache.get(spark, dir, opts)(
+      ClusterEngine.loadDistributed(pointsDf(spark, dir), opts, idCol = "event_id"))
+    profileAgg(idx.levels.toDF())
   }
 
   /** Q7: leaves of the largest z3 cluster joined back to the source rows

@@ -12,7 +12,8 @@ import graft.io.SyntheticPoints
   */
 object GridProfile {
   def main(args: Array[String]): Unit = {
-    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(1000000L)
+    val n = sizes.last
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -30,11 +31,14 @@ object GridProfile {
 
     val pts = SyntheticPoints.uniform(spark, n)
     t("warm: count points")(pts.count())
-    t("full loadDistributed") {
-      val idx = ClusterEngine.loadDistributed(pts, ClusterOptions(radius = 75), idCol = "row_id")
-      idx.unpersist()
+    sizes.foreach { s =>
+      t(s"loadDistributed $s") {
+        val idx = ClusterEngine.loadDistributed(
+          SyntheticPoints.uniform(spark, s), ClusterOptions(radius = 75), idCol = "row_id")
+        idx.unpersist()
+      }
     }
-    // second run to see warm-JIT numbers
+    // second run of the largest to see warm numbers
     t("full loadDistributed (warm)") {
       val idx = ClusterEngine.loadDistributed(pts, ClusterOptions(radius = 75), idCol = "row_id")
       idx.unpersist()

@@ -142,6 +142,61 @@ class MortonHierarchySpec extends AnyFunSuite {
         s"first: ${fallbacks.headOption.getOrElse("")}")
   }
 
+  test("minPoints > 2: builds agree, are partition-invariant, and gate fusion by mass") {
+    val opts = ClusterOptions(minPoints = 5)
+    val a = canon(GridHierarchy.build(pts(0), opts, idCol = "event_id"))
+    val b = canon(MortonHierarchy.build(pts(0), opts, idCol = "event_id"))
+    assert(a.length == b.length, s"row counts: ${a.length} vs ${b.length}")
+    a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x == y, s"row $i differs: $x vs $y")
+    }
+    // partition ladder: boundary cells below the gate defer WHOLE member
+    // runs to the driver — every partitioning must replay the same result
+    Seq(3, 32).foreach { parts =>
+      val got = canon(MortonHierarchy.build(pts(parts), opts, idCol = "event_id"))
+      assert(b.length == got.length, s"parts=$parts row count")
+      b.zip(got).zipWithIndex.foreach { case ((x, y), i) =>
+        assert(x == y, s"parts=$parts row $i differs: $x vs $y")
+      }
+    }
+    // the gate itself: no cluster below minPoints mass, and mass conserved
+    // at every level (passthrough must not drop or double records)
+    val n = pts(0).count()
+    val perZoom = b.groupBy(_._1)
+    perZoom.foreach { case (zoom, rows) =>
+      rows.filter(_._5).foreach { r =>
+        assert(r._4 >= 5, s"zoom $zoom cluster ${r._2} has mass ${r._4} < minPoints")
+      }
+      assert(rows.map(_._4).sum == n, s"zoom $zoom mass not conserved")
+    }
+    // and it must actually bite on this fixture: the default build fuses
+    // cells of mass 2-4 that this one must pass through
+    val defaultClusters = canon(MortonHierarchy.build(pts(0), idCol = "event_id"))
+      .count(_._5)
+    assert(b.count(_._5) < defaultClusters,
+      "minPoints=5 produced as many clusters as minPoints=2 — gate not applied")
+  }
+
+  test("minPoints > 2 on the duplicate-heavy fixture across partitionings") {
+    import spark.implicits._
+    // 50 identical points (one finest cell, mass 50) + 3 pairs of mass 2
+    // + 4 singles: with minPoints = 6 the pairs must pass through at every
+    // level until enough mass co-locates in a coarser cell
+    val df = ((0L until 50L).map(i => (i, 10.0, 10.0)) ++
+      Seq((50L, -120.0, 33.0), (51L, -120.0001, 33.0001),
+        (52L, 139.7, 35.6), (53L, 139.7001, 35.6001),
+        (54L, 2.35, 48.85), (55L, 2.3501, 48.8501),
+        (56L, -60.0, -20.0), (57L, 60.0, 20.0),
+        (58L, -170.0, 70.0), (59L, 170.0, -70.0)))
+      .toDF("row_id", "lng", "lat")
+    val opts = ClusterOptions(minPoints = 6)
+    val ref = canon(GridHierarchy.build(df.repartition(1), opts))
+    Seq(2, 4, 8).foreach { parts =>
+      val got = canon(MortonHierarchy.build(df.repartition(parts), opts))
+      assert(ref.toSeq == got.toSeq, s"parts=$parts diverged")
+    }
+  }
+
   test("non-default zoom window and antimeridian points agree across builds") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
