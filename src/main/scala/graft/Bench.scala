@@ -94,11 +94,11 @@ object Bench {
         val ok = try { warm; true } catch { case NonFatal(_) => false }
         Seq((key, (System.nanoTime() - t0) / 1e9, ok))
       }
-    val ivfBuild = timedBuild("ivf_exact_build", Seq("q47", "q76", "q98")) {
+    val ivfBuild = timedBuild("ivf_exact_build", Seq("q47", "q76", "q98", "q100")) {
       graft.operators.Similarity.warmIvfExactIndex(spark, sfDir)
     }
     // q63's PQ train+encode, same discipline (one-time cost, own key)
-    val pqBuild = timedBuild("pq_exact_build", Seq("q63")) {
+    val pqBuild = timedBuild("pq_exact_build", Seq("q63", "q100")) {
       graft.operators.Similarity.warmPqExactIndex(spark, sfDir)
     }
 
@@ -365,9 +365,17 @@ object Bench {
     // evidence the 17-level build scales near-linearly in input size (the
     // 100 TB posture q44 claims). One measurement per size (a build is a
     // section, not a query; reps would triple the suite's heaviest block).
+    // The 10M rung is OPT-IN (SPARK_GRAFT_BENCH_ONLY must name
+    // grid_build_10m): it pairs with the exact_build_10m ceiling artifact
+    // (bench_exact10m.json, 245.9 s greedy) to make the "switch to the
+    // scale path" boundary a measured 25x, not an assertion —
+    // bench_grid10m.json carries the committed number (~10 s).
+    val gridLadderSizes =
+      Seq(250000, 1000000, 4000000) ++
+        (if (only.exists(_.exists(o => "grid_build_10m".contains(o)))) Seq(10000000) else Seq.empty)
     val gridBuildLadder: Seq[(String, Double, Boolean)] =
       if (!sectionOn("grid_build_ladder")) Seq.empty
-      else Seq(250000, 1000000, 4000000).map { nPts =>
+      else gridLadderSizes.map { nPts =>
         val key = s"grid_build_${if (nPts >= 1000000) s"${nPts / 1000000}m" else s"${nPts / 1000}k"}"
         val t0 = System.nanoTime()
         val ok = try {
@@ -594,8 +602,13 @@ object Bench {
     val exactBuild10mJson =
       if (exactBuild10m.isEmpty) ""
       else s""","exact_build_10m_sec":${exactBuild10m.head._2}"""
+    // provenance: the core count changes every number in the artifact
+    // (driver runs at 32; the env default is 4 — an artifact must say
+    // which it was, or a 4-core run reads as a 2-3x regression).
+    // -1 = non-numeric master spec (e.g. SPARK_GRAFT_CPUS='*')
+    val cpusJson = scala.util.Try(cpus.toInt).getOrElse(-1)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jmap(results)},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpusJson,"queries":${jmap(results)},""" +
         s""""queries_cold":${jmap(resultsCold)},"total_cold":$totalCold,""" +
         s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$ranksBuildJson$gridLadderJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson,"sf":"${jstr(sfDir)}"}"""
 
@@ -611,7 +624,7 @@ object Bench {
     println(json)
     val ladderAvg = queryLadder.map(l => s""","query_avg_ms":${l.rowAvg}""").getOrElse("")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"cpus":$cpusJson,""" +
         s""""errors":$errors$ladderAvg,"sf":"${jstr(sfDir)}","detail":"${jstr(outPath)}"}""")
   }
 }

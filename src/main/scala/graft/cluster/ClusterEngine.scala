@@ -16,10 +16,12 @@ import graft.ids.ClusterId
   * the driver, do the work, and results are partition-count-invariant by
   * construction. Fine to ~10M points per build — MEASURED, not asserted:
   * 10M uniform points build in 245.9 s with a 48 GB driver/executor heap
-  * (the default 8 GB OOMs; `bench_exact10m.json`, r9), vs 158 s for the
-  * shuffle-parallel grid build at 4M — so the crossover to
-  * [[ClusterEngine.loadDistributed]] (Morton/grid, near-linear, any heap)
-  * sits well below 10M for throughput and AT 10M for feasibility. The
+  * (the default 8 GB OOMs; `bench_exact10m.json`, r9), vs ~9-10 s for the
+  * shuffle-parallel [[ClusterEngine.loadDistributed]] build at the SAME
+  * 10M on the default heap (`bench_grid10m.json`, 32 cores, r9) — a ~26×
+  * gap, so the crossover to the distributed build (Morton/grid,
+  * near-linear, any heap) sits well below 10M for throughput and AT 10M
+  * for feasibility. The
   * scalable grid-binned variant with different (documented) semantics
   * lives in [[graft.operators.Spatial]] as a declarative groupBy.
   *

@@ -171,7 +171,7 @@ object AnnIvf {
     * prove bit-identical to DuckDB, making the whole IVF build + probe
     * chain cross-engine reproducible. Both share the NaN→-2.0 guard.
     */
-  private def scoreCosine(a: Column, b: Column, exact: Boolean): Column =
+  private[operators] def scoreCosine(a: Column, b: Column, exact: Boolean): Column =
     if (exact) nanvl(VectorFunctions.cosine(a, b), lit(-2.0))
     else approxCosine(a, b)
 

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF+PQ — the composed top rung of the ANN ladder (brute-force → LSH →
+  * IVF lists → PQ codes → IVF lists OF PQ codes), and the structure
+  * billion-scale ANN systems actually deploy: IVF alone prunes the scan
+  * k/nprobe-fold but stores full vectors (memory = n·d floats); PQ alone
+  * compresses n·d floats to n·m codes but ADC-scans EVERY code. Composed,
+  * a query probes `nprobe` coarse lists and ADC-scans only the codes
+  * inside them — both the memory and the compute axis shrink, which is
+  * the only shape that holds at 100 TB.
+  *
+  * Spark shape: the coarse index and the codebooks come verbatim from
+  * [[AnnIvf.buildIndex]] / [[AnnPq.train]]+[[AnnPq.encode]] (one join
+  * stores codes WITH their list assignment — see [[index]]); search is
+  * probe-selection (broadcast of k centroids, same ordering as
+  * [[AnnIvf.search]]), a per-query m×k ADC table computed ONCE (the
+  * [[AnnPq.search]] discipline), candidates restricted by an equi-join on
+  * the probed list ids — never a full-code scan — and the standard exact
+  * re-rank of the bounded `topK·refine` shortlist. Every arithmetic step
+  * reuses a kernel the q47/q63 oracles already prove cross-engine
+  * bit-reproducible, so the whole composition replays in DuckDB.
+  */
+object AnnIvfPq {
+
+  /** Store PQ codes WITH their IVF list assignment — one equi-join, done
+    * once at build time (the deployment layout: a probed list's codes are
+    * co-located with the list id, so search never touches the other
+    * lists). `indexed` is [[AnnIvf.buildIndex]]'s assignment table,
+    * `encoded` is [[AnnPq.encode]]'s code table; both key by `idCol`.
+    */
+  def index(
+      indexed: DataFrame,
+      encoded: DataFrame,
+      idCol: String = "vec_id"): DataFrame =
+    indexed.select(col(idCol), col("_centroid"))
+      .join(encoded.select(col(idCol), col("codes")), Seq(idCol))
+
+  /** Persist the composed index — the coded table ([[index]]'s co-located
+    * (id, list, codes) layout), the coarse centroids, and the PQ codebooks
+    * — as plain parquet, reloadable by [[loadIndex]] with [[search]]
+    * working unchanged. The composition makes persistence MORE valuable
+    * than for either parent: the build pays the IVF Lloyd pass AND the PQ
+    * training AND the co-locating join, while the saved artifact is the
+    * n·m code table plus broadcast-sized metadata — the cheapest-to-store,
+    * most-expensive-to-rebuild structure in the ANN ladder. Ints and
+    * doubles roundtrip bit-exactly, so a reloaded index searches
+    * identically (AnnIvfPqSpec proves it).
+    */
+  def saveIndex(
+      coded: DataFrame,
+      centroids: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      path: String,
+      idCol: String = "vec_id"): Unit = {
+    coded.select(col(idCol), col("_centroid"), col("codes"))
+      .write.mode("overwrite").parquet(s"$path/coded")
+    centroids.select(col("_c"), col("_cv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    AnnPq.saveCodebooks(coded.sparkSession, codebooks, s"$path/codebooks")
+  }
+
+  /** Reload an index persisted by [[saveIndex]]:
+    * (coded, centroids, codebooks), directly usable by [[search]].
+    */
+  def loadIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame, Array[Array[Array[Double]]]) =
+    (spark.read.parquet(s"$path/coded"),
+      spark.read.parquet(s"$path/centroids"),
+      AnnPq.loadCodebooks(spark, s"$path/codebooks"))
+
+  /** Top-`topK` neighbours per query: probe the `nprobe` nearest coarse
+    * lists, ADC-score ONLY the PQ codes inside them (m table lookups per
+    * candidate), exact-rescore the `topK·refine` shortlist against the
+    * original vectors. Returns (query_id, neighbor_id, dist, rk) — squared
+    * L2 like [[AnnPq.search]], whose ADC/rescore arithmetic this reuses.
+    *
+    * @param coded       [[index]]'s (idCol, _centroid, codes) table
+    * @param emb         original vectors for the exact re-rank
+    * @param exactScores probe selection with the decimal-exact cosine
+    *                    (the q100 oracle mode); production callers keep
+    *                    the fast double kernel
+    */
+  def search(
+      queries: DataFrame,
+      coded: DataFrame,
+      centroids: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nprobe: Int = 4,
+      topK: Int = 3,
+      refine: Int = 100,
+      exactScores: Boolean = false): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+    // probe selection — identical ordering to AnnIvf.search (desc cosine,
+    // then centroid id), k centroids broadcast as a tiny build side
+    val pw = Window.partitionBy(col("query_id")).orderBy(desc("_sim"), col("_c"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .join(broadcast(centroids))
+      .withColumn("_sim", AnnIvf.scoreCosine(col("_qv"), col("_cv"), exactScores))
+      .withColumn("_rk", row_number().over(pw))
+      .where(col("_rk") <= nprobe)
+      .select(col("query_id"), col("_c").as("_centroid"))
+
+    // per-query ADC table, computed ONCE per query (not per probe row /
+    // candidate): table(j)(c) = ||q_j - cb(j)(c)||²
+    val qv = col(vecCol).cast("array<double>")
+    val table = transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(element_at(cbLit, j + 1), c =>
+        AnnPq.sqDist(AnnPq.subvec(qv, j, dsub), c)))
+    val qtab = queries.select(col(idCol).as("query_id"), table.as("_tab"))
+
+    // candidates = codes in the probed lists ONLY (equi-join on the list
+    // id — the composition point: AnnPq.search scans every code, this
+    // scans nprobe/k of them); ADC total folds the m lookups in j order,
+    // bit-identical to the oracle's ORDER BY _j list fold
+    val cand = coded
+      .select(col(idCol).as("neighbor_id"), col("_centroid"), col("codes"))
+      .join(broadcast(probes), Seq("_centroid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(qtab), Seq("query_id"))
+      .withColumn("approx_dist",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(element_at(col("_tab"), j + 1),
+            element_at(col("codes"), j + 1) + 1)))
+
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("neighbor_id"))
+    val shortlist = cand
+      .select(col("query_id"), col("neighbor_id"), col("approx_dist"))
+      .withColumn("_ark", row_number().over(wa))
+      .where(col("_ark") <= topK * refine)
+
+    // exact re-rank of the bounded shortlist (plain-double left-fold L2 —
+    // the q63-proven cross-engine kernel)
+    val qSide = queries.select(col(idCol).as("query_id"), qv.as("_qv"))
+    val nSide = emb.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_nv"))
+    val we = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    shortlist
+      .join(broadcast(qSide), Seq("query_id"))
+      .join(nSide, Seq("neighbor_id"))
+      .withColumn("dist", AnnPq.sqDist(col("_qv"), col("_nv")))
+      .select(col("query_id"), col("neighbor_id"), col("dist"))
+      .withColumn("rk", row_number().over(we).cast("long"))
+      .where(col("rk") <= topK)
+  }
+}

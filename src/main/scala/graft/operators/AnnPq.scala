@@ -24,10 +24,10 @@ import org.apache.spark.sql.functions._
 object AnnPq {
 
   /** Split `vec` into m subvectors of length dsub (1-based slice). */
-  private def subvec(vec: Column, j: Column, dsub: Int): Column =
+  private[operators] def subvec(vec: Column, j: Column, dsub: Int): Column =
     slice(vec, j * dsub + 1, lit(dsub))
 
-  private def sqDist(a: Column, b: Column): Column =
+  private[operators] def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 

@@ -18,7 +18,7 @@ object Similarity {
 
   def all: Seq[GraftQuery] = Seq(
     knnBruteForce, embeddingNearDup, annLsh, annIvf, embeddingQuantize, annPq,
-    semDedup, embeddingOutliers, hardNegatives, annIndexRoundtrip)
+    semDedup, embeddingOutliers, hardNegatives, annIndexRoundtrip, annIvfPq)
 
   /** Embedding-space outlier pruning: distance of every vector to its
     * label centroid, flagging the top ceil(5%) per label — the
@@ -308,6 +308,45 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** IVF+PQ composed search ([[AnnIvfPq]]) — probe the nprobe nearest
+    * coarse lists, ADC-scan only the PQ codes INSIDE them, exact-rescore
+    * the bounded shortlist. Reuses q47's memoized IVF build AND q63's
+    * memoized PQ train+encode verbatim (one equi-join stores codes with
+    * their list assignment, memoized per session like both parents), so
+    * the oracle below replays the two already-proven chains and composes
+    * them with three new deterministic steps (probe restriction, list-
+    * scoped ADC, the same shortlist re-rank). nprobe=6 matches q47's
+    * oracle; refine=10/topK=3 match q63's.
+    */
+  val annIvfPq: GraftQuery = GraftQuery.sql(
+    "q100_ann_ivfpq", annIvfPqOracleSql) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val (_, centroids) = ivfExactIndex(spark, dir)
+    val (cb, _) = pqExactIndex(spark, dir)
+    AnnIvfPq.search(
+      emb.where(col("vec_id") < 20), ivfPqCodedIndex(spark, dir), centroids,
+      cb, emb, nprobe = 6, topK = 3, refine = 10, exactScores = true)
+      .orderBy("query_id", "rk")
+  }
+
+  /** q100's coded table — PQ codes joined onto their IVF list assignment
+    * ([[AnnIvfPq.index]]), derived from the two memoized parent builds and
+    * itself memoized+persisted per (session, dir): the join is paid once,
+    * every search (and bench rep) after reads the co-located layout.
+    */
+  private val ivfPqCodedCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  private def ivfPqCodedIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    synchronized {
+      ivfPqCodedCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      ivfPqCodedCache.getOrElseUpdate((spark, dir), {
+        val (indexed, _) = ivfExactIndex(spark, dir)
+        val (_, encoded) = pqExactIndex(spark, dir)
+        AnnIvfPq.index(indexed, encoded).persist()
+      })
+    }
+
   /** Force (and persist) the shared exact-mode IVF build — the index
     * q47/q76/q98 all serve from. Bench calls this BEFORE the query loop
     * and times it as its own `ivf_exact_build` key, so the suite numbers
@@ -433,6 +472,104 @@ object Similarity {
        |  FROM cand
        |)
        |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** DuckDB replay of the q100 IVF+PQ composition: [[ivfChainSql]] (the
+    * q47-proven coarse chain, ending with `asg2`/`c2n`/`e`) + the q63 PQ
+    * chain with disjoint CTE names (pp, qa1..qv2 — the original uses
+    * p/a1/a2 which collide with the IVF chain's) + three composition
+    * steps: probe selection (q47's `pr` verbatim), candidate restriction
+    * to the probed lists (`candp` — the equi-join the Spark side does),
+    * and q63's list-scoped ADC → shortlist(30) → exact re-rank.
+    */
+  private def annIvfPqOracleSql: String = {
+    def sq(a: String, b: String): String =
+      s"""list_aggregate(list_transform(range(1, len($a) + 1),
+         |    i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |       * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+         |  'sum')""".stripMargin
+    def lloydPq(prev: String, a: String, g: String, u: String, v: String, next: String): String =
+      s"""$a AS (
+         |  SELECT s.id, s._j, s.sv, c._c,
+         |    ROW_NUMBER() OVER (PARTITION BY s.id, s._j
+         |      ORDER BY ${sq("s.sv", "c.cv")}, c._c) AS rk
+         |  FROM sub s JOIN $prev c ON c._j = s._j
+         |), $g AS (SELECT id, _j, sv, _c FROM $a WHERE rk = 1),
+         |$u AS (
+         |  SELECT _j, _c, i,
+         |    CAST(SUM(CAST(sv[i] AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS mv
+         |  FROM $g, pp, UNNEST(range(1, pp.dsub + 1)) AS t(i)
+         |  GROUP BY _j, _c, i
+         |), $v AS (SELECT _j, _c, list(mv ORDER BY i) AS cv FROM $u GROUP BY _j, _c),
+         |$next AS (
+         |  SELECT c._j, c._c, COALESCE(w.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN $v w ON w._j = c._j AND w._c = c._c
+         |)""".stripMargin
+    s"""$ivfChainSql,
+       |pp AS (SELECT len(embedding) // 8 AS dsub FROM embeddings LIMIT 1),
+       |sub AS (
+       |  SELECT s0.vec_id AS id, CAST(j._j AS INT) AS _j,
+       |    list_transform(range(1, pp.dsub + 1),
+       |      i -> CAST(s0.embedding[CAST(j._j AS INT) * pp.dsub + i] AS DOUBLE)) AS sv
+       |  FROM embeddings s0, pp, UNNEST(range(0, 8)) AS j(_j)
+       |),
+       |sid AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16),
+       |cb0 AS (
+       |  SELECT _j, CAST(ROW_NUMBER() OVER (PARTITION BY _j ORDER BY id) - 1 AS INT) AS _c,
+       |    sv AS cv
+       |  FROM sub WHERE id IN (SELECT vec_id FROM sid)
+       |),
+       |${lloydPq("cb0", "qa1", "qg1", "qu1", "qv1", "cb1")},
+       |${lloydPq("cb1", "qa2", "qg2", "qu2", "qv2", "cb2")},
+       |encr AS (
+       |  SELECT s.id, s._j, c._c,
+       |    ROW_NUMBER() OVER (PARTITION BY s.id, s._j
+       |      ORDER BY ${sq("s.sv", "c.cv")}, c._c) AS rk
+       |  FROM sub s JOIN cb2 c ON c._j = s._j
+       |), enc AS (SELECT id, _j, _c AS code FROM encr WHERE rk = 1),
+       |pr AS (
+       |  SELECT e.vec_id AS query_id, s._c,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${cosGuardedSql("e.embedding", "s.cv", "e.nsq", "s.cnsq")} DESC, s._c) AS prk
+       |  FROM e CROSS JOIN c2n s WHERE e.vec_id < 20
+       |),
+       |probed AS (SELECT query_id, _c FROM pr WHERE prk <= 6),
+       |candp AS (
+       |  SELECT pb.query_id, a.vec_id AS neighbor_id
+       |  FROM probed pb JOIN asg2 a ON a._c = pb._c
+       |  WHERE pb.query_id <> a.vec_id
+       |),
+       |adc AS (
+       |  SELECT cp.query_id, cp.neighbor_id,
+       |    list_aggregate(list(${sq("q.sv", "c.cv")} ORDER BY q._j), 'sum') AS approx_dist
+       |  FROM candp cp
+       |  JOIN sub q ON q.id = cp.query_id
+       |  JOIN enc n ON n.id = cp.neighbor_id AND n._j = q._j
+       |  JOIN cb2 c ON c._j = n._j AND c._c = n.code
+       |  GROUP BY cp.query_id, cp.neighbor_id
+       |),
+       |sl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY approx_dist, neighbor_id) AS ark
+       |    FROM adc) WHERE ark <= 30
+       |),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${sq("qe.embedding", "ne.embedding")} AS dist
+       |  FROM sl s
+       |  JOIN embeddings qe ON qe.vec_id = s.query_id
+       |  JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY dist, neighbor_id) AS BIGINT) AS rk
+       |  FROM rr
+       |)
+       |SELECT query_id, neighbor_id, dist, rk FROM ranked WHERE rk <= 3
        |ORDER BY query_id, rk""".stripMargin
   }
 

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators.{AnnIvf, AnnIvfPq, AnnPq}
+
+/** IVF+PQ composition: at nprobe = k (every list probed) the composed
+  * search must DEGENERATE to the plain PQ full-code scan — same ADC
+  * table, same candidates, same shortlist, same exact re-rank — and at
+  * real probe counts the fast production kernel must keep recall vs
+  * exact brute force above a locked floor while scanning only the
+  * probed lists.
+  */
+class AnnIvfPqSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+  private lazy val built = {
+    val (indexed, centroids) = AnnIvf.buildIndex(emb)
+    val cb = AnnPq.train(emb, exactMeans = false)
+    val coded = AnnIvfPq.index(indexed, AnnPq.encode(emb, cb)).cache()
+    (coded, centroids, cb)
+  }
+
+  test("nprobe = k degenerates to the full PQ scan, result-identical") {
+    val (coded, centroids, cb) = built
+    val queries = emb.where(col("vec_id") < 30)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("dist"), col("rk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val composed = rows(AnnIvfPq.search(
+      queries, coded, centroids, cb, emb, nprobe = 16, topK = 3, refine = 10))
+    val full = rows(AnnPq.search(queries, coded.select("vec_id", "codes"), cb, emb,
+      topK = 3, refine = 10))
+    assert(composed == full,
+      s"nprobe=k must equal the full PQ scan (${composed.size} vs ${full.size} rows)")
+  }
+
+  test("save → load → search is identical to the in-session index") {
+    val (coded, centroids, cb) = built
+    val queries = emb.where(col("vec_id") < 30)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_roundtrip_spec"
+    AnnIvfPq.saveIndex(coded, centroids, cb, path)
+    val (coded2, centroids2, cb2) = AnnIvfPq.loadIndex(spark, path)
+    assert(cb2.length == cb.length &&
+      cb2.zip(cb).forall { case (a, b) =>
+        a.zip(b).forall { case (x, y) => x.sameElements(y) } },
+      "codebooks must roundtrip bit-exactly")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("dist"), col("rk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val inSession = rows(AnnIvfPq.search(
+      queries, coded, centroids, cb, emb, nprobe = 6, topK = 3, refine = 10))
+    val reloaded = rows(AnnIvfPq.search(
+      queries, coded2, centroids2, cb2, emb, nprobe = 6, topK = 3, refine = 10))
+    assert(inSession == reloaded, "reloaded index must search identically")
+  }
+
+  test("every candidate honors the probe restriction (recall floor at nprobe=6)") {
+    val (coded, centroids, cb) = built
+    val queries = emb.where(col("vec_id") < 50)
+    val got = AnnIvfPq.search(queries, coded, centroids, cb, emb,
+      nprobe = 6, topK = 3, refine = 100)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    val exact = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qv").cast("array<double>"), col("nv").cast("array<double>"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v).as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val recall = (got intersect exact).size.toDouble / exact.size
+    info(f"recall@3 = $recall%.3f (got=${got.size}, exact=${exact.size})")
+    // IVF probe restriction caps recall by construction on the
+    // near-uniform fixture (the q47 curve: nprobe 6/16 ≈ 0.7); the
+    // composition must not degrade below the IVF envelope
+    assert(recall >= 0.5, f"recall too low: $recall%.3f")
+
+    // structural: a returned neighbor must live in one of its query's
+    // probed lists — the whole point of the composition
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
+      .join(broadcast(centroids))
+      .withColumn("_sim", nanvl(VectorFunctions.cosineApprox(col("_qv"), col("_cv"),
+        VectorFunctions.dotApprox(col("_qv"), col("_qv")),
+        VectorFunctions.dotApprox(col("_cv"), col("_cv"))), lit(-2.0)))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("_sim"), col("_c"))))
+      .where(col("_rk") <= 6)
+      .select(col("query_id"), col("_c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val assignment = coded.select(col("vec_id"), col("_centroid").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    got.foreach { case (qid, nid) =>
+      assert(probes.contains((qid, assignment(nid))),
+        s"neighbor $nid of query $qid came from an unprobed list")
+    }
+  }
+}

@@ -182,6 +182,17 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("q100 IVF+PQ: candidates surface through the probed-list equi-join, never all-codes") {
+    val p = executedPlan("q100_ann_ivfpq").split("== Initial Plan ==").head
+    // the k=16-row centroid broadcast is the one sanctioned nested-loop
+    // (the q47 probe pattern); the CODE scan must restrict by an equi-join
+    // on the probed list id — a cartesian against the code table would be
+    // the full-PQ-scan shape the composition exists to avoid
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "probed-list restriction must plan as a broadcast equi-join")
+  }
+
   test("q95 sparse cosine: pairs come from the term equi-join, never all-pairs") {
     val p = executedPlan("q95_sparse_cosine_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
