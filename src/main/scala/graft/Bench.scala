@@ -396,7 +396,7 @@ object Bench {
     // search cost, with recall@3 against the exact brute-force top-3
     // recorded alongside (a fast-but-wrong kernel must not read as a win).
     // The *_fast total keys are kept for cross-round continuity.
-    import graft.operators.{AnnIvf, AnnPq}
+    import graft.operators.{AnnIvf, AnnIvfPq, AnnPq}
     def timedSec[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
       val r = f
@@ -520,7 +520,36 @@ object Bench {
         enc.unpersist()
         ivf ++ pq
       } catch { case NonFatal(_) => Seq(("ann_sweep", 0.0, false)) }
-    val annFast: Seq[(String, Double, Boolean)] = annIvfFast ++ annPqFast ++ annSweep
+    // the composed IVF+PQ rung (q100's production kernel): coarse build +
+    // PQ training amortize as above; the extra one-time cost is the
+    // co-locating join, and search scans only the probed lists' codes —
+    // the published number pairs its latency WITH its recall, like the
+    // parents' keys, so the composition's recall tax is visible next to
+    // its probe-restricted scan win.
+    val annIvfPqFast: Seq[(String, Double, Boolean)] =
+      if (!sectionOn("ann_ivfpq_fast", "ann_fast")) Seq.empty
+      else try {
+        val emb = Tables.embeddings(spark, sfDir)
+        val (indexed, centroids) = AnnIvf.buildIndex(emb)
+        val cb = AnnPq.train(emb, m = 8, k = 16, iters = 2, exactMeans = false)
+        val (coded, tIndex) = timedSec {
+          val c = AnnIvfPq.index(indexed, AnnPq.encode(emb, cb)).persist()
+          c.count(); c
+        }
+        val (res, tSearch) = timedSec {
+          AnnIvfPq.search(emb.where(col("vec_id") < 20), coded, centroids, cb,
+            emb, nprobe = 6, topK = 3)
+            .select("query_id", "neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        }
+        val recall = recallVs(exactTop3(emb, byCosine = false), res)
+        coded.unpersist()
+        Seq(("ann_ivfpq_index", tIndex, true),
+          ("ann_ivfpq_search", tSearch, true),
+          ("ann_ivfpq_recall_at3", recall, true))
+      } catch { case NonFatal(_) => Seq(("ann_ivfpq_fast", 0.0, false)) }
+    val annFast: Seq[(String, Double, Boolean)] =
+      annIvfFast ++ annPqFast ++ annSweep ++ annIvfPqFast
 
     // memory: per-stage JVM heap deltas mirroring the reference's
     // measurement discipline (benchmarks/run.ts:185-226 — gc, snapshot,
