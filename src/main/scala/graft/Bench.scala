@@ -375,7 +375,18 @@ object Bench {
         (if (only.exists(_.exists(o => "grid_build_10m".contains(o)))) Seq(10000000) else Seq.empty)
     val gridBuildLadder: Seq[(String, Double, Boolean)] =
       if (!sectionOn("grid_build_ladder")) Seq.empty
-      else gridLadderSizes.map { nPts =>
+      else {
+        // untimed warm-up build (50k pts): the Morton fold's codegen +
+        // mapPartitions JIT otherwise lands entirely on the 250k rung,
+        // which has read ABOVE the 1M rung in committed artifacts — the
+        // ladder should measure the build, not first-call compilation
+        // (same discipline as the suite's session warm-up).
+        try {
+          ClusterEngine.loadDistributed(
+            graft.io.SyntheticPoints.uniform(spark, 50000),
+            ClusterOptions(radius = 75), idCol = "row_id").unpersist(): Unit
+        } catch { case NonFatal(_) => () }
+        gridLadderSizes.map { nPts =>
         val key = s"grid_build_${if (nPts >= 1000000) s"${nPts / 1000000}m" else s"${nPts / 1000}k"}"
         val t0 = System.nanoTime()
         val ok = try {
@@ -386,6 +397,7 @@ object Bench {
           true
         } catch { case NonFatal(_) => false }
         (key, (System.nanoTime() - t0) / 1e9, ok)
+      }
       }
 
     // production-mode ANN kernels: q47/q63's oracle rows deliberately run
