@@ -14,7 +14,7 @@ object SparkEntry {
       operators.TextOps.all ++ operators.Similarity.all ++
       operators.Streaming.all ++ operators.MultimodalOps.all ++
       operators.PipelineOps.all ++ operators.Privacy.all ++ operators.Skew.all ++
-      operators.Profiling.all
+      operators.Profiling.all ++ operators.RangeJoin.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -86,7 +86,7 @@ object Spatial {
       ((col("event_id") % 36000) / 100.0 - 180.0).as("lng"),
       (((col("user_id") * 9973 + col("event_id")) % 17000) / 100.0 - 85.0).as("lat"))
 
-  private val pointsSql =
+  private[graft] val pointsSql =
     """SELECT event_id,
       |  (event_id % 36000) / 100.0 - 180.0 AS lng,
       |  ((user_id * 9973 + event_id) % 17000) / 100.0 - 85.0 AS lat
