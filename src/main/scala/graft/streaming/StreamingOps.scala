@@ -187,6 +187,41 @@ object StreamingOps {
     df.withWatermark(timeCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join — the streaming twin of
+    * `RangeJoin.intervalJoin` (q101): every point event paired with every
+    * window row whose half-open `[start, start + windowDurSeconds)`
+    * contains its event time, via Spark's NATIVE stream-stream join.
+    *
+    * The batch operator's bin construction is not an optimization here —
+    * it is what makes the query LEGAL: Spark rejects stream-stream joins
+    * without an equality predicate (there is no way to hash-partition
+    * matching rows together otherwise), and the bin id over event-time
+    * micros (bin width = the window span, so a window covers ≤ 2 bins)
+    * is that equi-key. The event-time RANGE residual on the two
+    * watermarked columns is equally load-bearing: it is what the engine
+    * uses to derive each side's state watermark, bounding buffered rows
+    * to watermark + span and evicting behind it — the unbounded-runtime
+    * requirement. Both inputs must carry `withWatermark` upstream.
+    */
+  def intervalJoinStream(
+      points: DataFrame,
+      windows: DataFrame,
+      pointTime: String,
+      windowStart: String,
+      windowDurSeconds: Long): DataFrame = {
+    require(windowDurSeconds > 0, s"window span must be positive, got $windowDurSeconds")
+    val binUs = windowDurSeconds * 1000000L
+    val p = points.withColumn("_rj_bin",
+      expr(s"unix_micros(`$pointTime`) div ${binUs}L"))
+    val w = windows.withColumn("_rj_bin", explode(sequence(
+      expr(s"unix_micros(`$windowStart`) div ${binUs}L"),
+      expr(s"(unix_micros(`$windowStart`) + ${binUs - 1}L) div ${binUs}L"))))
+    p.join(w, Seq("_rj_bin"))
+      .where(col(pointTime) >= col(windowStart) &&
+        col(pointTime) < col(windowStart) + expr(s"INTERVAL $windowDurSeconds SECONDS"))
+      .drop("_rj_bin")
+  }
+
   /** Streaming NEAR-dup detection — the stateful shape of the q35 LSH
     * pipeline: each incoming document's MinHash band signatures (the fused
     * `ShingleBandMins` kernel, identical to the batch path) are checked

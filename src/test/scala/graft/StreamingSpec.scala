@@ -3,6 +3,7 @@ package graft
 import java.time.Instant
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -106,6 +107,43 @@ class StreamingSpec extends AnyFunSuite {
     val batch = agg(Tables.events(spark, dir)).collect().toSeq
     assert(streamed == batch)
     assert(streamed.head.getLong(0) > 0)
+  }
+
+  test("stream-stream interval join equals the batch binned interval join") {
+    implicit val sqlCtx = spark.sqlContext
+
+    // windows: 10 minutes after each user-1 event; points: every event
+    val pointsIn = MemoryStream[Event]
+    val windowsIn = MemoryStream[Event]
+    val points = pointsIn.toDS().toDF()
+      .withWatermark("ts_t", "0 seconds")
+      .select(col("event_id").as("p_id"), col("ts_t").as("p_ts"))
+    val windows = windowsIn.toDS().toDF()
+      .withWatermark("ts_t", "0 seconds")
+      .select(col("event_id").as("window_id"), col("ts_t").as("w_start"))
+    val q = StreamingOps.intervalJoinStream(points, windows, "p_ts", "w_start", 600L)
+      .writeStream.format("memory").queryName("ivjoin_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      pointsIn.addData(fixture)
+      windowsIn.addData(fixture.filter(_.user_id == 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ivjoin_out")
+      .select("p_id", "window_id").as[(Long, Long)].collect().toSet
+
+    // batch twin through the binned operator on the same rows (micros)
+    val us: Instant => Long = t => t.getEpochSecond * 1000000L + t.getNano / 1000L
+    val pB = fixture.map(e => (e.event_id, us(e.ts_t))).toDF("p_id", "t")
+    val wB = fixture.filter(_.user_id == 1)
+      .map(e => (e.event_id, us(e.ts_t), us(e.ts_t) + 600000000L))
+      .toDF("window_id", "s", "e")
+    val batch = graft.operators.RangeJoin.intervalJoin(pB, wB, "t", "s", "e", 600000000L)
+      .select("p_id", "window_id").as[(Long, Long)].collect().toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
   }
 
   test("windowed streaming aggregation equals batch aggregation") {
