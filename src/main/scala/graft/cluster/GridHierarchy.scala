@@ -74,31 +74,12 @@ object GridHierarchy {
         s"maxZoom=${opts.maxZoom} radius=${opts.radius} extent=${opts.extent} " +
         s"needs $maxCellsPerAxis — lower maxZoom (<= 23 at defaults) or use ClusterEngine")
     val spark = points.sparkSession
-    val lat = col(latCol)
-    // wrap lng into [-180, 180) — exact identity for in-range values (the
-    // subtracted term folds to 0.0), keeps mx in [0, 1) so cell indices are
-    // never negative (a negative cellX would break the leaf/cluster ID split)
-    val lng = {
-      val d = col(lngCol).cast("double")
-      d - lit(360.0) * floor((d + lit(180.0)) / lit(360.0))
-    }
-
     val totalPoints = points.count()
 
     // base level: one record per clean point, f32-quantized mercator coords.
     // Materialized once: the collision probe below, the identity-pass
     // emissions, and the first fusing pass all re-read it.
-    var prev = points
-      .where(lng.isNotNull && lat.isNotNull && !isnan(lng) && !isnan(lat))
-      .select(
-        col(idCol).cast("long").as("id"),
-        Mercator.froundCol(Mercator.lngXCol(lng)).as("mx"),
-        Mercator.froundCol(Mercator.latYCol(lat.cast("double"))).as("my"),
-        lng.as("lng"),
-        lat.cast("double").as("lat"))
-      .withColumn("point_count", lit(1L))
-      .withColumn("is_cluster", lit(false))
-      .localCheckpoint()
+    var prev = baseRecords(points, lngCol, latCol, idCol).localCheckpoint()
 
     // ── identity-pass skip: z* = the deepest pass at which ANY two clean
     // points share a grid cell. Cell grids nest dyadically across passes
@@ -170,13 +151,6 @@ object GridHierarchy {
       z -= 1
     }
     while (z >= opts.minZoom) {
-      val r = opts.radius / (opts.extent * math.pow(2.0, z.toDouble))
-      val cellX = floor(col("mx") / r).cast("long")
-      val cellY = floor(col("my") / r).cast("long")
-      // cell-derived cluster id, disjoint from leaf ids (< totalPoints)
-      val cellId = (shiftleft(shiftleft(cellX, 27).bitwiseOR(cellY.bitwiseAND(lit((1L << 27) - 1))), 5)
-        .bitwiseOR(lit((z + 1).toLong))) + totalPoints
-
       // ONE shuffle+sort per pass: per-cell aggregates as window functions
       // over the cell key, so the SAME exchange yields (a) the parent/rank
       // stamps every member row needs for the emitted level and (b) the
@@ -186,52 +160,23 @@ object GridHierarchy {
       // after its checkpoint was already paid). Measured at sf0.1 (focused
       // q44, local[32]): 12.6 s two-shuffle → see BENCH.md round-6 note.
       // Fusion gate: >= 2 members AND >= minPoints summed mass (see above).
-      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("_cell_id"))
-      val wOrd = wc.orderBy(col("id"))
-      val wide = prev
-        .withColumn("_cell_id", cellId)
-        .withColumn("_n_in_cell", count(lit(1)).over(wc))
-        .withColumn("_sum_cnt", sum(col("point_count")).over(wc))
-        // f32-quantized weighted centroid (reference precision contract,
-        // SURVEY §1.3) — fround also absorbs float-summation-order noise
-        // (window vs hash-agg vs DuckDB fold), keeping the build
-        // oracle-checkable under ANY execution order
-        .withColumn("_sum_wx", sum(col("mx") * col("point_count")).over(wc))
-        .withColumn("_sum_wy", sum(col("my") * col("point_count")).over(wc))
-        .withColumn("_rn", row_number().over(wOrd))
-        // localCheckpoint TRUNCATES the lineage — 17 chained levels would
-        // otherwise grow the logical plan exponentially (SURVEY §7.5 #3).
-        // Cadence was MEASURED at sf0.1 (q44, local[32]): every level
-        // 15.8 s, every 3rd 22 s, every 6th 48 s, never 63 s — the
-        // un-checkpointed chains recompute for every consumer and dwarf the
-        // barrier cost, so EVERY level is checkpointed; the emitted level
-        // below rides the same checkpoint (a pure projection of `wide`), so
-        // the final union replays NO shuffle.
-        .localCheckpoint()
-
-      val isFused = col("_n_in_cell") >= 2 && col("_sum_cnt") >= opts.minPoints
-      levels += wide.select(
-        lit(z + 1).as("zoom"), col("mx"), col("my"), col("id"),
-        when(isFused, col("_cell_id")).otherwise(lit(-1L)).as("parent_id"),
-        col("point_count"), col("is_cluster"), col("lng"), col("lat"),
-        // grid mode has no insertion order; ascending id IS its child
-        // order, so the rank is the id on exactly the stamped rows
-        when(isFused, col("id")).otherwise(lit(-1L)).as("child_rank"))
-
-      // next level: one record per FUSED cell (the cluster, _rn = 1 as the
-      // representative row), and every member unchanged for cells below
-      // the fusion gate (per-member passthrough — with minPoints <= 2 only
-      // singleton cells land here, so _rn = 1 covers them identically)
-      val cmx = Mercator.froundCol(col("_sum_wx") / col("_sum_cnt"))
-      val cmy = Mercator.froundCol(col("_sum_wy") / col("_sum_cnt"))
-      prev = wide.where(col("_rn") === 1 || !isFused).select(
-        when(isFused, col("_cell_id")).otherwise(col("id")).as("id"),
-        when(isFused, cmx).otherwise(col("mx")).as("mx"),
-        when(isFused, cmy).otherwise(col("my")).as("my"),
-        when(isFused, Mercator.xLngCol(cmx)).otherwise(col("lng")).as("lng"),
-        when(isFused, Mercator.yLatCol(cmy)).otherwise(col("lat")).as("lat"),
-        when(isFused, col("_sum_cnt")).otherwise(col("point_count")).as("point_count"),
-        when(isFused, lit(true)).otherwise(col("is_cluster")).as("is_cluster"))
+      //
+      // localCheckpoint TRUNCATES the lineage — 17 chained levels would
+      // otherwise grow the logical plan exponentially (SURVEY §7.5 #3).
+      // Cadence was MEASURED at sf0.1 (q44, local[32]): every level
+      // 15.8 s, every 3rd 22 s, every 6th 48 s, never 63 s — the
+      // un-checkpointed chains recompute for every consumer and dwarf the
+      // barrier cost, so EVERY level is checkpointed; the emitted level
+      // below rides the same checkpoint (a pure projection of `wide`), so
+      // the final union replays NO shuffle.
+      //
+      // The per-pass expressions live in [[passWide]]/[[emitLevel]]/
+      // [[nextRecords]], SHARED with [[IncrementalGrid.merge]] so the
+      // incremental path recomputes affected cells with bit-identical
+      // arithmetic by construction.
+      val wide = passWide(prev, z, opts, totalPoints).localCheckpoint()
+      levels += emitLevel(wide, z, opts)
+      prev = nextRecords(wide, opts)
       z -= 1
     }
     levels += prev.select(
@@ -243,5 +188,105 @@ object GridHierarchy {
       .persist(StorageLevel.MEMORY_AND_DISK)
     all.count()
     all
+  }
+
+  /** Base-level records — one per clean point: null/NaN geometry dropped,
+    * lng wrapped into [-180, 180) (exact identity for in-range values: the
+    * subtracted term folds to 0.0; keeps mx in [0, 1) so cell indices are
+    * never negative — a negative cellX would break the leaf/cluster ID
+    * split), f32-quantized mercator coords. Shared by [[build]] and
+    * [[IncrementalGrid.merge]] so ingested batches load identically.
+    */
+  private[cluster] def baseRecords(
+      points: DataFrame, lngCol: String, latCol: String, idCol: String): DataFrame = {
+    val lat = col(latCol)
+    val lng = {
+      val d = col(lngCol).cast("double")
+      d - lit(360.0) * floor((d + lit(180.0)) / lit(360.0))
+    }
+    points
+      .where(lng.isNotNull && lat.isNotNull && !isnan(lng) && !isnan(lat))
+      .select(
+        col(idCol).cast("long").as("id"),
+        Mercator.froundCol(Mercator.lngXCol(lng)).as("mx"),
+        Mercator.froundCol(Mercator.latYCol(lat.cast("double"))).as("my"),
+        lng.as("lng"),
+        lat.cast("double").as("lat"))
+      .withColumn("point_count", lit(1L))
+      .withColumn("is_cluster", lit(false))
+  }
+
+  /** Cell-derived cluster id for pass `z` over the `mx`/`my` columns —
+    * disjoint from leaf ids (< totalPoints). Shared by [[build]] and
+    * [[IncrementalGrid.merge]] (the id is a pure function of position,
+    * zoom, and the id-space offset — what makes incremental maintenance
+    * possible at all: fusing a cell never renumbers its neighbors).
+    */
+  private[cluster] def cellIdCol(z: Int, opts: ClusterOptions, totalPoints: Long)
+      : org.apache.spark.sql.Column = {
+    val r = opts.radius / (opts.extent * math.pow(2.0, z.toDouble))
+    val cellX = floor(col("mx") / r).cast("long")
+    val cellY = floor(col("my") / r).cast("long")
+    (shiftleft(shiftleft(cellX, 27).bitwiseOR(cellY.bitwiseAND(lit((1L << 27) - 1))), 5)
+      .bitwiseOR(lit((z + 1).toLong))) + totalPoints
+  }
+
+  private[cluster] def isFusedCol(opts: ClusterOptions): org.apache.spark.sql.Column =
+    col("_n_in_cell") >= 2 && col("_sum_cnt") >= opts.minPoints
+
+  /** Pass-z per-cell window aggregates over level-(z+1) records:
+    * `_cell_id`, member/mass counts, weighted-position sums, and the
+    * per-cell row_number (ascending id) — everything one pass needs to
+    * both stamp the emitted level and form the next level's records.
+    * f32-quantized weighted centroids downstream (reference precision
+    * contract, SURVEY §1.3) — fround also absorbs float-summation-order
+    * noise (window vs hash-agg vs DuckDB fold), keeping the build
+    * oracle-checkable under ANY execution order.
+    */
+  private[cluster] def passWide(
+      recs: DataFrame, z: Int, opts: ClusterOptions, totalPoints: Long): DataFrame = {
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("_cell_id"))
+    val wOrd = wc.orderBy(col("id"))
+    recs
+      .withColumn("_cell_id", cellIdCol(z, opts, totalPoints))
+      .withColumn("_n_in_cell", count(lit(1)).over(wc))
+      .withColumn("_sum_cnt", sum(col("point_count")).over(wc))
+      .withColumn("_sum_wx", sum(col("mx") * col("point_count")).over(wc))
+      .withColumn("_sum_wy", sum(col("my") * col("point_count")).over(wc))
+      .withColumn("_rn", row_number().over(wOrd))
+  }
+
+  /** The emitted level rows of pass z (zoom label z+1): every member row
+    * with its parent/rank stamps. Grid mode has no insertion order;
+    * ascending id IS the child order, so the rank is the id on exactly
+    * the stamped rows.
+    */
+  private[cluster] def emitLevel(wide: DataFrame, z: Int, opts: ClusterOptions): DataFrame = {
+    val isFused = isFusedCol(opts)
+    wide.select(
+      lit(z + 1).as("zoom"), col("mx"), col("my"), col("id"),
+      when(isFused, col("_cell_id")).otherwise(lit(-1L)).as("parent_id"),
+      col("point_count"), col("is_cluster"), col("lng"), col("lat"),
+      when(isFused, col("id")).otherwise(lit(-1L)).as("child_rank"))
+  }
+
+  /** The next level's records from pass z: one record per FUSED cell (the
+    * cluster, `_rn = 1` as the representative row), and every member
+    * unchanged for cells below the fusion gate (per-member passthrough —
+    * with minPoints <= 2 only singleton cells land here, so `_rn = 1`
+    * covers them identically).
+    */
+  private[cluster] def nextRecords(wide: DataFrame, opts: ClusterOptions): DataFrame = {
+    val isFused = isFusedCol(opts)
+    val cmx = Mercator.froundCol(col("_sum_wx") / col("_sum_cnt"))
+    val cmy = Mercator.froundCol(col("_sum_wy") / col("_sum_cnt"))
+    wide.where(col("_rn") === 1 || !isFused).select(
+      when(isFused, col("_cell_id")).otherwise(col("id")).as("id"),
+      when(isFused, cmx).otherwise(col("mx")).as("mx"),
+      when(isFused, cmy).otherwise(col("my")).as("my"),
+      when(isFused, Mercator.xLngCol(cmx)).otherwise(col("lng")).as("lng"),
+      when(isFused, Mercator.yLatCol(cmy)).otherwise(col("lat")).as("lat"),
+      when(isFused, col("_sum_cnt")).otherwise(col("point_count")).as("point_count"),
+      when(isFused, lit(true)).otherwise(col("is_cluster")).as("is_cluster"))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.{GraftQuery, Tables}
-import graft.cluster.{ClusterEngine, ClusterIndex, ClusterOptions}
+import graft.cluster.{ClusterEngine, ClusterIndex, ClusterOptions, IncrementalGrid, MortonHierarchy}
 import graft.geo.Mercator
 import graft.style.Style
 
@@ -29,7 +29,7 @@ object Spatial {
     clusterChildren, clusterLeaves, hierarchyNavigation, materializedLeaves,
     geoParquetRoundtrip, gridHierarchyProfile, gridMinPointsProfile,
     distChildren, distLeaves, distNavigation, distMaterialize,
-    arrowIpcRoundtrip, zorderProfile, indexRoundtrip)
+    arrowIpcRoundtrip, zorderProfile, indexRoundtrip, incrementalMergeProfile)
 
   /** The hierarchy is built once per (data dir, session, options) and shared
     * by every query on it (the reference's engine-rebuild gating, C1 — build
@@ -688,6 +688,31 @@ object Spatial {
     val idx = mpIndexCache.get(spark, dir, opts)(
       ClusterEngine.loadDistributed(pointsDf(spark, dir), opts, idCol = "event_id"))
     profileAgg(idx.levels.toDF())
+  }
+
+  /** Incremental index maintenance on the scale path: build on the first
+    * 90% of the points, fold the remaining 10% in through
+    * [[IncrementalGrid.merge]] (the streaming-ingest shape — only the
+    * ingested points' ancestor cells recompute), and profile the merged
+    * hierarchy. The oracle is the SAME full 17-level DuckDB fold over all
+    * points that q44 replays: merge must be indistinguishable from a
+    * fresh build of the union, so the incremental path earns the batch
+    * path's oracle verbatim.
+    */
+  private val mergedIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  val incrementalMergeProfile: GraftQuery = GraftQuery.sql(
+    "q103_incremental_merge", gridProfileSql) { (spark, dir) =>
+    val merged = mergedIndexCache.computeIfAbsent((spark, dir), { _ =>
+      val pts = pointsDf(spark, dir)
+      val cut = (pts.count() * 9L) / 10L
+      val base = MortonHierarchy.build(
+        pts.where(col("event_id") < cut), ClusterOptions(), "lng", "lat", "event_id")
+      IncrementalGrid.merge(
+        base, pts.where(col("event_id") >= cut), cut, ClusterOptions(),
+        "lng", "lat", "event_id")
+    })
+    profileAgg(merged)
   }
 
   /** Q7: leaves of the largest z3 cluster joined back to the source rows
