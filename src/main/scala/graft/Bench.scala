@@ -400,6 +400,56 @@ object Bench {
       }
       }
 
+    // incremental index maintenance (q103's scale claim, measured): fold a
+    // 10k ingest batch into a 1M-point index vs rebuilding the 1.01M union
+    // from scratch. Both slices come from ONE generator stream so the
+    // comparison is apples-to-apples; the merged index is exercised (count)
+    // and dropped. The interesting ratio is incr_merge_10k vs
+    // incr_rebuild_1m01 — merge touches only the ingested points' ancestor
+    // cells, so it should hold roughly flat as the BASE grows while the
+    // rebuild number scales with it (grid_build_ladder carries that curve).
+    val incrMerge: Seq[(String, Double, Boolean)] =
+      if (!sectionOn("incremental_merge")) Seq.empty
+      else {
+        import graft.cluster.{IncrementalGrid, MortonHierarchy}
+        val opts = ClusterOptions(radius = 75)
+        def timed(key: String)(f: => org.apache.spark.sql.DataFrame)
+            : (org.apache.spark.sql.DataFrame, (String, Double, Boolean)) = {
+          val t0 = System.nanoTime()
+          try {
+            val df = f
+            (df, (key, (System.nanoTime() - t0) / 1e9, true))
+          } catch {
+            case NonFatal(_) =>
+              (null, (key, (System.nanoTime() - t0) / 1e9, false))
+          }
+        }
+        def rung(nBase: Long, tag: String): Seq[(String, Double, Boolean)] = {
+          val c = org.apache.spark.sql.functions.col("row_id")
+          val all = graft.io.SyntheticPoints.uniform(spark, nBase + 10000)
+          val basePts = all.where(c < nBase)
+          val newPts = all.where(c >= nBase)
+          val (base, baseT) = timed(s"incr_base_build_$tag")(MortonHierarchy.build(basePts, opts))
+          val (merged, mergeT) =
+            if (base == null) (null, (s"incr_merge_10k_$tag", 0.0, false))
+            else timed(s"incr_merge_10k_$tag")(IncrementalGrid.merge(base, newPts, nBase, opts))
+          val (rebuilt, rebuildT) = timed(s"incr_rebuild_$tag")(MortonHierarchy.build(all, opts))
+          Seq(base, merged, rebuilt).filter(_ != null).foreach(_.unpersist(): Unit)
+          Seq(baseT, mergeT, rebuildT)
+        }
+        // default rung: 1M base. The 4M/10M rungs are OPT-IN
+        // (SPARK_GRAFT_BENCH_ONLY must name them) — they are the evidence
+        // that merge time is FLAT in the base size (its floor is 17
+        // sequential delta-sized jobs + 2 index scans) while the rebuild
+        // scales with it; the committed focused artifact carries the
+        // curve, the per-round driver run pays only the 1M rung.
+        rung(1000000L, "1m") ++
+          (if (only.exists(_.contains("incremental_merge_4m"))) rung(4000000L, "4m")
+           else Seq.empty) ++
+          (if (only.exists(_.contains("incremental_merge_10m"))) rung(10000000L, "10m")
+           else Seq.empty)
+      }
+
     // production-mode ANN kernels: q47/q63's oracle rows deliberately run
     // the decimal-exact replay (cross-engine reproducible, ~dim× heavier);
     // these entries time the fast double kernels shipping callers run
@@ -594,7 +644,7 @@ object Bench {
     // sfDir/outPath must not break the "guaranteed parseable last line"
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val errors = (results ++ maskTimes ++ annFast ++ gridBuildLadder ++ ivfBuild ++ pqBuild ++ exactBuild10m)
+    val errors = (results ++ maskTimes ++ annFast ++ gridBuildLadder ++ incrMerge ++ ivfBuild ++ pqBuild ++ exactBuild10m)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -628,6 +678,9 @@ object Bench {
     val gridLadderJson =
       if (gridBuildLadder.isEmpty) ""
       else s""","grid_build_ladder":${jmap(gridBuildLadder)}"""
+    val incrMergeJson =
+      if (incrMerge.isEmpty) ""
+      else s""","incremental_merge":${jmap(incrMerge)}"""
     val totalCold = resultsCold.map(_._2).sum
     val calibrationEnd = calibrationSec()
     val calibrationJson =
@@ -651,7 +704,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpusJson,"queries":${jmap(results)},""" +
         s""""queries_cold":${jmap(resultsCold)},"total_cold":$totalCold,""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$ranksBuildJson$gridLadderJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson,"sf":"${jstr(sfDir)}"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$ranksBuildJson$gridLadderJson$incrMergeJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson,"sf":"${jstr(sfDir)}"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(

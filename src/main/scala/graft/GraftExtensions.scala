@@ -17,7 +17,9 @@ import graft.io.WkbPointDecode
   *    Bench, and the specs use).
   *
   * Registered functions: `graft_exact_dot`, `graft_dot`,
-  * `graft_minhash_bands`, `graft_wkb_point`.
+  * `graft_minhash_bands`, `graft_wkb_point`, `graft_mercator_x/y`,
+  * `graft_mercator_lng/lat`, `graft_fround`,
+  * `graft_cluster_origin_level/origin_index`, `graft_is_cluster`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -34,6 +36,33 @@ object GraftExtensions {
       s"$name expects an integer literal, got $other")
   }
 
+  // Composed functions registered as SQL: Catalyst trees built node-for-
+  // node as the Column-API definitions build them (`Mercator.lngXCol`
+  // etc. — same association, same folded constants), so the SQL forms
+  // return bit-identical doubles; GraftExtensionsSpec locks the equality.
+  // (The Column→Expression bridge can't be reused here: Column ops build
+  // lazily-resolved ColumnNodes, and a function-registry builder must
+  // return a tree the analyzer can finish directly.)
+  import org.apache.spark.sql.catalyst.expressions.{
+    Add, Atan, Cast, Divide, Exp, Greatest, GreaterThanOrEqual, Least, Log,
+    Multiply, Remainder, ShiftRight, Sin, Subtract, ToRadians}
+  import org.apache.spark.sql.types.{DoubleType, FloatType}
+  private def d(v: Double): Expression = Literal(v)
+  private def lngXExpr(lng: Expression): Expression = Add(Divide(lng, d(360.0)), d(0.5))
+  private def latYExpr(lat: Expression): Expression = {
+    val s = Sin(ToRadians(lat))
+    val y = Subtract(d(0.5),
+      Divide(Multiply(d(0.25), Log(Divide(Add(d(1.0), s), Subtract(d(1.0), s)))), d(math.Pi)))
+    Least(Seq(Greatest(Seq(y, d(0.0))), d(1.0)))
+  }
+  private def xLngExpr(x: Expression): Expression = Multiply(Subtract(x, d(0.5)), d(360.0))
+  private def yLatExpr(y: Expression): Expression = {
+    val y2 = Multiply(Subtract(d(180.0), Multiply(y, d(360.0))), d(math.Pi / 180.0))
+    Subtract(Divide(Multiply(d(360.0), Atan(Exp(y2))), d(math.Pi)), d(90.0))
+  }
+  private def froundExpr(e: Expression): Expression =
+    Cast(Cast(e, FloatType), DoubleType)
+
   private[graft] val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_exact_dot",
       new ExpressionInfo(classOf[ExactDotProduct].getName, "graft_exact_dot"),
@@ -47,7 +76,34 @@ object GraftExtensions {
         ShingleBandMins(tokens, intArg("n", n), intArg("bands", bands)) }),
     ("graft_wkb_point",
       new ExpressionInfo(classOf[WkbPointDecode].getName, "graft_wkb_point"),
-      { case Seq(b) => WkbPointDecode(b) }))
+      { case Seq(b) => WkbPointDecode(b) }),
+    // mercator projection + the reference's f32 quantization (P5-P9)
+    ("graft_mercator_x",
+      new ExpressionInfo(graft.geo.Mercator.getClass.getName, "graft_mercator_x"),
+      { case Seq(lng) => lngXExpr(lng) }),
+    ("graft_mercator_y",
+      new ExpressionInfo(graft.geo.Mercator.getClass.getName, "graft_mercator_y"),
+      { case Seq(lat) => latYExpr(lat) }),
+    ("graft_mercator_lng",
+      new ExpressionInfo(graft.geo.Mercator.getClass.getName, "graft_mercator_lng"),
+      { case Seq(x) => xLngExpr(x) }),
+    ("graft_mercator_lat",
+      new ExpressionInfo(graft.geo.Mercator.getClass.getName, "graft_mercator_lat"),
+      { case Seq(y) => yLatExpr(y) }),
+    ("graft_fround",
+      new ExpressionInfo(graft.geo.Mercator.getClass.getName, "graft_fround"),
+      { case Seq(e) => froundExpr(e) }),
+    // cluster-ID packing (Q6): decode (id, total_points) without a lookup
+    ("graft_cluster_origin_level",
+      new ExpressionInfo(graft.ids.ClusterId.getClass.getName, "graft_cluster_origin_level"),
+      { case Seq(id, tp) =>
+        Cast(Remainder(Subtract(id, tp), Literal(32)), IntegerType) }),
+    ("graft_cluster_origin_index",
+      new ExpressionInfo(graft.ids.ClusterId.getClass.getName, "graft_cluster_origin_index"),
+      { case Seq(id, tp) => ShiftRight(Subtract(id, tp), Literal(5)) }),
+    ("graft_is_cluster",
+      new ExpressionInfo(graft.ids.ClusterId.getClass.getName, "graft_is_cluster"),
+      { case Seq(id, tp) => GreaterThanOrEqual(id, tp) }))
 
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

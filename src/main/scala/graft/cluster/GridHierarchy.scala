@@ -231,6 +231,24 @@ object GridHierarchy {
       .bitwiseOR(lit((z + 1).toLong))) + totalPoints
   }
 
+  /** [[cellIdCol]] with the pass zoom taken from a COLUMN — one closed-form
+    * expression instead of a zoom-branched CASE, for scans that key rows of
+    * many levels at once ([[IncrementalGrid.merge]]'s splice). Bit-equal to
+    * the literal form: `pow(2, z)` is exact for every zoom in range, so
+    * `radius / (extent * pow(2, z))` reproduces the Scala-folded `r`
+    * double-for-double, and the `floor`/packing arithmetic is identical.
+    */
+  private[cluster] def cellIdColAt(
+      zExpr: org.apache.spark.sql.Column,
+      opts: ClusterOptions,
+      totalPoints: Long): org.apache.spark.sql.Column = {
+    val r = lit(opts.radius) / (lit(opts.extent) * pow(lit(2.0), zExpr.cast("double")))
+    val cellX = floor(col("mx") / r).cast("long")
+    val cellY = floor(col("my") / r).cast("long")
+    (shiftleft(shiftleft(cellX, 27).bitwiseOR(cellY.bitwiseAND(lit((1L << 27) - 1))), 5)
+      .bitwiseOR((zExpr + 1).cast("long"))) + totalPoints
+  }
+
   private[cluster] def isFusedCol(opts: ClusterOptions): org.apache.spark.sql.Column =
     col("_n_in_cell") >= 2 && col("_sum_cnt") >= opts.minPoints
 

@@ -1,52 +1,59 @@
 package graft.cluster
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Incremental maintenance of the grid/Morton hierarchy: fold a batch of
   * new points into an EXISTING index, bit-equal to rebuilding from
-  * scratch on the union — without touching the untouched cells.
+  * scratch on the union — touching the big index exactly twice.
   *
   * The reference engine can only rebuild (`arrow-cluster-engine.ts:66` —
   * `load()` re-indexes every point, and the layer caches exist precisely
   * because rebuilds are unaffordable per frame). At 100 TB the rebuild IS
   * the cost: a day's ingest is ~0.1% of the corpus, and re-shuffling the
-  * other 99.9% to re-derive identical cells is wasted cluster time. Two
+  * other 99.9% to re-derive identical cells is wasted cluster time. Three
   * properties of the grid semantics make exact incrementality possible:
   *
   *  1. **Cluster ids are cell-derived** ([[GridHierarchy.cellIdCol]]), not
   *     sequence-derived: fusing one more point into a cell never renumbers
   *     any other cell's cluster.
   *  2. **Cell membership nests dyadically** (the f32-fround invariant, see
-  *     [[MortonHierarchy]]): a record's cell at every coarser zoom is a
-  *     prefix of its finest cell, so a new point's influence is confined
-  *     to its own ancestor-cell path — ≤ one cell per level — plus the
-  *     sibling records already in those cells.
+  *     [[MortonHierarchy]]): an ingested point's cell at every coarser
+  *     zoom is a prefix of its finest cell.
+  *  3. **Change is confined to the batch's ancestor-cell paths.** By
+  *     induction down the zoom ladder: a record changes only if its cell
+  *     at the deeper pass gained/changed members; the changed outputs (the
+  *     cell's cluster, or its passthrough members) land in the parent
+  *     cell of a cell containing an ingested point — which, by dyadic
+  *     nesting, contains that point too. So the TOUCHED cells of every
+  *     pass are known UPFRONT from the batch alone: the batch's cell ids
+  *     at each zoom, one bounded set (|batch| × levels), no discovery
+  *     iteration.
   *
-  * Algorithm (top-down, one pass per zoom, mirroring [[GridHierarchy.build]]):
-  * carry a record-level delta (added/removed level-(z+1) records, starting
-  * with the new base points); the AFFECTED cells of pass z are the cells
-  * of the delta; re-run the pass's window aggregation over ONLY the full
-  * membership of affected cells (stored members minus removals plus
-  * additions — full-membership recomputation, not sum patching, so
-  * passthrough↔fused transitions in both directions and float summation
-  * land exactly as a full rebuild would); splice the recomputed rows into
-  * the stored level by an anti-join on the cell id; diff the pass's
-  * outputs against the stored next level to get the next delta —
-  * bit-identical records cancel, so the delta stays proportional to the
-  * ingest, not the index. Per level the work is O(affected members), and
-  * every aggregation/projection is the SAME shared expression the batch
-  * build runs ([[GridHierarchy.passWide]]/[[GridHierarchy.emitLevel]]/
-  * [[GridHierarchy.nextRecords]]), which is what makes bit-equality hold
-  * by construction rather than by luck.
+  * Algorithm:
+  *  - **Extract** (1st full-index pass): the rows consumed by touched
+  *    cells — each level-ℓ row keyed by the cell of the pass that
+  *    CONSUMES it (pass ℓ-1; the final level by its producing pass) — via
+  *    one broadcast semi-join on that splice key. Everything after this
+  *    runs on O(|batch| + cellmates) rows.
+  *  - **Recompute**: the 17-level fold re-runs over ONLY the touched
+  *    membership — stored members minus the rows touched cells produced
+  *    (replaced wholesale) plus the previous pass's recomputed outputs —
+  *    through the SAME shared expressions the batch build runs
+  *    ([[GridHierarchy.passWide]]/[[GridHierarchy.emitLevel]]/
+  *    [[GridHierarchy.nextRecords]]), which is what makes bit-equality
+  *    hold by construction rather than by luck.
+  *  - **Splice** (2nd full-index pass): stored rows NOT consumed by
+  *    touched cells (one broadcast anti-join on the same splice key)
+  *    unioned with the recomputed levels.
   *
   * One global cost remains: cluster ids carry a `+ totalPoints` id-space
   * offset (leaf ids stay below it), so growing the point count shifts
   * every stored cluster id by `|batch|`. That re-offset is a pure
-  * shuffle-free map over the stored rows — the cheap kind of O(n) — and
-  * keeps the merged index indistinguishable from a fresh build, which is
-  * the contract IncrementalGridSpec locks.
+  * shuffle-free map riding the splice scan, and keeps the merged index
+  * indistinguishable from a fresh build — the contract
+  * IncrementalGridSpec locks.
   *
   * New points must carry ids in `[oldTotalPoints, oldTotalPoints + n)` —
   * the continuation of the existing leaf id space (validated here).
@@ -87,7 +94,8 @@ object IncrementalGrid {
 
     // id-space re-offset: cluster ids (>= oldTotalPoints) shift by the
     // batch size in id, parent_id, and child_rank; leaf ids and -1
-    // sentinels are below the cut and stay put. Pure map, no shuffle.
+    // sentinels are below the cut and stay put. Pure map, no shuffle —
+    // rides the extract/splice scans.
     def shift(c: String) =
       when(col(c) >= oldTotalPoints, col(c) + nNew).otherwise(col(c)).as(c)
     val shifted = index.select(
@@ -95,69 +103,83 @@ object IncrementalGrid {
       col("point_count"), col("is_cluster"), col("lng"), col("lat"),
       shift("child_rank"))
 
-    def storedLevel(zoom: Int): DataFrame = shifted.where(col("zoom") === zoom)
+    // touched cells per pass, straight from the batch (property 3). Cell
+    // ids embed the pass zoom in their low bits, so one flat set covers
+    // all passes. Stays distributed: broadcast into the two join scans.
+    val passes = (opts.minZoom to opts.maxZoom).toSeq
+    val touched = addedBase
+      .select(explode(array(
+        passes.map(z => GridHierarchy.cellIdCol(z, opts, newTotal)): _*)).as("_splice"))
+      .distinct()
+      .localCheckpoint()
 
-    val spark = index.sparkSession
-    val emptyRecs = addedBase.limit(0)
-    var deltaAdd = addedBase
-    var deltaRemove = emptyRecs
-    val newLevels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var lastAffected: DataFrame = null
-    var lastNewOut: DataFrame = null
+    // splice key: the consuming pass's cell for every level (the final
+    // level, which no pass consumes, splices by its producing pass — the
+    // same pass number, so one expression covers both).
+    // zoom z+1 rows are consumed by pass z; zoom minZoom rows were
+    // produced by pass minZoom — one closed-form expression over the zoom
+    // column (a zoom-branched CASE here costs its 18 branches on every row
+    // of both full-index scans)
+    val spliceKey: Column = GridHierarchy.cellIdColAt(
+      when(col("zoom") === opts.minZoom, lit(opts.minZoom)).otherwise(col("zoom") - 1),
+      opts, newTotal)
 
+    // 1st full-index pass: pull the touched membership out (small). The
+    // loop below also needs "was this row PRODUCED by a touched cell"
+    // (those rows are replaced wholesale by the recomputed outputs); that
+    // flag is stamped here, during the one scan, so the 17-level loop
+    // never joins against the touched set again.
+    // zoom zz rows (zz <= maxZoom) were produced by pass zz; base-level
+    // rows (maxZoom + 1) by no pass — the -1 default never matches
+    val prodKey: Column =
+      when(col("zoom") <= opts.maxZoom,
+        GridHierarchy.cellIdColAt(col("zoom"), opts, newTotal))
+        .otherwise(lit(-1L))
+    val prodTouched = touched.select(col("_splice").as("_prod"))
+      .withColumn("_prod_touched", lit(true))
+    val extract = shifted
+      .withColumn("_splice", spliceKey)
+      .join(broadcast(touched), Seq("_splice"), "left_semi")
+      .withColumn("_prod", prodKey)
+      .join(broadcast(prodTouched), Seq("_prod"), "left")
+      .withColumn("_prod_touched", coalesce(col("_prod_touched"), lit(false)))
+      .drop("_prod", "_splice")
+      .localCheckpoint()
+
+    val emits = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var prevOutputs: DataFrame = null // recomputed outputs of the previous pass
     var z = opts.maxZoom
     while (z >= opts.minZoom) {
-      val cellId = GridHierarchy.cellIdCol(z, opts, newTotal)
-      val affected = deltaAdd.unionByName(deltaRemove)
-        .select(cellId.as("_cell_id")).distinct().localCheckpoint()
-
-      val stored = storedLevel(z + 1)
-      // full membership of affected cells after the delta
-      val oldRecsAff = stored
-        .select(RecordCols.map(col): _*)
-        .withColumn("_cell_id", cellId)
-        .join(broadcast(affected), Seq("_cell_id"), "left_semi")
-        .drop("_cell_id")
-      val members = oldRecsAff.exceptAll(deltaRemove).unionByName(deltaAdd)
-
+      // membership of touched cells at level z+1: stored consumed rows,
+      // minus everything a touched deeper cell produced (replaced
+      // wholesale by the previous pass's recomputed outputs), plus those
+      // outputs (at z == maxZoom: the stored base plus the new points)
+      val stored = extract.where(col("zoom") === (z + 1))
+      val members =
+        (if (z == opts.maxZoom) stored.select(RecordCols.map(col): _*).unionByName(addedBase)
+         else stored.where(!col("_prod_touched")).select(RecordCols.map(col): _*)
+           .unionByName(prevOutputs))
+      // checkpoint EVERY pass — same cadence the batch build measured out:
+      // an un-checkpointed wide re-executes once per consumer (emit at the
+      // final union + the next pass's chain), and the recompute dwarfs the
+      // barrier cost even at delta size (26.7 s vs 19.6 s measured here)
       val wide = GridHierarchy.passWide(members, z, opts, newTotal).localCheckpoint()
-
-      // splice: untouched cells keep their stored stamps verbatim
-      val keep = stored
-        .withColumn("_cell_id", cellId)
-        .join(broadcast(affected), Seq("_cell_id"), "left_anti")
-        .drop("_cell_id")
-      newLevels += keep.unionByName(GridHierarchy.emitLevel(wide, z, opts))
-
-      // next delta: this pass's outputs vs the stored next level, within
-      // affected cells only — bit-identical records cancel out
-      val newOut = GridHierarchy.nextRecords(wide, opts)
-      val oldOutAff = storedLevel(z)
-        .select(RecordCols.map(col): _*)
-        .withColumn("_cell_id", cellId)
-        .join(broadcast(affected), Seq("_cell_id"), "left_semi")
-        .drop("_cell_id")
-      deltaAdd = newOut.exceptAll(oldOutAff).localCheckpoint()
-      deltaRemove = oldOutAff.exceptAll(newOut).localCheckpoint()
-      lastAffected = affected
-      lastNewOut = newOut
+      emits += GridHierarchy.emitLevel(wide, z, opts)
+      prevOutputs = GridHierarchy.nextRecords(wide, opts)
       z -= 1
     }
-
-    // final level (minZoom): outputs of the last pass, -1 stamps — splice
-    // the affected cells' recomputed outputs over the stored rows
-    val finalCell = GridHierarchy.cellIdCol(opts.minZoom, opts, newTotal)
-    val finalKeep = storedLevel(opts.minZoom)
-      .withColumn("_cell_id", finalCell)
-      .join(broadcast(lastAffected), Seq("_cell_id"), "left_anti")
-      .drop("_cell_id")
-    val finalNew = lastNewOut.select(
+    emits += prevOutputs.select(
       lit(opts.minZoom).as("zoom"), col("mx"), col("my"), col("id"),
       lit(-1L).as("parent_id"), col("point_count"), col("is_cluster"),
       col("lng"), col("lat"), lit(-1L).as("child_rank"))
-    newLevels += finalKeep.unionByName(finalNew)
 
-    val all = newLevels.reduce(_ unionByName _)
+    // 2nd full-index pass: splice — keep every stored row no touched cell
+    // consumed, add the recomputed levels
+    val keep = shifted
+      .withColumn("_splice", spliceKey)
+      .join(broadcast(touched), Seq("_splice"), "left_anti")
+      .drop("_splice")
+    val all = (keep +: emits.toSeq).reduce(_ unionByName _)
       .persist(StorageLevel.MEMORY_AND_DISK)
     all.count()
     all

@@ -39,6 +39,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaApi)
   }
 
+  test("mercator SQL functions match the Column API bit-for-bit") {
+    import graft.geo.Mercator
+    Seq((12.34, 56.78), (-179.99, -84.9), (0.0, 0.0), (123.456, 89.9))
+      .toDF("lng", "lat").createOrReplaceTempView("pts")
+    val viaSql = spark.sql(
+      """SELECT graft_fround(graft_mercator_x(lng)) AS mx,
+        |       graft_fround(graft_mercator_y(lat)) AS my,
+        |       graft_mercator_lng(graft_mercator_x(lng)) AS rlng,
+        |       graft_mercator_lat(graft_mercator_y(lat)) AS rlat
+        |FROM pts ORDER BY lng""".stripMargin).collect().toSeq
+    val viaApi = spark.table("pts").select(
+        Mercator.froundCol(Mercator.lngXCol($"lng")).as("mx"),
+        Mercator.froundCol(Mercator.latYCol($"lat")).as("my"),
+        Mercator.xLngCol(Mercator.lngXCol($"lng")).as("rlng"),
+        Mercator.yLatCol(Mercator.latYCol($"lat")).as("rlat"))
+      .orderBy($"lng").collect().toSeq
+    assert(viaSql == viaApi)
+  }
+
+  test("cluster-id SQL decode matches ClusterId") {
+    import graft.ids.ClusterId
+    val tp = 1000L
+    val id = ClusterId.encode(37L, 5, tp)
+    val r = spark.sql(
+      s"""SELECT graft_cluster_origin_level(${id}L, ${tp}L) AS lvl,
+         |       graft_cluster_origin_index(${id}L, ${tp}L) AS idx,
+         |       graft_is_cluster(${id}L, ${tp}L) AS c1,
+         |       graft_is_cluster(17L, ${tp}L) AS c2""".stripMargin).collect()(0)
+    assert(r.getInt(0) == ClusterId.originLevel(id, tp))
+    assert(r.getLong(1) == ClusterId.originIndex(id, tp))
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+  }
+
   test("graft_wkb_point decodes in SQL") {
     val bytes = {
       val buf = java.nio.ByteBuffer.allocate(21)
