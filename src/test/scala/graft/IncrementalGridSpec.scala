@@ -103,6 +103,39 @@ class IncrementalGridSpec extends AnyFunSuite {
     assert(canon(twice) == canon(GridHierarchy.build(df(all))))
   }
 
+  test("streaming ingest maintains the index: foreachBatch + merge == rebuild") {
+    // the deployment loop: a base index, a point stream, one incremental
+    // merge per micro-batch through the REAL streaming engine — the final
+    // living index must be bit-equal to a from-scratch build on everything
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = pts(1000, 31, clustered = true)
+    val (basePts, streamPts) = all.splitAt(600)
+    var index = GridHierarchy.build(df(basePts))
+    var total = 600L
+
+    val input = MemoryStream[(Long, Double, Double)]
+    val q = input.toDS().toDF("row_id", "lng", "lat").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val n = batch.count()
+        if (n > 0) {
+          index = IncrementalGrid.merge(index, batch, total)
+          total += n
+        }
+      }
+      .start()
+    try {
+      input.addData(streamPts.take(250))
+      q.processAllAvailable()
+      input.addData(streamPts.drop(250))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(total == 1000L)
+    assert(canon(index) == canon(GridHierarchy.build(df(all))))
+  }
+
   test("out-of-range ids are rejected") {
     val base = pts(100, 1, clustered = false)
     val index = GridHierarchy.build(df(base))
