@@ -72,6 +72,16 @@ object IncrementalGrid {
     * @return updated level rows, bit-equal to
     *         `GridHierarchy.build(old ∪ new)`, persisted + materialized
     */
+  /** Phase timing to stdout when GRAFT_MERGE_DEBUG is set (a pass-through
+    * otherwise) — how the committed phase attribution in BENCH.md was
+    * measured.
+    */
+  private def dbg[A](tag: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_MERGE_DEBUG")) {
+      val t0 = System.nanoTime(); val r = f
+      println(f"MERGEDBG $tag%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    } else f
+
   def merge(
       index: DataFrame,
       newPoints: DataFrame,
@@ -80,12 +90,20 @@ object IncrementalGrid {
       lngCol: String = "lng",
       latCol: String = "lat",
       idCol: String = "row_id"): DataFrame = {
-    val nNew = newPoints.count()
+    // checkpointed intermediates, unpersisted once the result is
+    // materialized — without this, back-to-back merges accumulate dead
+    // cached blocks and degrade the executor (measured: a 3-rung bench
+    // session ended with a 7x-inflated calibration probe)
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); scratch += c; c
+    }
+    val nNew = dbg("count_new")(newPoints.count())
     val newTotal = oldTotalPoints + nNew
 
-    val addedBase =
-      GridHierarchy.baseRecords(newPoints, lngCol, latCol, idCol).localCheckpoint()
-    val idRange = addedBase.agg(min(col("id")), max(col("id"))).head()
+    val addedBase = dbg("added_base")(
+      ckpt(GridHierarchy.baseRecords(newPoints, lngCol, latCol, idCol)))
+    val idRange = dbg("id_range")(addedBase.agg(min(col("id")), max(col("id"))).head())
     if (!idRange.isNullAt(0)) {
       require(idRange.getLong(0) >= oldTotalPoints && idRange.getLong(1) < newTotal,
         s"new point ids must continue the existing id space " +
@@ -107,11 +125,10 @@ object IncrementalGrid {
     // ids embed the pass zoom in their low bits, so one flat set covers
     // all passes. Stays distributed: broadcast into the two join scans.
     val passes = (opts.minZoom to opts.maxZoom).toSeq
-    val touched = addedBase
+    val touchedC = ckpt(addedBase
       .select(explode(array(
         passes.map(z => GridHierarchy.cellIdCol(z, opts, newTotal)): _*)).as("_splice"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     // splice key: the consuming pass's cell for every level (the final
     // level, which no pass consumes, splices by its producing pass — the
@@ -135,16 +152,45 @@ object IncrementalGrid {
       when(col("zoom") <= opts.maxZoom,
         GridHierarchy.cellIdColAt(col("zoom"), opts, newTotal))
         .otherwise(lit(-1L))
-    val prodTouched = touched.select(col("_splice").as("_prod"))
+    val prodTouched = touchedC.select(col("_splice").as("_prod"))
       .withColumn("_prod_touched", lit(true))
-    val extract = shifted
+    val extractPre = shifted
       .withColumn("_splice", spliceKey)
-      .join(broadcast(touched), Seq("_splice"), "left_semi")
+      .join(broadcast(touchedC), Seq("_splice"), "left_semi")
       .withColumn("_prod", prodKey)
       .join(broadcast(prodTouched), Seq("_prod"), "left")
       .withColumn("_prod_touched", coalesce(col("_prod_touched"), lit(false)))
       .drop("_prod", "_splice")
-      .localCheckpoint()
+    val extract = ckpt(extractPre)
+
+    // identity-pass skip, the build's zStar idea on the delta: a pass is a
+    // pure pass-through unless some touched cell actually FUSES (>= 2
+    // members AND mass >= minPoints). The deepest fusing pass z* is
+    // computable UPFRONT — at the deepest such pass the upfront counts
+    // (stored consumed rows + the new points) are exact because every
+    // deeper pass is identity, and overestimating z* from the shallower
+    // passes' approximate counts only skips fewer levels, never a wrong
+    // one. Every pass deeper than z* emits by projection: no window job,
+    // no checkpoint — on sparse deep zooms that is ~half the ladder.
+    val zStarMerge: Int = {
+      val fromStored = extract.where(col("zoom") > opts.minZoom).select(
+        (col("zoom") - 1).cast("int").as("_pass"),
+        GridHierarchy.cellIdColAt(col("zoom") - 1, opts, newTotal).as("_cell"),
+        col("point_count"))
+      // a touched cell id encodes its pass (+1) in the low 5 bits
+      val fromAdded = addedBase
+        .select(explode(array(
+          passes.map(zz => GridHierarchy.cellIdCol(zz, opts, newTotal)): _*)).as("_cell"))
+        .select((((col("_cell") - newTotal).bitwiseAND(31)) - 1).cast("int").as("_pass"),
+          col("_cell"), lit(1L).as("point_count"))
+      val row = fromStored.unionByName(fromAdded)
+        .groupBy(col("_pass"), col("_cell"))
+        .agg(count(lit(1)).as("_n"), sum(col("point_count")).as("_mass"))
+        .where(col("_n") >= 2 && col("_mass") >= opts.minPoints)
+        .agg(max(col("_pass"))).head()
+      if (row.isNullAt(0)) opts.minZoom - 1 else row.getInt(0)
+    }
+    if (sys.env.contains("GRAFT_MERGE_DEBUG")) println("MERGEDBG zstar " + zStarMerge)
 
     val emits = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var prevOutputs: DataFrame = null // recomputed outputs of the previous pass
@@ -159,13 +205,24 @@ object IncrementalGrid {
         (if (z == opts.maxZoom) stored.select(RecordCols.map(col): _*).unionByName(addedBase)
          else stored.where(!col("_prod_touched")).select(RecordCols.map(col): _*)
            .unionByName(prevOutputs))
-      // checkpoint EVERY pass — same cadence the batch build measured out:
-      // an un-checkpointed wide re-executes once per consumer (emit at the
-      // final union + the next pass's chain), and the recompute dwarfs the
-      // barrier cost even at delta size (26.7 s vs 19.6 s measured here)
-      val wide = GridHierarchy.passWide(members, z, opts, newTotal).localCheckpoint()
-      emits += GridHierarchy.emitLevel(wide, z, opts)
-      prevOutputs = GridHierarchy.nextRecords(wide, opts)
+      if (z > zStarMerge) {
+        // provably-identity pass: emit by projection (nothing fuses, so
+        // every stamp is -1 — exactly what the stored rows carry too)
+        emits += members.select(
+          lit(z + 1).as("zoom"), col("mx"), col("my"), col("id"),
+          lit(-1L).as("parent_id"), col("point_count"), col("is_cluster"),
+          col("lng"), col("lat"), lit(-1L).as("child_rank"))
+        prevOutputs = members
+      } else {
+        // checkpoint EVERY fusing pass — same cadence the batch build
+        // measured out: an un-checkpointed wide re-executes once per
+        // consumer (emit at the final union + the next pass's chain), and
+        // the recompute dwarfs the barrier cost even at delta size
+        // (26.7 s vs 19.6 s measured here)
+        val wide = dbg(s"wide_z$z")(ckpt(GridHierarchy.passWide(members, z, opts, newTotal)))
+        emits += GridHierarchy.emitLevel(wide, z, opts)
+        prevOutputs = GridHierarchy.nextRecords(wide, opts)
+      }
       z -= 1
     }
     emits += prevOutputs.select(
@@ -177,11 +234,12 @@ object IncrementalGrid {
     // consumed, add the recomputed levels
     val keep = shifted
       .withColumn("_splice", spliceKey)
-      .join(broadcast(touched), Seq("_splice"), "left_anti")
+      .join(broadcast(touchedC), Seq("_splice"), "left_anti")
       .drop("_splice")
     val all = (keep +: emits.toSeq).reduce(_ unionByName _)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    all.count()
+    dbg("final_count")(all.count(): Unit)
+    scratch.foreach(_.unpersist())
     all
   }
 }
