@@ -101,6 +101,10 @@ object Bench {
     val pqBuild = timedBuild("pq_exact_build", Seq("q63", "q100")) {
       graft.operators.Similarity.warmPqExactIndex(spark, sfDir)
     }
+    // q103's base build + incremental merge, same discipline
+    val incrBuild = timedBuild("incr_merge_build", Seq("q103")) {
+      graft.operators.Spatial.warmIncrementalMergeIndex(spark, sfDir)
+    }
 
     // Per-query MEDIAN of SPARK_GRAFT_BENCH_REPS runs (default 3; the
     // reference times its query loop as median-of-10, benchmarks/run.ts:38-39)
@@ -401,13 +405,14 @@ object Bench {
       }
 
     // incremental index maintenance (q103's scale claim, measured): fold a
-    // 10k ingest batch into a 1M-point index vs rebuilding the 1.01M union
-    // from scratch. Both slices come from ONE generator stream so the
-    // comparison is apples-to-apples; the merged index is exercised (count)
-    // and dropped. The interesting ratio is incr_merge_10k vs
-    // incr_rebuild_1m01 — merge touches only the ingested points' ancestor
-    // cells, so it should hold roughly flat as the BASE grows while the
-    // rebuild number scales with it (grid_build_ladder carries that curve).
+    // 10k ingest batch into an existing index vs rebuilding the union from
+    // scratch, per base size. Both slices come from ONE generator stream so
+    // the comparison is apples-to-apples; the merged index is exercised
+    // (count) and dropped. The interesting ratio is incr_merge_10k_* vs
+    // incr_rebuild_* — merge recomputes only the ingested points' ancestor
+    // cells (plus two full-index scans), so it holds roughly flat as the
+    // BASE grows while the rebuild number scales with it; the measured
+    // curve and its phase attribution live in BENCH.md.
     val incrMerge: Seq[(String, Double, Boolean)] =
       if (!sectionOn("incremental_merge")) Seq.empty
       else {
@@ -644,7 +649,7 @@ object Bench {
     // sfDir/outPath must not break the "guaranteed parseable last line"
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val errors = (results ++ maskTimes ++ annFast ++ gridBuildLadder ++ incrMerge ++ ivfBuild ++ pqBuild ++ exactBuild10m)
+    val errors = (results ++ maskTimes ++ annFast ++ gridBuildLadder ++ incrMerge ++ ivfBuild ++ pqBuild ++ incrBuild ++ exactBuild10m)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -687,6 +692,7 @@ object Bench {
       s""","calibration":{"start_sec":$calibrationStart,"end_sec":$calibrationEnd}"""
     val ivfBuildJson =
       (if (ivfBuild.isEmpty) "" else s""","ivf_exact_build_sec":${ivfBuild.head._2}""") +
+        (if (incrBuild.isEmpty) "" else s""","incr_merge_build_sec":${incrBuild.head._2}""") +
         (if (pqBuild.isEmpty) "" else s""","pq_exact_build_sec":${pqBuild.head._2}""")
     val ladder4mJson = queryLadder4m.map { l =>
       s""","query_ladder_4m_ms":${zoomsJson(l.rows)},"query_avg_4m_ms":${l.rowAvg}""" +

@@ -701,9 +701,8 @@ object Spatial {
     */
   private val mergedIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  val incrementalMergeProfile: GraftQuery = GraftQuery.sql(
-    "q103_incremental_merge", gridProfileSql) { (spark, dir) =>
-    val merged = mergedIndexCache.computeIfAbsent((spark, dir), { _ =>
+  private def mergedIndex(spark: SparkSession, dir: String): DataFrame =
+    mergedIndexCache.computeIfAbsent((spark, dir), { _ =>
       val pts = pointsDf(spark, dir)
       val cut = (pts.count() * 9L) / 10L
       val base = MortonHierarchy.build(
@@ -712,7 +711,18 @@ object Spatial {
         base, pts.where(col("event_id") >= cut), cut, ClusterOptions(),
         "lng", "lat", "event_id")
     })
-    profileAgg(merged)
+
+  /** Force q103's shared build+merge (Bench attributes it to its own
+    * `incr_merge_build` key so the q103 query number measures the
+    * recurring profile scan, the ivf_exact_build discipline).
+    */
+  private[graft] def warmIncrementalMergeIndex(spark: SparkSession, dir: String): Unit = {
+    mergedIndex(spark, dir); ()
+  }
+
+  val incrementalMergeProfile: GraftQuery = GraftQuery.sql(
+    "q103_incremental_merge", gridProfileSql) { (spark, dir) =>
+    profileAgg(mergedIndex(spark, dir))
   }
 
   /** Q7: leaves of the largest z3 cluster joined back to the source rows
