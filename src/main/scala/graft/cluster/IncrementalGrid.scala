@@ -103,17 +103,14 @@ object IncrementalGrid {
 
     val addedBase = dbg("added_base")(
       ckpt(GridHierarchy.baseRecords(newPoints, lngCol, latCol, idCol)))
-    val idRange = dbg("id_range")(addedBase.agg(min(col("id")), max(col("id"))).head())
-    if (!idRange.isNullAt(0)) {
-      require(idRange.getLong(0) >= oldTotalPoints && idRange.getLong(1) < newTotal,
-        s"new point ids must continue the existing id space " +
-          s"[$oldTotalPoints, $newTotal), got [${idRange.getLong(0)}, ${idRange.getLong(1)}]")
-    }
+    validateIdRange(addedBase, oldTotalPoints, newTotal)
 
     // id-space re-offset: cluster ids (>= oldTotalPoints) shift by the
     // batch size in id, parent_id, and child_rank; leaf ids and -1
     // sentinels are below the cut and stay put. Pure map, no shuffle —
-    // rides the extract/splice scans.
+    // rides the extract/splice scans. ([[IndexStore]] skips this pass
+    // entirely: its on-disk ids carry no offset, so its decode-at-read IS
+    // the shift.)
     def shift(c: String) =
       when(col(c) >= oldTotalPoints, col(c) + nNew).otherwise(col(c)).as(c)
     val shifted = index.select(
@@ -121,6 +118,43 @@ object IncrementalGrid {
       col("point_count"), col("is_cluster"), col("lng"), col("lat"),
       shift("child_rank"))
 
+    val (keep, emits) = recomputeTouched(shifted, addedBase, opts, newTotal, ckpt)
+    val all = (keep +: emits).reduce(_ unionByName _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dbg("final_count")(all.count(): Unit)
+    scratch.foreach(_.unpersist())
+    all
+  }
+
+  /** New point ids must continue the existing leaf id space (see class
+    * doc) — shared validation for [[merge]] and [[IndexStore.mergeInto]].
+    */
+  private[cluster] def validateIdRange(
+      addedBase: DataFrame, oldTotalPoints: Long, newTotal: Long): Unit = {
+    val idRange = dbg("id_range")(addedBase.agg(min(col("id")), max(col("id"))).head())
+    if (!idRange.isNullAt(0)) {
+      require(idRange.getLong(0) >= oldTotalPoints && idRange.getLong(1) < newTotal,
+        s"new point ids must continue the existing id space " +
+          s"[$oldTotalPoints, $newTotal), got [${idRange.getLong(0)}, ${idRange.getLong(1)}]")
+    }
+  }
+
+  /** The extract → recompute → splice-keep core, shared verbatim by the
+    * in-memory [[merge]] and the storage-backed [[IndexStore.mergeInto]]
+    * (which feeds it only the touched partitions of the stored index —
+    * the semantics are identical because every row the recompute consumes
+    * or replaces provably lives in a touched partition).
+    *
+    * @param shifted index rows ALREADY in the post-merge id space
+    * @return (keep, emits): stored rows no touched cell consumed, and the
+    *         recomputed level frames — their union is the merged index
+    */
+  private[cluster] def recomputeTouched(
+      shifted: DataFrame,
+      addedBase: DataFrame,
+      opts: ClusterOptions,
+      newTotal: Long,
+      ckpt: DataFrame => DataFrame): (DataFrame, Seq[DataFrame]) = {
     // touched cells per pass, straight from the batch (property 3). Cell
     // ids embed the pass zoom in their low bits, so one flat set covers
     // all passes. Stays distributed: broadcast into the two join scans.
@@ -236,10 +270,6 @@ object IncrementalGrid {
       .withColumn("_splice", spliceKey)
       .join(broadcast(touchedC), Seq("_splice"), "left_anti")
       .drop("_splice")
-    val all = (keep +: emits.toSeq).reduce(_ unionByName _)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    dbg("final_count")(all.count(): Unit)
-    scratch.foreach(_.unpersist())
-    all
+    (keep, emits.toSeq)
   }
 }

@@ -1,0 +1,259 @@
+package graft.cluster
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-backed grid index: the deployment shape of
+  * [[IncrementalGrid]], where even the in-memory merge's two shuffle-free
+  * full-index scans disappear. The index lives as bucketed parquet; an
+  * ingest batch is folded in by REWRITING ONLY THE TOUCHED BUCKETS via
+  * dynamic partition overwrite — merge I/O is O(touched buckets), not
+  * O(index). The reference engine rebuilds its whole index per load
+  * (`arrow-cluster-engine.ts:66`); at 100 TB this is the difference
+  * between re-shuffling the corpus and rewriting a day's-ingest worth of
+  * partitions.
+  *
+  * Two storage decisions carry the design:
+  *
+  *  1. **Ids are stored WITHOUT the `totalPoints` offset.** Cluster ids
+  *     are cell-derived plus a `+ totalPoints` id-space offset
+  *     ([[GridHierarchy.cellIdCol]]), so growing the point count shifts
+  *     every stored cluster id — the one O(index) cost the in-memory
+  *     merge cannot avoid. Here cluster-id values are encoded relative to
+  *     the CURRENT total (`enc = total - v - 1`, landing at ≤ -2 — below
+  *     the -1 sentinel and disjoint from leaf ids ≥ 0), and decoded at
+  *     read against the total in the store's metadata. Decoding with the
+  *     post-merge total reproduces [[IncrementalGrid.merge]]'s id shift
+  *     EXACTLY (`total' - enc - 1 = v + nNew`) — the shift became a
+  *     pure read-side map, and untouched buckets never need rewriting
+  *     for it.
+  *  2. **The partition key is the row's consuming-pass spatial block.**
+  *     A level-L row is consumed by pass c = max(L-1, minZoom); its
+  *     bucket is its (mx, my) grid cell at `bucketZoom` when c ≥
+  *     bucketZoom, else the shared `-1` bucket (a pass-c cell coarser
+  *     than the bucket grid spans buckets, so those few, small, coarse
+  *     levels live together and are rewritten wholesale — the leveled-
+  *     compaction trade). Because cell grids nest dyadically
+  *     (see [[GridHierarchy]]'s zStar derivation: `r(zB) = r(c)·2^(c-zB)`
+  *     exactly, and `floor(q·2^k) >> k = floor(q)`), every row a touched
+  *     pass-c cell consumes shares the bucket of the batch point that
+  *     touched it — so the touched buckets are known UPFRONT from the
+  *     batch's coordinates alone, and recomputed rows (fused centroids
+  *     stay inside their cell by the f32-fround invariant) land back in
+  *     touched buckets only. Dynamic partition overwrite of exactly
+  *     those buckets is therefore EXACT, not approximate.
+  *
+  * Locality governs the win, as every partial-rewrite table format's
+  * does: a spatially-local batch (the realistic region-update case)
+  * touches O(batch area / bucket area) buckets; a spatially-uniform
+  * batch degrades to rewriting them all. IndexStoreSpec measures both,
+  * and locks merge ≡ fresh-rebuild bit-equality either way.
+  *
+  * At 100 TB: deepen `bucketZoom` so buckets stay GB-sized (possible
+  * buckets ≈ (extent·2^zB/radius)², only occupied ones materialize), and
+  * salt the write repartition if single buckets outgrow a task.
+  */
+object IndexStore {
+
+  final case class StoreMeta(
+      numPoints: Long, minZoom: Int, maxZoom: Int, radius: Double,
+      extent: Double, minPoints: Int, bucketZoom: Int) {
+    def opts: ClusterOptions =
+      ClusterOptions(minZoom, maxZoom, radius, extent, minPoints)
+  }
+
+  /** What a merge did to the store — the locality evidence. */
+  final case class MergeStats(
+      ingested: Long, rewrittenBuckets: Long, totalBuckets: Long)
+
+  private val DataCols = Seq(
+    "zoom", "mx", "my", "id", "parent_id", "point_count", "is_cluster",
+    "lng", "lat", "child_rank")
+  private val IdCols = Set("id", "parent_id", "child_rank")
+
+  /** Declared read schema: pins the `bucket` partition column to LONG
+    * (directory-value inference would flip int/long with the occupied
+    * bucket ids, and a cast on the partition attribute can defeat
+    * partition pruning) and skips the inference listing entirely.
+    */
+  private val StoreSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("zoom", IntegerType), StructField("mx", DoubleType),
+      StructField("my", DoubleType), StructField("id", LongType),
+      StructField("parent_id", LongType), StructField("point_count", LongType),
+      StructField("is_cluster", BooleanType), StructField("lng", DoubleType),
+      StructField("lat", DoubleType), StructField("child_rank", LongType),
+      StructField("bucket", LongType)))
+  }
+
+  /** Exact bucket-grid cell size at `bucketZoom` — the same `r` formula
+    * as [[GridHierarchy.cellIdCol]], so nesting against every pass grid
+    * is exact (power-of-two scaling commutes with IEEE rounding).
+    */
+  private def rBucket(opts: ClusterOptions, bucketZoom: Int): Double =
+    opts.radius / (opts.extent * math.pow(2.0, bucketZoom.toDouble))
+
+  private def packCell(r: Double): Column =
+    shiftleft(floor(col("mx") / r).cast("long"), 20)
+      .bitwiseOR(floor(col("my") / r).cast("long"))
+
+  /** Partition key for a LEVEL row (has a `zoom` column): the consuming
+    * pass's spatial block, or -1 for levels coarser than the bucket grid.
+    */
+  private def bucketCol(opts: ClusterOptions, bucketZoom: Int): Column = {
+    val consuming = greatest(col("zoom") - 1, lit(opts.minZoom))
+    when(consuming >= bucketZoom, packCell(rBucket(opts, bucketZoom)))
+      .otherwise(lit(-1L))
+  }
+
+  /** enc = total - v - 1 for cluster-id values (> total, so enc ≤ -2);
+    * leaf ids and -1 sentinels pass through. Inverse of [[decodeIds]].
+    */
+  private def encodeIds(df: DataFrame, total: Long): DataFrame =
+    df.select(df.columns.toIndexedSeq.map { c =>
+      if (IdCols(c)) when(col(c) > total, lit(total) - col(c) - 1)
+        .otherwise(col(c)).as(c)
+      else col(c)
+    }: _*)
+
+  private def decodeIds(df: DataFrame, total: Long): DataFrame =
+    df.select(df.columns.toIndexedSeq.map { c =>
+      if (IdCols(c)) when(col(c) < -1, lit(total) - (col(c) + 1))
+        .otherwise(col(c)).as(c)
+      else col(c)
+    }: _*)
+
+  private def requireBucketZoom(opts: ClusterOptions, bucketZoom: Int): Unit = {
+    require(bucketZoom >= opts.minZoom && bucketZoom <= opts.maxZoom,
+      s"bucketZoom=$bucketZoom must lie in [${opts.minZoom}, ${opts.maxZoom}]")
+    require(opts.extent * math.pow(2.0, bucketZoom.toDouble) / opts.radius < (1L << 20),
+      s"bucket packing holds ${1L << 20} cells per axis; lower bucketZoom")
+  }
+
+  /** Persist a built/merged hierarchy (the [[GridHierarchy.build]] /
+    * [[MortonHierarchy.build]] / [[IncrementalGrid.merge]] level rows) as
+    * the bucketed store. One shuffle on the bucket key so each bucket is
+    * one file (salt at scale — see class doc).
+    */
+  def save(
+      index: DataFrame,
+      path: String,
+      totalPoints: Long,
+      opts: ClusterOptions = ClusterOptions(),
+      bucketZoom: Int = 2): Unit = {
+    requireBucketZoom(opts, bucketZoom)
+    val spark = index.sparkSession
+    encodeIds(index.select(DataCols.map(col): _*), totalPoints)
+      .withColumn("bucket", bucketCol(opts, bucketZoom))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/levels")
+    writeMeta(spark, path,
+      StoreMeta(totalPoints, opts.minZoom, opts.maxZoom, opts.radius,
+        opts.extent, opts.minPoints, bucketZoom))
+  }
+
+  private def writeMeta(spark: SparkSession, path: String, m: StoreMeta): Unit = {
+    import spark.implicits._
+    Seq((m.numPoints, m.minZoom, m.maxZoom, m.radius, m.extent, m.minPoints,
+      m.bucketZoom))
+      .toDF("num_points", "min_zoom", "max_zoom", "radius", "extent",
+        "min_points", "bucket_zoom")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def readMeta(spark: SparkSession, path: String): StoreMeta = {
+    val r = spark.read.parquet(s"$path/meta").collect()(0)
+    StoreMeta(r.getAs[Long]("num_points"), r.getAs[Int]("min_zoom"),
+      r.getAs[Int]("max_zoom"), r.getAs[Double]("radius"),
+      r.getAs[Double]("extent"), r.getAs[Int]("min_points"),
+      r.getAs[Int]("bucket_zoom"))
+  }
+
+  /** The full level table, ids decoded into the live id space — bit-equal
+    * to the frame that was saved (plus any merges since).
+    */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val meta = readMeta(spark, path)
+    decodeIds(
+      spark.read.schema(StoreSchema).parquet(s"$path/levels")
+        .select(DataCols.map(col): _*),
+      meta.numPoints)
+  }
+
+  /** Fold an ingest batch into the store in place: read ONLY the touched
+    * buckets (partition-pruned scan), re-run the level fold over their
+    * membership through [[IncrementalGrid.recomputeTouched]] — the same
+    * expressions the batch build runs — and dynamic-partition-overwrite
+    * exactly those buckets. Untouched buckets are neither read nor
+    * written; the id-space shift rides the decode (class doc). New point
+    * ids must continue the stored id space, as [[IncrementalGrid.merge]]
+    * requires.
+    */
+  def mergeInto(
+      spark: SparkSession,
+      path: String,
+      newPoints: DataFrame,
+      lngCol: String = "lng",
+      latCol: String = "lat",
+      idCol: String = "row_id"): MergeStats = {
+    val meta = readMeta(spark, path)
+    val opts = meta.opts
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); scratch += c; c
+    }
+    val nNew = newPoints.count()
+    val newTotal = meta.numPoints + nNew
+    val addedBase = ckpt(
+      GridHierarchy.baseRecords(newPoints, lngCol, latCol, idCol))
+    IncrementalGrid.validateIdRange(addedBase, meta.numPoints, newTotal)
+
+    // touched buckets, upfront from the batch's coordinates alone; the
+    // -1 bucket (coarse levels) always recomputes. Bounded by the bucket
+    // count, not the batch size.
+    val touched = addedBase
+      .select(packCell(rBucket(opts, meta.bucketZoom)).as("bucket"))
+      .distinct().collect().map(_.getLong(0))
+    val wanted = touched :+ -1L
+
+    // partition-pruned read: only the touched buckets reach the plan
+    val subset = decodeIds(
+      spark.read.schema(StoreSchema).parquet(s"$path/levels")
+        .where(col("bucket").isin(wanted.toIndexedSeq.map(Long.box): _*))
+        .select(DataCols.map(col): _*),
+      newTotal) // decode against the NEW total = the merge id shift, free
+
+    val (keep, emits) =
+      IncrementalGrid.recomputeTouched(subset, addedBase, opts, newTotal, ckpt)
+    // materialize before writing: the keep/identity frames are lazy over
+    // the very files dynamic overwrite will replace (and Spark refuses a
+    // write whose plan reads the target path)
+    val out = ckpt((keep +: emits).reduce(_ unionByName _))
+
+    encodeIds(out, newTotal)
+      .withColumn("bucket", bucketCol(opts, meta.bucketZoom))
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(s"$path/levels")
+    writeMeta(spark, path, meta.copy(numPoints = newTotal))
+    scratch.foreach(_.unpersist())
+    MergeStats(nNew, touched.length + 1L, listBuckets(spark, path).length.toLong)
+  }
+
+  /** The store's materialized bucket partitions (directory listing — no
+    * data scan).
+    */
+  def listBuckets(spark: SparkSession, path: String): Seq[Long] = {
+    val levels = new HPath(s"$path/levels")
+    val fs = FileSystem.get(URI.create(s"$path/levels"),
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(levels).toIndexedSeq.map(_.getPath.getName)
+      .filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toLong)
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cluster.{ClusterOptions, GridHierarchy, IndexStore}
+
+/** Storage-backed index: save/load bit-equality, mergeInto ≡ rebuild on
+  * the union, and the locality contract — a spatially-local ingest batch
+  * rewrites only its touched buckets (proved by file listing: untouched
+  * bucket files are byte-for-byte untouched), while a uniform batch
+  * degrades to rewriting them all, value-identically either way.
+  */
+class IndexStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L).drop(1)
+
+  private def pts(n: Int, seed: Long, from: Int = 0): Seq[(Long, Double, Double)] = {
+    val it = lcg(seed)
+    (0 until n).map { i =>
+      val a = (it.next() >>> 12) % 1000000L
+      val b = (it.next() >>> 12) % 1000000L
+      ((from + i).toLong, a / 1000000.0 * 360.0 - 180.0, b / 1000000.0 * 170.0 - 85.0)
+    }
+  }
+
+  /** A spatially-LOCAL batch: everything inside one ~0.5°×0.5° box. */
+  private def localPts(n: Int, seed: Long, from: Int): Seq[(Long, Double, Double)] = {
+    val it = lcg(seed)
+    (0 until n).map { i =>
+      val a = (it.next() >>> 12) % 1000000L
+      val b = (it.next() >>> 12) % 1000000L
+      ((from + i).toLong, 12.0 + a / 2000000.0, 47.0 + b / 2000000.0)
+    }
+  }
+
+  private def df(rows: Seq[(Long, Double, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("row_id", "lng", "lat")
+  }
+
+  private def canon(levels: DataFrame): Seq[String] = {
+    val cols = levels.columns.sorted.toIndexedSeq
+    levels.selectExpr(cols.map(c => s"`$c`"): _*)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toIndexedSeq
+  }
+
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_store_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  /** (relative file path → (size, mtime)) for every data file under
+    * levels/ — the rewrite-evidence snapshot.
+    */
+  private def fileState(path: String): Map[String, (Long, Long)] = {
+    val root = Paths.get(path, "levels")
+    val files = Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toList
+    files.map { p =>
+      root.relativize(p).toString ->
+        ((Files.size(p), Files.getLastModifiedTime(p).toMillis))
+    }.toMap
+  }
+
+  test("save → load is bit-equal to the built index") {
+    val built = GridHierarchy.build(df(pts(900, 5)))
+    val dir = freshDir("roundtrip")
+    IndexStore.save(built, dir, 900L)
+    assert(canon(IndexStore.load(spark, dir)) == canon(built))
+    val meta = IndexStore.readMeta(spark, dir)
+    assert(meta.numPoints == 900L && meta.bucketZoom == 2)
+  }
+
+  test("mergeInto(uniform batch) == rebuild on the union, totals updated") {
+    val base = pts(900, 11)
+    val batch = pts(300, 12, from = 900)
+    val dir = freshDir("uniform")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 900L)
+    val stats = IndexStore.mergeInto(spark, dir, df(batch))
+    assert(stats.ingested == 300L)
+    assert(IndexStore.readMeta(spark, dir).numPoints == 1200L)
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(base ++ batch))))
+  }
+
+  test("local batch rewrites only its touched buckets; untouched files are untouched") {
+    val base = pts(1000, 21)
+    val batch = localPts(120, 22, from = 1000)
+    val dir = freshDir("local")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 1000L)
+    val before = fileState(dir)
+    val stats = IndexStore.mergeInto(spark, dir, df(batch))
+
+    // the 0.5° box spans at most a 2×2 block of bucket cells (+ the coarse
+    // -1 bucket) — far below the global bucket count
+    assert(stats.rewrittenBuckets <= 5,
+      s"local batch touched ${stats.rewrittenBuckets} buckets")
+    assert(stats.totalBuckets > 20 * stats.rewrittenBuckets,
+      s"locality claim vacuous: ${stats.totalBuckets} total buckets")
+
+    // rewrite evidence: every pre-existing file outside the touched
+    // buckets is still the same file (size AND mtime); rewritten buckets
+    // get fresh files, so only untouched ones can match
+    val after = fileState(dir)
+    val unchanged = before.count { case (rel, st) => after.get(rel).contains(st) }
+    assert(unchanged >= before.size - stats.rewrittenBuckets.toInt,
+      s"expected >= ${before.size - stats.rewrittenBuckets} unchanged files, got $unchanged")
+
+    // and the result is still bit-equal to a fresh rebuild of the union
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(base ++ batch))))
+  }
+
+  test("chained merges through the store == one rebuild on everything") {
+    val base = pts(700, 31)
+    val b1 = localPts(100, 32, from = 700)
+    val b2 = pts(150, 33, from = 800)
+    val dir = freshDir("chained")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 700L)
+    IndexStore.mergeInto(spark, dir, df(b1))
+    IndexStore.mergeInto(spark, dir, df(b2))
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(base ++ b1 ++ b2))))
+  }
+
+  test("non-default minPoints rides the store metadata") {
+    val opts = ClusterOptions(minPoints = 5)
+    val base = pts(600, 41)
+    val batch = pts(200, 42, from = 600)
+    val dir = freshDir("minpoints")
+    IndexStore.save(GridHierarchy.build(df(base), opts), dir, 600L, opts)
+    IndexStore.mergeInto(spark, dir, df(batch))
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(base ++ batch), opts)))
+  }
+
+  test("empty batch is an identity merge") {
+    val base = pts(400, 51)
+    val dir = freshDir("empty")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 400L)
+    val beforeRows = canon(IndexStore.load(spark, dir))
+    IndexStore.mergeInto(spark, dir, df(Nil))
+    assert(IndexStore.readMeta(spark, dir).numPoints == 400L)
+    assert(canon(IndexStore.load(spark, dir)) == beforeRows)
+  }
+}
