@@ -105,6 +105,10 @@ object Bench {
     val incrBuild = timedBuild("incr_merge_build", Seq("q103")) {
       graft.operators.Spatial.warmIncrementalMergeIndex(spark, sfDir)
     }
+    // q104's store save + partial-rewrite merge (one-time cost, own key)
+    val storeBuild = timedBuild("store_merge_build", Seq("q104")) {
+      graft.operators.Spatial.warmStoreMergeIndex(spark, sfDir)
+    }
 
     // Per-query MEDIAN of SPARK_GRAFT_BENCH_REPS runs (default 3; the
     // reference times its query loop as median-of-10, benchmarks/run.ts:38-39)
@@ -649,7 +653,7 @@ object Bench {
     // sfDir/outPath must not break the "guaranteed parseable last line"
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val errors = (results ++ maskTimes ++ annFast ++ gridBuildLadder ++ incrMerge ++ ivfBuild ++ pqBuild ++ incrBuild ++ exactBuild10m)
+    val errors = (results ++ maskTimes ++ annFast ++ gridBuildLadder ++ incrMerge ++ ivfBuild ++ pqBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -693,6 +697,7 @@ object Bench {
     val ivfBuildJson =
       (if (ivfBuild.isEmpty) "" else s""","ivf_exact_build_sec":${ivfBuild.head._2}""") +
         (if (incrBuild.isEmpty) "" else s""","incr_merge_build_sec":${incrBuild.head._2}""") +
+        (if (storeBuild.isEmpty) "" else s""","store_merge_build_sec":${storeBuild.head._2}""") +
         (if (pqBuild.isEmpty) "" else s""","pq_exact_build_sec":${pqBuild.head._2}""")
     val ladder4mJson = queryLadder4m.map { l =>
       s""","query_ladder_4m_ms":${zoomsJson(l.rows)},"query_avg_4m_ms":${l.rowAvg}""" +

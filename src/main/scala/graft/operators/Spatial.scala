@@ -29,7 +29,8 @@ object Spatial {
     clusterChildren, clusterLeaves, hierarchyNavigation, materializedLeaves,
     geoParquetRoundtrip, gridHierarchyProfile, gridMinPointsProfile,
     distChildren, distLeaves, distNavigation, distMaterialize,
-    arrowIpcRoundtrip, zorderProfile, indexRoundtrip, incrementalMergeProfile)
+    arrowIpcRoundtrip, zorderProfile, indexRoundtrip, incrementalMergeProfile,
+    storeMergeProfile)
 
   /** The hierarchy is built once per (data dir, session, options) and shared
     * by every query on it (the reference's engine-rebuild gating, C1 — build
@@ -723,6 +724,42 @@ object Spatial {
   val incrementalMergeProfile: GraftQuery = GraftQuery.sql(
     "q103_incremental_merge", gridProfileSql) { (spark, dir) =>
     profileAgg(mergedIndex(spark, dir))
+  }
+
+  /** q103's ingest fold run through the STORAGE-BACKED index
+    * ([[graft.cluster.IndexStore]]): build on the first 90%, save as the
+    * bucket-partitioned store, fold the last 10% in via dynamic partition
+    * overwrite of only the touched buckets, reload, profile. Earns q44's
+    * full 17-level DuckDB fold oracle verbatim — a store roundtrip plus a
+    * partial-rewrite merge must be indistinguishable from a fresh build
+    * of the union (broken bucket routing, id re-offset, or overwrite
+    * scope would all surface as a hash mismatch).
+    */
+  private val storeMergePath =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private def storeMergeDir(spark: SparkSession, dir: String): String =
+    storeMergePath.computeIfAbsent((spark, dir), { _ =>
+      val pts = pointsDf(spark, dir)
+      val cut = (pts.count() * 9L) / 10L
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_store_merge").toString
+      graft.cluster.IndexStore.save(
+        MortonHierarchy.build(
+          pts.where(col("event_id") < cut), ClusterOptions(), "lng", "lat", "event_id"),
+        path, cut, ClusterOptions())
+      graft.cluster.IndexStore.mergeInto(
+        spark, path, pts.where(col("event_id") >= cut),
+        "lng", "lat", "event_id")
+      path
+    })
+
+  private[graft] def warmStoreMergeIndex(spark: SparkSession, dir: String): Unit = {
+    storeMergeDir(spark, dir); ()
+  }
+
+  val storeMergeProfile: GraftQuery = GraftQuery.sql(
+    "q104_store_merge", gridProfileSql) { (spark, dir) =>
+    profileAgg(graft.cluster.IndexStore.load(spark, storeMergeDir(spark, dir)))
   }
 
   /** Q7: leaves of the largest z3 cluster joined back to the source rows
