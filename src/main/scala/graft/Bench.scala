@@ -459,6 +459,50 @@ object Bench {
            else Seq.empty)
       }
 
+    // storage-backed merge (q104's scale claim, measured): same 1M base,
+    // but the index lives as the bucket-partitioned IndexStore and the
+    // ingest batch is spatially LOCAL (~0.5° box — the realistic
+    // region-update case), so the merge reads and rewrites only the
+    // touched buckets. The in-memory merge on the SAME batch is timed
+    // alongside: its delta recompute is identical by construction, so the
+    // difference is exactly the two full-index scans + whole-result
+    // persist the store variant never pays. The rewritten/total bucket
+    // counts ride along as evidence the rewrite really was partial.
+    val storeMerge: Seq[(String, Double, Boolean)] =
+      if (!sectionOn("store_merge")) Seq.empty
+      else {
+        import graft.cluster.{ClusterOptions, IncrementalGrid, IndexStore, MortonHierarchy}
+        import org.apache.spark.sql.functions.{hash, lit, pmod}
+        val opts = ClusterOptions(radius = 75)
+        val nBase = 1000000L
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
+        def t[A](key: String)(f: => A): Option[A] = {
+          val t0 = System.nanoTime()
+          try { val r = f; out += ((key, (System.nanoTime() - t0) / 1e9, true)); Some(r) }
+          catch { case NonFatal(_) =>
+            out += ((key, (System.nanoTime() - t0) / 1e9, false)); None }
+        }
+        val basePts = graft.io.SyntheticPoints.uniform(spark, nBase)
+        val newPts = spark.range(nBase, nBase + 10000).select(
+          col("id").as("row_id"),
+          (lit(12.0) + pmod(hash(col("id")), lit(100000)).cast("double") / 200000.0).as("lng"),
+          (lit(47.0) + pmod(hash(col("id") * 7), lit(100000)).cast("double") / 200000.0).as("lat"))
+        val dir = java.nio.file.Files.createTempDirectory("graft_bench_store").toString
+        val baseIdx = t("store_base_build_1m")(MortonHierarchy.build(basePts, opts))
+        baseIdx.foreach { ix =>
+          t("store_save_1m")(IndexStore.save(ix, dir, nBase, opts))
+          t("store_merge_local10k_1m")(
+            IndexStore.mergeInto(spark, dir, newPts)).foreach { st =>
+            out += (("store_rewritten_buckets", st.rewrittenBuckets.toDouble, true))
+            out += (("store_total_buckets", st.totalBuckets.toDouble, true))
+          }
+          t("incr_merge_local10k_1m")(
+            IncrementalGrid.merge(ix, newPts, nBase, opts)).foreach(_.unpersist(): Unit)
+          ix.unpersist(): Unit
+        }
+        out.toSeq
+      }
+
     // production-mode ANN kernels: q47/q63's oracle rows deliberately run
     // the decimal-exact replay (cross-engine reproducible, ~dim× heavier);
     // these entries time the fast double kernels shipping callers run
@@ -653,7 +697,7 @@ object Bench {
     // sfDir/outPath must not break the "guaranteed parseable last line"
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val errors = (results ++ maskTimes ++ annFast ++ gridBuildLadder ++ incrMerge ++ ivfBuild ++ pqBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
+    val errors = (results ++ maskTimes ++ annFast ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ ivfBuild ++ pqBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -690,6 +734,9 @@ object Bench {
     val incrMergeJson =
       if (incrMerge.isEmpty) ""
       else s""","incremental_merge":${jmap(incrMerge)}"""
+    val storeMergeJson =
+      if (storeMerge.isEmpty) ""
+      else s""","store_merge":${jmap(storeMerge)}"""
     val totalCold = resultsCold.map(_._2).sum
     val calibrationEnd = calibrationSec()
     val calibrationJson =
@@ -715,7 +762,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpusJson,"queries":${jmap(results)},""" +
         s""""queries_cold":${jmap(resultsCold)},"total_cold":$totalCold,""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$ranksBuildJson$gridLadderJson$incrMergeJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson,"sf":"${jstr(sfDir)}"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson,"sf":"${jstr(sfDir)}"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(

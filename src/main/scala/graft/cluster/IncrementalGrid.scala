@@ -102,7 +102,8 @@ object IncrementalGrid {
     val newTotal = oldTotalPoints + nNew
 
     val addedBase = dbg("added_base")(
-      ckpt(GridHierarchy.baseRecords(newPoints, lngCol, latCol, idCol)))
+      ckpt(GridHierarchy.baseRecords(newPoints, lngCol, latCol, idCol)
+        .repartition(deltaPartitions(newPoints.sparkSession, nNew))))
     validateIdRange(addedBase, oldTotalPoints, newTotal)
 
     // id-space re-offset: cluster ids (>= oldTotalPoints) shift by the
@@ -118,7 +119,7 @@ object IncrementalGrid {
       col("point_count"), col("is_cluster"), col("lng"), col("lat"),
       shift("child_rank"))
 
-    val (keep, emits) = recomputeTouched(shifted, addedBase, opts, newTotal, ckpt)
+    val (keep, emits) = recomputeTouched(shifted, addedBase, opts, newTotal, nNew, ckpt)
     val all = (keep +: emits).reduce(_ unionByName _)
       .persist(StorageLevel.MEMORY_AND_DISK)
     dbg("final_count")(all.count(): Unit)
@@ -149,11 +150,28 @@ object IncrementalGrid {
     * @return (keep, emits): stored rows no touched cell consumed, and the
     *         recomputed level frames — their union is the merged index
     */
+  /** The recompute runs ~2·levels sequential Spark jobs over DELTA-sized
+    * frames; at default parallelism each job pays full-width task
+    * scheduling for a few thousand rows (measured ~0.55 s/job at 10k —
+    * the merge's floor). Right-size the delta's cached partitioning to
+    * the batch instead: ~64k rows per partition, min 1, capped at the
+    * session's parallelism. All merge arithmetic is partition-invariant
+    * (the spec suite proves bit-equality under any layout), so this is
+    * purely a scheduling-overhead knob. Cellmates of a pathologically
+    * dense touched cell can exceed the estimate — a bigger task, still
+    * correct.
+    */
+  private def deltaPartitions(spark: org.apache.spark.sql.SparkSession, nNew: Long): Int = {
+    val cap = math.max(spark.sparkContext.defaultParallelism, 1)
+    math.max(1L, math.min(cap.toLong, nNew * 8 / 65536 + 1)).toInt
+  }
+
   private[cluster] def recomputeTouched(
       shifted: DataFrame,
       addedBase: DataFrame,
       opts: ClusterOptions,
       newTotal: Long,
+      nNew: Long,
       ckpt: DataFrame => DataFrame): (DataFrame, Seq[DataFrame]) = {
     // touched cells per pass, straight from the batch (property 3). Cell
     // ids embed the pass zoom in their low bits, so one flat set covers
@@ -195,7 +213,11 @@ object IncrementalGrid {
       .join(broadcast(prodTouched), Seq("_prod"), "left")
       .withColumn("_prod_touched", coalesce(col("_prod_touched"), lit(false)))
       .drop("_prod", "_splice")
-    val extract = ckpt(extractPre)
+    // delta-sized from here on: cache it in batch-proportional partitions
+    // so the per-pass jobs below schedule a handful of tasks, not the
+    // session's full width (the repartition itself moves only delta rows)
+    val extract = ckpt(extractPre.repartition(
+      deltaPartitions(shifted.sparkSession, nNew)))
 
     // identity-pass skip, the build's zStar idea on the delta: a pass is a
     // pure pass-through unless some touched cell actually FUSES (>= 2

@@ -209,7 +209,9 @@ object IndexStore {
     val nNew = newPoints.count()
     val newTotal = meta.numPoints + nNew
     val addedBase = ckpt(
-      GridHierarchy.baseRecords(newPoints, lngCol, latCol, idCol))
+      GridHierarchy.baseRecords(newPoints, lngCol, latCol, idCol)
+        .repartition(math.max(1, math.min(
+          spark.sparkContext.defaultParallelism, (nNew * 8 / 65536 + 1).toInt))))
     IncrementalGrid.validateIdRange(addedBase, meta.numPoints, newTotal)
 
     // touched buckets, upfront from the batch's coordinates alone; the
@@ -228,7 +230,7 @@ object IndexStore {
       newTotal) // decode against the NEW total = the merge id shift, free
 
     val (keep, emits) =
-      IncrementalGrid.recomputeTouched(subset, addedBase, opts, newTotal, ckpt)
+      IncrementalGrid.recomputeTouched(subset, addedBase, opts, newTotal, nNew, ckpt)
     // materialize before writing: the keep/identity frames are lazy over
     // the very files dynamic overwrite will replace (and Spark refuses a
     // write whose plan reads the target path)

@@ -38,7 +38,7 @@ object PipelineOps {
     Seq(trainSplit, sequencePacking, decontamination, sourceQuota,
       gopherRepetition, vocabulary, docChunking, jsonlRoundtrip, dupSpans,
       bpeMerges, mixtureSampling, bpeEncode, dupSpanRemoval, weightedSample,
-      fuzzyDecontamination)
+      fuzzyDecontamination, dsirSelection)
 
   /** FUZZY benchmark decontamination — q66's graded upgrade: instead of a
     * boolean any-overlap flag, the per-(train, eval) CONTAINMENT score
@@ -1042,5 +1042,107 @@ object PipelineOps {
       .where(col("rk") <= 5)
       .select(col("doc_id"), col("source"), col("ntok").as("n_tokens"), col("rk"))
       .orderBy("source", "rk")
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023): score every raw document by how much it looks like a TARGET
+    * domain, in a hashed n-gram feature space, as the log importance
+    * ratio log p_target(x)/p_raw(x) under bag-of-hashed-grams models.
+    * This is the selection method production pretraining pipelines run
+    * to up-weight wiki/book-like text from a web crawl.
+    *
+    * Shape, built for 100 TB: unigrams + bigrams hash into 256 buckets
+    * (first two md5 nibbles — the q64 determinism discipline: identical
+    * bytes → identical bucket in ANY engine, re-ingestion-stable). The
+    * ONLY corpus-sized shuffle is the per-(doc, bucket) count
+    * aggregation; both model distributions (target = src0-src2 here, raw
+    * = everything) are vocab-bounded 256-row aggregates OF that frame,
+    * and scoring joins the 256-row log-ratio table back broadcast. The
+    * per-bucket log ratio takes ONE ln of an integer-derived double
+    * (Laplace-smoothed count products — exact below 2^53), per-doc sums
+    * are DECIMAL(25,15) (partitioning-independent), and the published
+    * avg ratio rounds at 12 dp — the q81 cross-engine determinism
+    * recipe. Output is the scale-free per-gram average (band thresholds
+    * don't drift with corpus size); the actual resample step is exactly
+    * [[weightedSample]] (q96) run on `exp(avg_log_ratio)` weights, so
+    * the two operators compose into the paper's full pipeline.
+    */
+  val dsirSelection: GraftQuery = GraftQuery.sql(
+    "q105_dsir_selection",
+    """WITH docs AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+      |), grams AS (
+      |  SELECT doc_id, source, g FROM (
+      |    SELECT doc_id, source, unnest(tk) AS g FROM docs)
+      |  UNION ALL
+      |  SELECT doc_id, source, tk[i] || ' ' || tk[i+1] AS g
+      |  FROM docs, UNNEST(range(1, len(tk))) AS u(i)
+      |), fb AS (
+      |  SELECT doc_id, source,
+      |    (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) AS b
+      |  FROM grams
+      |), db AS (
+      |  SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM fb GROUP BY doc_id, source, b
+      |), tgt AS (
+      |  SELECT b, SUM(n) AS ct FROM db
+      |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY b
+      |), raw AS (
+      |  SELECT b, SUM(n) AS cr FROM db GROUP BY b
+      |), tot AS (
+      |  SELECT (SELECT SUM(ct) FROM tgt) AS t_total,
+      |         (SELECT SUM(cr) FROM raw) AS r_total
+      |), lr AS (
+      |  SELECT raw.b,
+      |    ln(((COALESCE(tgt.ct, 0) + 1) * (tot.r_total + 256))
+      |       / ((raw.cr + 1) * (tot.t_total + 256))) AS lr
+      |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+      |), scored AS (
+      |  SELECT db.doc_id, SUM(n) AS n_grams,
+      |    CAST(SUM(CAST(n * lr.lr AS DECIMAL(25,15))) AS DOUBLE) AS lp
+      |  FROM db JOIN lr USING (b) GROUP BY db.doc_id
+      |)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |  round(lp / n_grams, 12) AS avg_log_ratio,
+      |  CASE WHEN round(lp / n_grams, 12) >= 0.0 THEN 'target'
+      |       WHEN round(lp / n_grams, 12) >= -0.03 THEN 'neutral'
+      |       ELSE 'off_target' END AS dsir_band
+      |FROM scored ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    def nib(i: Int) =
+      expr(s"instr('0123456789abcdef', substring(md5(cast(g as binary)), $i, 1))") - 1
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+    val grams = docs.select(col("doc_id"), col("source"), explode(col("tk")).as("g"))
+      .unionByName(docs.where(size(col("tk")) >= 2)
+        .select(col("doc_id"), col("source"), explode(shingles(col("tk"), 2)).as("g")))
+    // the one corpus-sized shuffle; checkpointed because it feeds the two
+    // 256-row model aggregates AND the scoring join (q60's lifecycle)
+    val db = grams
+      .select(col("doc_id"), col("source"), (nib(1) * 16 + nib(2)).cast("int").as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tgt = db.where(col("source").isin("src0", "src1", "src2"))
+      .groupBy(col("b")).agg(sum(col("n")).as("ct"))
+    val raw = db.groupBy(col("b")).agg(sum(col("n")).as("cr"))
+    val tot = tgt.agg(sum(col("ct")).as("t_total"))
+      .join(raw.agg(sum(col("cr")).as("r_total")))
+    val lr = raw.join(tgt, Seq("b"), "left").join(tot)
+      .select(col("b"),
+        log(((coalesce(col("ct"), lit(0L)) + 1) * (col("r_total") + 256))
+          / ((col("cr") + 1) * (col("t_total") + 256))).as("lr"))
+    val scored = db.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_grams"),
+        sum((col("n") * col("lr")).cast(DecimalType(25, 15)))
+          .cast("double").as("lp"))
+    val alr = round(col("lp") / col("n_grams"), 12)
+    scored.select(col("doc_id"), col("n_grams"),
+      alr.as("avg_log_ratio"),
+      when(alr >= 0.0, "target").when(alr >= -0.03, "neutral")
+        .otherwise("off_target").as("dsir_band"))
+      .orderBy("doc_id")
   }
 }

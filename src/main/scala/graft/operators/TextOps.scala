@@ -22,7 +22,7 @@ object TextOps {
     minhashSignatures, ngramJaccardPairs, simhash, minhashLshPairs,
     bpeAndRollingHash, nearDupComponents, curationPipeline, bm25,
     bigramPerplexity, simhashHammingPairs, kmvDistinct, tfidfTopTerms,
-    pmiCollocations, sparseCosinePairs)
+    pmiCollocations, sparseCosinePairs, cmsHeavyHitters)
 
   /** Per-document perplexity under a bigram LM trained on the corpus
     * itself — the CCNet-style LM quality filter, self-contained so the
@@ -1109,5 +1109,91 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over corpus bigrams
+    * — the third mergeable sketch beside q85's KMV (distinct) and q93's
+    * histogram (quantiles): FREQUENCY estimation in O(d·w) state that
+    * merges by cell-wise ADDITION, the distributed/streaming counting
+    * primitive (a per-partition or per-micro-batch sketch sums into the
+    * global one losslessly — CmsSketchSpec proves merge-of-splits ≡
+    * whole). d = 4 rows × w = 512 cells; row j buckets by md5 nibbles
+    * 3j+1..3j+3 (non-overlapping ranges — independent-enough rows, and
+    * the q64 determinism discipline: any engine re-derives the same
+    * sketch from the same bytes). Estimate = min over rows; one-sided by
+    * construction (never under-counts; err ≤ e/w·N w.p. 1−e^−d). The
+    * query sketches ~916 distinct bigrams into 512 cells and reports the
+    * exact top-40 WITH their sketch estimates and realized overestimate
+    * — the honest-error display, same contract as q85/q93.
+    */
+  val cmsHeavyHitters: GraftQuery = GraftQuery.sql(
+    "q106_cms_heavy_hitters",
+    """WITH docs AS (
+      |  SELECT string_split(text, ' ') AS tk FROM documents
+      |), tk AS (
+      |  SELECT tk[i] || ' ' || tk[i+1] AS tok
+      |  FROM docs, UNNEST(range(1, len(tk))) AS u(i)
+      |), tc AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY tok
+      |), rows_ AS (SELECT unnest(range(0, 4)) AS j),
+      |buck AS (
+      |  SELECT tc.tok, tc.c, r.j,
+      |    ((strpos('0123456789abcdef', substr(md5(tc.tok), 3*r.j+1, 1)) - 1) * 256
+      |     + (strpos('0123456789abcdef', substr(md5(tc.tok), 3*r.j+2, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substr(md5(tc.tok), 3*r.j+3, 1)) - 1)) % 512 AS b
+      |  FROM tc CROSS JOIN rows_ r
+      |), cms AS (
+      |  SELECT j, b, SUM(c) AS cell FROM buck GROUP BY j, b
+      |), top AS (
+      |  SELECT tok, c FROM tc ORDER BY c DESC, tok LIMIT 40
+      |), est AS (
+      |  SELECT top.tok, top.c, MIN(cms.cell) AS cms_c
+      |  FROM top JOIN buck USING (tok)
+      |  JOIN cms ON cms.j = buck.j AND cms.b = buck.b
+      |  GROUP BY top.tok, top.c
+      |)
+      |SELECT tok AS token, c AS true_count, CAST(cms_c AS BIGINT) AS cms_count,
+      |  CAST(cms_c - c AS BIGINT) AS overestimate
+      |FROM est ORDER BY true_count DESC, token""".stripMargin) { (spark, dir) =>
+    val tc = Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(explode(shingles(col("tk"), 2)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocab-bounded; feeds sketch, top-k, and verify
+    val buck = cmsBuckets(tc, "tok")
+    val cms = buck.groupBy(col("j"), col("b")).agg(sum(col("c")).as("cell"))
+    val top = tc.orderBy(desc("c"), col("tok")).limit(40)
+    top.join(buck.select(col("tok"), col("j"), col("b")), Seq("tok"))
+      .join(broadcast(cms), Seq("j", "b"))
+      .groupBy(col("tok"), col("c"))
+      .agg(min(col("cell")).as("cms_c"))
+      .select(col("tok").as("token"), col("c").as("true_count"),
+        col("cms_c").as("cms_count"),
+        (col("cms_c") - col("c")).as("overestimate"))
+      .orderBy(desc("true_count"), col("token"))
+  }
+
+  /** The q106 hashing core on any (token, count) frame: the d×w bucket
+    * rows each token contributes to. A CMS is `cmsBuckets(...).groupBy(j,
+    * b).sum(c)` — and BECAUSE that is a plain sum, sketches of disjoint
+    * corpus slices merge by unioning the frames before (or summing the
+    * cells after) the aggregation, which is the whole scale story.
+    */
+  def cmsBuckets(
+      tokenCounts: org.apache.spark.sql.DataFrame,
+      tokCol: String,
+      d: Int = 4,
+      w: Int = 512): org.apache.spark.sql.DataFrame = {
+    require(d >= 1 && d <= 10 && w >= 2 && w <= 4096, "CMS shape out of range")
+    def nib(i: Int) =
+      expr(s"instr('0123456789abcdef', substring(md5(cast($tokCol as binary)), $i, 1))") - 1
+    val rows = (0 until d).map { j =>
+      struct(lit(j).as("j"),
+        ((nib(3 * j + 1) * 256 + nib(3 * j + 2) * 16 + nib(3 * j + 3)) % w)
+          .cast("int").as("b"))
+    }
+    tokenCounts.select(col(tokCol), col("c"), explode(array(rows: _*)).as("jb"))
+      .select(col(tokCol), col("c"), col("jb.j").as("j"), col("jb.b").as("b"))
   }
 }
