@@ -184,6 +184,22 @@ object IndexStore {
       meta.numPoints)
   }
 
+  /** The full query surface over a (possibly merged) store — bbox scans,
+    * children, paginated leaves, expansion zoom, navigation — i.e. the
+    * [[ClusterEngine.loadIndex]] deployment shape served directly off the
+    * partial-rewrite store: build once, fold ingest in bucket-by-bucket,
+    * query anywhere. Grid-mode levels always stamp `child_rank`, so
+    * insertion-order pagination is available exactly as in
+    * [[ClusterEngine.loadDistributed]].
+    */
+  def loadAsIndex(spark: SparkSession, path: String): ClusterIndex = {
+    import spark.implicits._
+    val meta = readMeta(spark, path)
+    val levels = load(spark, path).as[LevelRow]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    new ClusterIndex(levels, meta.numPoints, meta.opts, ranksAvailable = true)
+  }
+
   /** Fold an ingest batch into the store in place: read ONLY the touched
     * buckets (partition-pruned scan), re-run the level fold over their
     * membership through [[IncrementalGrid.recomputeTouched]] — the same

@@ -143,6 +143,32 @@ class IndexStoreSpec extends AnyFunSuite {
       canon(GridHierarchy.build(df(base ++ batch), opts)))
   }
 
+  test("loadAsIndex serves the full query surface, equal to a fresh distributed index") {
+    import graft.cluster.ClusterEngine
+    val base = pts(800, 61)
+    val batch = localPts(150, 62, from = 800)
+    val dir = freshDir("asindex")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 800L)
+    IndexStore.mergeInto(spark, dir, df(batch))
+    val fromStore = IndexStore.loadAsIndex(spark, dir)
+    val fresh = ClusterEngine.loadDistributed(df(base ++ batch))
+    try {
+      val world = (-180.0, -85.0, 180.0, 85.0)
+      (0 to 16 by 4).foreach { z =>
+        assert(canon(fromStore.getClusters(world, z)) == canon(fresh.getClusters(world, z)),
+          s"bbox scan diverged at z=$z")
+      }
+      val cl = fresh.getClusters(world, 3)
+        .where(org.apache.spark.sql.functions.col("is_cluster"))
+        .orderBy(org.apache.spark.sql.functions.desc("point_count"),
+          org.apache.spark.sql.functions.col("id"))
+        .select("id").head().getLong(0)
+      assert(canon(fromStore.getChildren(cl).toDF()) == canon(fresh.getChildren(cl).toDF()))
+      assert(canon(fromStore.getLeaves(cl, limit = 20).toDF()) ==
+        canon(fresh.getLeaves(cl, limit = 20).toDF()))
+    } finally { fromStore.unpersist(); fresh.unpersist(): Unit }
+  }
+
   test("empty batch is an identity merge") {
     val base = pts(400, 51)
     val dir = freshDir("empty")
