@@ -482,24 +482,41 @@ object Bench {
           catch { case NonFatal(_) =>
             out += ((key, (System.nanoTime() - t0) / 1e9, false)); None }
         }
-        val basePts = graft.io.SyntheticPoints.uniform(spark, nBase)
-        val newPts = spark.range(nBase, nBase + 10000).select(
-          col("id").as("row_id"),
-          (lit(12.0) + pmod(hash(col("id")), lit(100000)).cast("double") / 200000.0).as("lng"),
-          (lit(47.0) + pmod(hash(col("id") * 7), lit(100000)).cast("double") / 200000.0).as("lat"))
-        val dir = java.nio.file.Files.createTempDirectory("graft_bench_store").toString
-        val baseIdx = t("store_base_build_1m")(MortonHierarchy.build(basePts, opts))
-        baseIdx.foreach { ix =>
-          t("store_save_1m")(IndexStore.save(ix, dir, nBase, opts))
-          t("store_merge_local10k_1m")(
-            IndexStore.mergeInto(spark, dir, newPts)).foreach { st =>
-            out += (("store_rewritten_buckets", st.rewrittenBuckets.toDouble, true))
-            out += (("store_total_buckets", st.totalBuckets.toDouble, true))
+        def rung(nBase: Long, tag: String): Unit = {
+          val basePts = graft.io.SyntheticPoints.uniform(spark, nBase)
+          val newPts = spark.range(nBase, nBase + 10000).select(
+            col("id").as("row_id"),
+            (lit(12.0) + pmod(hash(col("id")), lit(100000)).cast("double") / 200000.0).as("lng"),
+            (lit(47.0) + pmod(hash(col("id") * 7), lit(100000)).cast("double") / 200000.0).as("lat"))
+          val dir = java.nio.file.Files.createTempDirectory("graft_bench_store").toString
+          val baseIdx = t(s"store_base_build_$tag")(MortonHierarchy.build(basePts, opts))
+          baseIdx.foreach { ix =>
+            t(s"store_save_$tag")(IndexStore.save(ix, dir, nBase, opts))
+            // base index released BEFORE the store merge: the store path
+            // must stand on its own I/O (and at 10M the cached index would
+            // otherwise fight the merge for the heap)
+            ix.unpersist(): Unit
+            t(s"store_merge_local10k_$tag")(
+              IndexStore.mergeInto(spark, dir, newPts)).foreach { st =>
+              out += ((s"store_rewritten_buckets_$tag", st.rewrittenBuckets.toDouble, true))
+              out += ((s"store_total_buckets_$tag", st.totalBuckets.toDouble, true))
+            }
           }
-          t("incr_merge_local10k_1m")(
-            IncrementalGrid.merge(ix, newPts, nBase, opts)).foreach(_.unpersist(): Unit)
-          ix.unpersist(): Unit
+          // in-memory comparator on the SAME batch (fresh build — the saved
+          // one was released above)
+          val cmpIdx = t(s"incr_base_rebuild_$tag")(MortonHierarchy.build(basePts, opts))
+          cmpIdx.foreach { ix2 =>
+            t(s"incr_merge_local10k_$tag")(
+              IncrementalGrid.merge(ix2, newPts, nBase, opts)).foreach(_.unpersist(): Unit)
+            ix2.unpersist(): Unit
+          }
         }
+        // default rung: 1M. The 10M rung is OPT-IN — it is the datapoint
+        // where the in-memory merge hits the 2x-working-set spill (48 s,
+        // bench_incr_merge.json) while the store merge only ever touches
+        // O(touched buckets) regardless of base size.
+        rung(1000000L, "1m")
+        if (only.exists(_.contains("store_merge_10m"))) rung(10000000L, "10m")
         out.toSeq
       }
 

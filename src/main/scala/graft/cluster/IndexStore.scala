@@ -184,6 +184,74 @@ object IndexStore {
       meta.numPoints)
   }
 
+  /** Q1/Q2 served STRAIGHT OFF THE STORE, reading only the buckets the
+    * bbox overlaps — no index load, no cache warm-up: the partition key
+    * is the row's position's `bucketZoom` cell, so a map-tile query
+    * plans as a partition-pruned scan of a handful of bucket files (the
+    * 100 TB cold-serve shape; [[loadAsIndex]] is the hot-serve shape).
+    * Coarse levels (zoom ≤ bucketZoom) all live in the `-1` bucket, so a
+    * coarse query reads exactly that one small partition. Same bbox
+    * normalization as [[ClusterIndex.getClusters]] (wrap, clamp,
+    * antimeridian OR-of-ranges), same output columns — IndexStoreSpec
+    * pins row-for-row equality. Candidate buckets come from monotonicity
+    * (IEEE division by a positive constant is monotone, so a row with mx
+    * in [x0, x1] has its bucket in [floor(x0/rB), floor(x1/rB)]);
+    * a bbox covering more than `maxPruneBuckets` candidates falls back
+    * to the unpruned scan rather than building a giant IN-list.
+    */
+  def getClusters(
+      spark: SparkSession,
+      path: String,
+      bbox: (Double, Double, Double, Double),
+      zoom: Int,
+      maxPruneBuckets: Int = 4096): DataFrame = {
+    val meta = readMeta(spark, path)
+    val opts = meta.opts
+    // P10/P11 normalization — the same arithmetic as ClusterIndex
+    val (minLng0, minLat, maxLng0, maxLat) = bbox
+    val wholeWorld = maxLng0 - minLng0 >= 360.0
+    val minLng =
+      if (wholeWorld) -180.0 else ((minLng0 + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    val maxLng =
+      if (wholeWorld) 180.0 else ((maxLng0 + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    val minY = graft.geo.Mercator.latY(math.min(math.max(maxLat, -90.0), 90.0))
+    val maxY = graft.geo.Mercator.latY(math.min(math.max(minLat, -90.0), 90.0))
+    val xRanges =
+      if (wholeWorld) Seq.empty
+      else if (minLng > maxLng)
+        Seq((graft.geo.Mercator.lngX(minLng), graft.geo.Mercator.lngX(180.0)),
+          (graft.geo.Mercator.lngX(-180.0), graft.geo.Mercator.lngX(maxLng)))
+      else Seq((graft.geo.Mercator.lngX(minLng), graft.geo.Mercator.lngX(maxLng)))
+    val z = math.max(opts.minZoom, math.min(zoom, opts.maxZoom + 1))
+
+    val spatial = math.max(z - 1, opts.minZoom) >= meta.bucketZoom
+    val rB = rBucket(opts, meta.bucketZoom)
+    val candidates: Option[Seq[Long]] =
+      if (!spatial) Some(Seq(-1L)) // the whole coarse level is one partition
+      else if (xRanges.isEmpty) None // whole world: pruning is a no-op
+      else {
+        val ids = for {
+          (x0, x1) <- xRanges
+          bx <- math.floor(x0 / rB).toLong to math.floor(x1 / rB).toLong
+          by <- math.floor(minY / rB).toLong to math.floor(maxY / rB).toLong
+        } yield (bx << 20) | by
+        val d = ids.distinct
+        if (d.size > maxPruneBuckets) None else Some(d)
+      }
+    val base = spark.read.schema(StoreSchema).parquet(s"$path/levels")
+    val prunedScan = candidates.fold(base)(c =>
+      base.where(col("bucket").isin(c.map(Long.box): _*)))
+    val inY = col("my") >= minY && col("my") <= maxY
+    val inX = xRanges.map { case (lo, hi) => col("mx") >= lo && col("mx") <= hi }
+      .reduceOption(_ || _).getOrElse(lit(true))
+    decodeIds(
+      prunedScan.where(col("zoom") === z && inX && inY)
+        .select(DataCols.map(col): _*),
+      meta.numPoints)
+      .select(col("id"), col("lng"), col("lat"), col("point_count"),
+        col("is_cluster"), col("mx"), col("my"))
+  }
+
   /** The full query surface over a (possibly merged) store — bbox scans,
     * children, paginated leaves, expansion zoom, navigation — i.e. the
     * [[ClusterEngine.loadIndex]] deployment shape served directly off the

@@ -169,6 +169,80 @@ class IndexStoreSpec extends AnyFunSuite {
     } finally { fromStore.unpersist(); fresh.unpersist(): Unit }
   }
 
+  test("getClusters off the store == the loaded index's, reading only overlapping buckets") {
+    val base = pts(1200, 81)
+    val dir = freshDir("bboxq")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 1200L)
+    val idx = IndexStore.loadAsIndex(spark, dir)
+    try {
+      val cases = Seq(
+        ((10.0, 40.0, 14.0, 44.0), 12),  // map-tile-ish box, fine zoom
+        ((10.0, 40.0, 14.0, 44.0), 1),   // same box, coarse zoom (-1 bucket)
+        ((170.0, -20.0, -170.0, 20.0), 9), // antimeridian crossing
+        ((-180.0, -85.0, 180.0, 85.0), 5)) // whole world
+      cases.foreach { case (bbox, z) =>
+        val fromStore = IndexStore.getClusters(spark, dir, bbox, z)
+        assert(canon(fromStore) == canon(idx.getClusters(bbox, z)),
+          s"bbox=$bbox z=$z diverged")
+      }
+      // pruning evidence: the small-box fine-zoom scan READS a handful of
+      // bucket files, not the store's full file census (the executed
+      // scan's numFiles metric — DataFrame.inputFiles ignores partition
+      // filters and would report the whole store)
+      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def walk(p: SparkPlan): Seq[SparkPlan] = {
+          val kids = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case s: QueryStageExec => Seq(s.plan)
+            case o => o.children
+          }
+          p +: kids.flatMap(walk)
+        }
+        walk(df.queryExecution.executedPlan).collect {
+          case f: FileSourceScanExec => f.metrics.get("numFiles").map(_.value).getOrElse(0L)
+        }.sum
+      }
+      val total = IndexStore.listBuckets(spark, dir).size
+      val small = filesRead(IndexStore.getClusters(spark, dir, (10.0, 40.0, 14.0, 44.0), 12))
+      assert(small < total / 4, s"expected a pruned read, got $small of ~$total files")
+      val coarse = filesRead(IndexStore.getClusters(spark, dir, (10.0, 40.0, 14.0, 44.0), 1))
+      assert(coarse <= 2, s"coarse query must read only the -1 bucket, got $coarse")
+    } finally idx.unpersist(): Unit
+  }
+
+  test("streaming ingest into the store: foreachBatch + mergeInto == rebuild") {
+    // the full deployment loop: a saved store, a point stream, one
+    // partial-rewrite merge per micro-batch through the REAL streaming
+    // engine — the living store must be bit-equal to a from-scratch
+    // build on everything, and still serve the query surface
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = pts(900, 71)
+    val (basePts, streamPts) = all.splitAt(600)
+    val dir = freshDir("streaming")
+    IndexStore.save(GridHierarchy.build(df(basePts)), dir, 600L)
+
+    val input = MemoryStream[(Long, Double, Double)]
+    val q = input.toDS().toDF("row_id", "lng", "lat").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { IndexStore.mergeInto(spark, dir, batch); () }
+      }
+      .start()
+    try {
+      input.addData(streamPts.take(150))
+      q.processAllAvailable()
+      input.addData(streamPts.drop(150))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(IndexStore.readMeta(spark, dir).numPoints == 900L)
+    assert(canon(IndexStore.load(spark, dir)) == canon(GridHierarchy.build(df(all))))
+  }
+
   test("empty batch is an identity merge") {
     val base = pts(400, 51)
     val dir = freshDir("empty")

@@ -199,6 +199,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "candidates must surface through the df-bounded inverted-index equi-join")
   }
 
+  test("q105 DSIR: scoring rides a broadcast of the 256-row log-ratio table") {
+    val p = executedPlan("q105_dsir_selection")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bucket log-ratio table must broadcast onto the per-doc counts")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q106 CMS: top-k is a distributed TakeOrdered, sketch joins broadcast") {
+    val p = executedPlan("q106_cms_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the exact top-40 must come from TakeOrdered, not a global sort")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("ALL registry queries: every partition-less window sorts only limit-bounded input") {
     import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
