@@ -139,17 +139,25 @@ object IndexStore {
     * the bucketed store. One shuffle on the bucket key so each bucket is
     * one file (salt at scale — see class doc).
     */
+  /** @param saltFiles files per bucket (default 1). When a single bucket
+    *   outgrows one write task (a hot city at 100 TB), salting spreads
+    *   its rows over `saltFiles` tasks/files; readers and the merge are
+    *   unaffected (they address whole bucket DIRECTORIES), and the salt
+    *   is derived from the row id so it is deterministic.
+    */
   def save(
       index: DataFrame,
       path: String,
       totalPoints: Long,
       opts: ClusterOptions = ClusterOptions(),
-      bucketZoom: Int = 2): Unit = {
+      bucketZoom: Int = 2,
+      saltFiles: Int = 1): Unit = {
     requireBucketZoom(opts, bucketZoom)
+    require(saltFiles >= 1, "saltFiles must be >= 1")
     val spark = index.sparkSession
     encodeIds(index.select(DataCols.map(col): _*), totalPoints)
       .withColumn("bucket", bucketCol(opts, bucketZoom))
-      .repartition(col("bucket"))
+      .repartition(col("bucket"), pmod(col("id"), lit(saltFiles.toLong)))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/levels")
     writeMeta(spark, path,
       StoreMeta(totalPoints, opts.minZoom, opts.maxZoom, opts.radius,

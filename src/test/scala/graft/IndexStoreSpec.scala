@@ -243,6 +243,20 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(canon(IndexStore.load(spark, dir)) == canon(GridHierarchy.build(df(all))))
   }
 
+  test("salted save: multiple files per bucket, same rows back, merges unaffected") {
+    val base = pts(800, 91)
+    val batch = pts(100, 92, from = 800)
+    val dir = freshDir("salted")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 800L, saltFiles = 3)
+    val perBucket = fileState(dir).keys.groupBy(_.takeWhile(_ != '/')).view.mapValues(_.size)
+    assert(perBucket.values.max <= 3 && perBucket.values.exists(_ > 1),
+      "salting should spread at least one bucket over multiple files")
+    assert(canon(IndexStore.load(spark, dir)) == canon(GridHierarchy.build(df(base))))
+    IndexStore.mergeInto(spark, dir, df(batch))
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(base ++ batch))))
+  }
+
   test("empty batch is an identity merge") {
     val base = pts(400, 51)
     val dir = freshDir("empty")
