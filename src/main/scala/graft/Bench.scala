@@ -488,7 +488,7 @@ object Bench {
             col("id").as("row_id"),
             (lit(12.0) + pmod(hash(col("id")), lit(100000)).cast("double") / 200000.0).as("lng"),
             (lit(47.0) + pmod(hash(col("id") * 7), lit(100000)).cast("double") / 200000.0).as("lat"))
-          val dir = java.nio.file.Files.createTempDirectory("graft_bench_store").toString
+          val dir = graft.io.Scratch.dir("graft_bench_store")
           val baseIdx = t(s"store_base_build_$tag")(MortonHierarchy.build(basePts, opts))
           baseIdx.foreach { ix =>
             t(s"store_save_$tag")(IndexStore.save(ix, dir, nBase, opts))

@@ -2,7 +2,6 @@ package graft.cluster
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Incremental maintenance of the grid/Morton hierarchy: fold a batch of
   * new points into an EXISTING index, bit-equal to rebuilding from
@@ -120,9 +119,14 @@ object IncrementalGrid {
       shift("child_rank"))
 
     val (keep, emits) = recomputeTouched(shifted, addedBase, opts, newTotal, nNew, ckpt)
-    val all = (keep +: emits).reduce(_ unionByName _)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    dbg("final_count")(all.count(): Unit)
+    // the final union is LOCAL-CHECKPOINTED (eager — the materialization
+    // the persist+count pair used to do), not merely persisted: its
+    // lineage runs through the scratch checkpoints unpersisted below, so
+    // a persist-only result would become unrecomputable ('checkpoint
+    // block not found') on any cached-block loss; truncating the lineage
+    // first makes the scratch release safe by construction
+    val all = dbg("final_ckpt")(
+      (keep +: emits).reduce(_ unionByName _).localCheckpoint())
     scratch.foreach(_.unpersist())
     all
   }
@@ -161,7 +165,7 @@ object IncrementalGrid {
     * dense touched cell can exceed the estimate — a bigger task, still
     * correct.
     */
-  private def deltaPartitions(spark: org.apache.spark.sql.SparkSession, nNew: Long): Int = {
+  private[cluster] def deltaPartitions(spark: org.apache.spark.sql.SparkSession, nNew: Long): Int = {
     val cap = math.max(spark.sparkContext.defaultParallelism, 1)
     math.max(1L, math.min(cap.toLong, nNew * 8 / 65536 + 1)).toInt
   }

@@ -58,9 +58,18 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
+  /** @param levelsRows the level-row count the last commit wrote — the
+    *   torn-merge marker [[validate]] checks (a non-empty merge always
+    *   changes it: the base level alone grows by the batch size, so a
+    *   crash between the levels overwrite and the meta write can no
+    *   longer serve stale decode totals silently)
+    * @param epoch merge counter, bumped per [[mergeInto]] — commit
+    *   provenance for operators chaining many ingest windows
+    */
   final case class StoreMeta(
       numPoints: Long, minZoom: Int, maxZoom: Int, radius: Double,
-      extent: Double, minPoints: Int, bucketZoom: Int) {
+      extent: Double, minPoints: Int, bucketZoom: Int,
+      levelsRows: Long, epoch: Long) {
     def opts: ClusterOptions =
       ClusterOptions(minZoom, maxZoom, radius, extent, minPoints)
   }
@@ -155,30 +164,88 @@ object IndexStore {
     requireBucketZoom(opts, bucketZoom)
     require(saltFiles >= 1, "saltFiles must be >= 1")
     val spark = index.sparkSession
-    encodeIds(index.select(DataCols.map(col): _*), totalPoints)
+    val data = encodeIds(index.select(DataCols.map(col): _*), totalPoints)
       .withColumn("bucket", bucketCol(opts, bucketZoom))
-      .repartition(col("bucket"), pmod(col("id"), lit(saltFiles.toLong)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/levels")
+    // Salting needs an EXPLICIT partition count: a keys-only repartition
+    // is an AQE-coalescible exchange, and AQE happily folds a small salted
+    // write into one task — every bucket then lands in a single file and
+    // saltFiles silently does nothing (the r9 defect: the hot-bucket
+    // escape hatch no-oped exactly when a 100x scale-up would need it).
+    // A user-specified numPartitions is exempt from AQE coalescing, so
+    // size it to the salt-group count (occupied buckets × saltFiles — one
+    // extra distinct-count job, paid only on salted saves).
+    val parted =
+      if (saltFiles == 1) data.repartition(col("bucket"))
+      else {
+        val nBuckets = data.select(col("bucket")).distinct().count()
+        val nParts = math.max(1L, math.min(nBuckets * saltFiles, 1L << 18)).toInt
+        data.repartition(nParts, col("bucket"), pmod(col("id"), lit(saltFiles.toLong)))
+      }
+    parted.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/levels")
     writeMeta(spark, path,
       StoreMeta(totalPoints, opts.minZoom, opts.maxZoom, opts.radius,
-        opts.extent, opts.minPoints, bucketZoom))
+        opts.extent, opts.minPoints, bucketZoom,
+        levelsRowCount(spark, path), epoch = 0L))
   }
 
+  /** Footer-metadata row count of the levels table (a count over a bare
+    * parquet scan is answered from row-group statistics — no data read).
+    */
+  private def levelsRowCount(spark: SparkSession, path: String): Long =
+    spark.read.schema(StoreSchema).parquet(s"$path/levels").count()
+
+  /** Meta commits via write-new-then-rename: a crash can no longer leave a
+    * half-written `meta` directory a reader would decode against. The swap
+    * keeps the previous meta as `meta_old` until the new one is in place,
+    * and [[readMeta]] falls back to it, so every crash window serves a
+    * COMPLETE meta (possibly the pre-merge one — which [[validate]] then
+    * flags against the levels' actual row count instead of serving it
+    * silently).
+    */
   private def writeMeta(spark: SparkSession, path: String, m: StoreMeta): Unit = {
     import spark.implicits._
     Seq((m.numPoints, m.minZoom, m.maxZoom, m.radius, m.extent, m.minPoints,
-      m.bucketZoom))
+      m.bucketZoom, m.levelsRows, m.epoch))
       .toDF("num_points", "min_zoom", "max_zoom", "radius", "extent",
-        "min_points", "bucket_zoom")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+        "min_points", "bucket_zoom", "levels_rows", "epoch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_new")
+    val fs = FileSystem.get(URI.create(path),
+      spark.sparkContext.hadoopConfiguration)
+    val metaDir = new HPath(s"$path/meta")
+    val oldDir = new HPath(s"$path/meta_old")
+    fs.delete(oldDir, true)
+    if (fs.exists(metaDir)) { fs.rename(metaDir, oldDir); () }
+    fs.rename(new HPath(s"$path/meta_new"), metaDir)
+    fs.delete(oldDir, true)
+    ()
   }
 
   def readMeta(spark: SparkSession, path: String): StoreMeta = {
-    val r = spark.read.parquet(s"$path/meta").collect()(0)
+    val fs = FileSystem.get(URI.create(path),
+      spark.sparkContext.hadoopConfiguration)
+    val dir =
+      if (fs.exists(new HPath(s"$path/meta"))) s"$path/meta" else s"$path/meta_old"
+    val r = spark.read.parquet(dir).collect()(0)
     StoreMeta(r.getAs[Long]("num_points"), r.getAs[Int]("min_zoom"),
       r.getAs[Int]("max_zoom"), r.getAs[Double]("radius"),
       r.getAs[Double]("extent"), r.getAs[Int]("min_points"),
-      r.getAs[Int]("bucket_zoom"))
+      r.getAs[Int]("bucket_zoom"), r.getAs[Long]("levels_rows"),
+      r.getAs[Long]("epoch"))
+  }
+
+  /** Torn-merge detection: the levels' actual row count (footer metadata,
+    * no data scan) must equal what the same commit's meta recorded. A
+    * crash between [[mergeInto]]'s levels overwrite and its meta write
+    * leaves the pre-merge meta against post-merge levels — caught here
+    * instead of silently decoding ids against a stale total.
+    */
+  def validate(spark: SparkSession, path: String): Unit = {
+    val meta = readMeta(spark, path)
+    val actual = levelsRowCount(spark, path)
+    require(actual == meta.levelsRows,
+      s"torn store at $path: levels hold $actual rows but meta (epoch " +
+        s"${meta.epoch}) recorded ${meta.levelsRows} — a merge did not " +
+        "commit both halves; restore from the last good commit")
   }
 
   /** The full level table, ids decoded into the live id space — bit-equal
@@ -238,13 +305,25 @@ object IndexStore {
       if (!spatial) Some(Seq(-1L)) // the whole coarse level is one partition
       else if (xRanges.isEmpty) None // whole world: pruning is a no-op
       else {
-        val ids = for {
-          (x0, x1) <- xRanges
-          bx <- math.floor(x0 / rB).toLong to math.floor(x1 / rB).toLong
-          by <- math.floor(minY / rB).toLong to math.floor(maxY / rB).toLong
-        } yield (bx << 20) | by
-        val d = ids.distinct
-        if (d.size > maxPruneBuckets) None else Some(d)
+        // Count BEFORE enumerating: a wide bbox on a deep bucket grid (up
+        // to ~2^20 cells per axis) can span billions of candidate cells;
+        // the unpruned-scan fallback must trigger from Long range sizes,
+        // not after materializing the tuples on the driver. Spans are
+        // < 2^20 per axis (requireBucketZoom), so the products fit a Long.
+        val byLo = math.floor(minY / rB).toLong
+        val byHi = math.floor(maxY / rB).toLong
+        val spans = xRanges.map { case (x0, x1) =>
+          (math.floor(x0 / rB).toLong, math.floor(x1 / rB).toLong)
+        }
+        val nCand = spans.map { case (bxLo, bxHi) =>
+          (bxHi - bxLo + 1L) * (byHi - byLo + 1L)
+        }.sum
+        if (nCand > maxPruneBuckets) None
+        else Some((for {
+          (bxLo, bxHi) <- spans
+          bx <- bxLo to bxHi
+          by <- byLo to byHi
+        } yield (bx << 20) | by).distinct)
       }
     val base = spark.read.schema(StoreSchema).parquet(s"$path/levels")
     val prunedScan = candidates.fold(base)(c =>
@@ -270,6 +349,7 @@ object IndexStore {
     */
   def loadAsIndex(spark: SparkSession, path: String): ClusterIndex = {
     import spark.implicits._
+    validate(spark, path) // footer-count vs meta — torn merges stop here
     val meta = readMeta(spark, path)
     val levels = load(spark, path).as[LevelRow]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -302,8 +382,7 @@ object IndexStore {
     val newTotal = meta.numPoints + nNew
     val addedBase = ckpt(
       GridHierarchy.baseRecords(newPoints, lngCol, latCol, idCol)
-        .repartition(math.max(1, math.min(
-          spark.sparkContext.defaultParallelism, (nNew * 8 / 65536 + 1).toInt))))
+        .repartition(IncrementalGrid.deltaPartitions(spark, nNew)))
     IncrementalGrid.validateIdRange(addedBase, meta.numPoints, newTotal)
 
     // touched buckets, upfront from the batch's coordinates alone; the
@@ -334,7 +413,8 @@ object IndexStore {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(s"$path/levels")
-    writeMeta(spark, path, meta.copy(numPoints = newTotal))
+    writeMeta(spark, path, meta.copy(numPoints = newTotal,
+      levelsRows = levelsRowCount(spark, path), epoch = meta.epoch + 1L))
     scratch.foreach(_.unpersist())
     MergeStats(nNew, touched.length + 1L, listBuckets(spark, path).length.toLong)
   }

@@ -741,8 +741,7 @@ object Spatial {
     storeMergeIdx.computeIfAbsent((spark, dir), { _ =>
       val pts = pointsDf(spark, dir)
       val cut = (pts.count() * 9L) / 10L
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_store_merge").toString
+      val path = graft.io.Scratch.dir("graft_store_merge")
       // bucketZoom 1 for this corpus size: q104's ingest slice is uniform
       // (ids must continue the id space, so the batch can't be spatially
       // local) — the degenerate full-rewrite case — and the store should
