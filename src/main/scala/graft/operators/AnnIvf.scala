@@ -267,7 +267,8 @@ object AnnIvf {
       vecCol: String = "embedding",
       targetRecall: Double = 0.9,
       sampleSize: Int = 32,
-      topK: Int = 3): Int = {
+      topK: Int = 3,
+      l2Truth: Boolean = false): Int = {
     val cents = centroids
       .select(col("_c").cast("int"), col("_cv").cast("array<double>"))
       .collect()
@@ -287,21 +288,42 @@ object AnnIvf {
       .orderBy(col("query_id")).limit(sampleSize)
 
     // exact top-topK of each sampled query, carrying the true neighbor's
-    // assigned centroid — one scan of the indexed corpus
-    // norm² hoisted below the join on both sides (same values, ~3× less
-    // decimal work per pair — the [[search]] rescore discipline)
+    // assigned centroid — one scan of the indexed corpus.
+    // `l2Truth` flips the truth metric to squared L2 (what the PQ rescore
+    // ranks by — AnnIvfPq calibrates against the neighbors ITS search must
+    // reach), while probe ranks below stay cosine — the ordering search's
+    // probe selection actually uses, in both compositions.
+    // Cosine mode: norm² hoisted below the join on both sides (same
+    // values, ~3× less decimal work per pair — the [[search]] rescore
+    // discipline)
     val withNorm = (c: Column) => VectorFunctions.normSqExact(c).cast("double")
-    val rw = Window.partitionBy(col("query_id")).orderBy(desc("_cos"), col("neighbor_id"))
-    val truth = broadcast(sample.withColumn("_qnsq", withNorm(col("_qv"))))
-      .join(indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"),
-        col("_centroid").as("_nc"))
-        .withColumn("_nnsq", withNorm(col("_nv"))))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("_qv"), col("neighbor_id"),
-        col("_nc").cast("int").as("_nc"),
-        nanvl(VectorFunctions.cosineFromNormSq(
-          col("_qv"), col("_nv"), col("_qnsq"), col("_nnsq")),
-          lit(-2.0)).as("_cos"))
+    val rw =
+      if (l2Truth)
+        Window.partitionBy(col("query_id")).orderBy(col("_score"), col("neighbor_id"))
+      else
+        Window.partitionBy(col("query_id")).orderBy(desc("_score"), col("neighbor_id"))
+    val scored =
+      if (l2Truth)
+        broadcast(sample)
+          .join(indexed.select(col(idCol).as("neighbor_id"),
+            col(vecCol).cast("array<double>").as("_nv"),
+            col("_centroid").as("_nc")))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("_qv"), col("neighbor_id"),
+            col("_nc").cast("int").as("_nc"),
+            AnnPq.sqDist(col("_qv"), col("_nv")).as("_score"))
+      else
+        broadcast(sample.withColumn("_qnsq", withNorm(col("_qv"))))
+          .join(indexed.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"),
+            col("_centroid").as("_nc"))
+            .withColumn("_nnsq", withNorm(col("_nv"))))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("_qv"), col("neighbor_id"),
+            col("_nc").cast("int").as("_nc"),
+            nanvl(VectorFunctions.cosineFromNormSq(
+              col("_qv"), col("_nv"), col("_qnsq"), col("_nnsq")),
+              lit(-2.0)).as("_score"))
+    val truth = scored
       .withColumn("_rk", row_number().over(rw))
       .where(col("_rk") <= topK)
       .select("query_id", "_qv", "_nc")

@@ -155,4 +155,53 @@ object AnnIvfPq {
       .withColumn("rk", row_number().over(we).cast("long"))
       .where(col("rk") <= topK)
   }
+
+  /** Calibrated probe count for the COMPOSED path: [[AnnIvf.autoNprobe]]'s
+    * rank method (probe ranks use search's own cosine ordering) with the
+    * truth metric flipped to squared L2 — the metric [[search]]'s exact
+    * re-rank returns neighbors by, so the calibration asks "how deep must
+    * I probe to reach the L2-true neighbors", not the cosine-true ones.
+    * The PQ quantization loss inside a probed list is recovered by the
+    * `topK·refine` exact re-rank, so probe depth is the composition's
+    * only unbounded recall loss — exactly what this bounds. `coded`
+    * carries list assignments but not vectors (the whole point of PQ), so
+    * the original `emb` joins its vectors back for the sample scan.
+    */
+  def autoNprobe(
+      coded: DataFrame,
+      centroids: DataFrame,
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      targetRecall: Double = 0.9,
+      sampleSize: Int = 32,
+      topK: Int = 3): Int = {
+    val indexedLike = emb.select(col(idCol), col(vecCol))
+      .join(coded.select(col(idCol), col("_centroid")), Seq(idCol))
+    AnnIvf.autoNprobe(indexedLike, centroids, idCol, vecCol,
+      targetRecall, sampleSize, topK, l2Truth = true)
+  }
+
+  /** [[search]] with the probe count chosen by [[autoNprobe]] — the
+    * default composed path (mirrors [[AnnIvf.searchAuto]]). The fixed
+    * `nprobe = 4` default measured recall@3 0.70 on the near-uniform sf0.1
+    * fixture; a caller who has not placed their corpus on the recall/cost
+    * curve should come through here.
+    */
+  def searchAuto(
+      queries: DataFrame,
+      coded: DataFrame,
+      centroids: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      targetRecall: Double = 0.9,
+      topK: Int = 3,
+      refine: Int = 100,
+      exactScores: Boolean = false): DataFrame =
+    search(queries, coded, centroids, codebooks, emb, idCol, vecCol,
+      nprobe = autoNprobe(coded, centroids, emb, idCol, vecCol,
+        targetRecall, topK = topK),
+      topK = topK, refine = refine, exactScores = exactScores)
 }

@@ -111,4 +111,56 @@ class AnnIvfPqSpec extends AnyFunSuite {
         s"neighbor $nid of query $qid came from an unprobed list")
     }
   }
+
+  test("searchAuto reaches the 0.9 recall target on BOTH corpus regimes") {
+    // the r9 gap: the composed path's fixed nprobe=4 default measured
+    // recall@3 0.70 on the near-uniform fixture — the worst default on
+    // the ladder. searchAuto must calibrate probe depth per corpus (L2
+    // truth — what the exact re-rank returns by) and the SEARCHED recall
+    // must clear the target in both regimes (0.85 asserted: the
+    // calibration is a 32-query sample estimate, same slack as
+    // AnnIvfSpec's).
+    def measuredRecall(corpus: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val (indexed, centroids) = AnnIvf.buildIndex(corpus)
+      val cb = AnnPq.train(corpus, exactMeans = false)
+      val coded = AnnIvfPq.index(indexed, AnnPq.encode(corpus, cb)).cache()
+      val queries = corpus.where(col("vec_id") < 50)
+      val got = AnnIvfPq.searchAuto(queries, coded, centroids, cb, corpus)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      coded.unpersist()
+      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+      val exact = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          aggregate(zip_with(col("qv").cast("array<double>"), col("nv").cast("array<double>"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v).as("dist"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got.size.toLong, (got intersect exact).size.toDouble / exact.size)
+    }
+
+    // the testdata embeddings: the regime where the fixed nprobe=4
+    // default under-recalled (0.70 on sf0.1) — auto must probe deeper
+    // AND actually clear the target
+    val (nEmb, recEmb) = measuredRecall(emb)
+    info(f"testdata fixture: recall@3=$recEmb%.3f ($nEmb rows)")
+    assert(recEmb >= 0.85, f"testdata recall $recEmb%.3f < 0.85")
+
+    // a second, independently-shaped corpus: seeded i.i.d. vectors (the
+    // same fixture shape AnnIvfSpec calibrates against)
+    val rnd = new scala.util.Random(1234)
+    import spark.implicits._
+    val iid = (0L until 2000L).map { i =>
+      (i, Array.fill(16)(rnd.nextDouble() * 2.0 - 1.0))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .cache()
+    val (nIid, recIid) = measuredRecall(iid)
+    info(f"iid fixture: recall@3=$recIid%.3f ($nIid rows)")
+    assert(recIid >= 0.85, f"iid recall $recIid%.3f < 0.85")
+  }
 }

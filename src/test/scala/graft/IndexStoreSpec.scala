@@ -132,6 +132,54 @@ class IndexStoreSpec extends AnyFunSuite {
       canon(GridHierarchy.build(df(base ++ b1 ++ b2))))
   }
 
+  test("20-merge soak: chain == one rebuild, flat per-merge time, bounded files") {
+    // the deployment shape is hundreds of ingest-window merges, not the
+    // 2-3 the tests above chain; this locks the three properties a long
+    // chain can silently lose: (1) bit-equality vs a single rebuild of
+    // everything — no drift accumulates across commits; (2) per-merge
+    // wall time stays flat — the localCheckpoint-leak class the in-memory
+    // builder already hit once would show here as monotone growth;
+    // (3) the store's file population stays bounded — repeated dynamic
+    // overwrite of the same hot region must replace files, not pile them
+    // up. All 20 batches hit the SAME ~0.5° box (the harshest case: the
+    // hot buckets are rewritten every single merge).
+    val nMerges = 20
+    val batchSz = 60
+    val base = pts(800, 71)
+    val dir = freshDir("soak")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 800L)
+    val batches = (0 until nMerges).map { i =>
+      localPts(batchSz, 72 + i, from = 800 + i * batchSz)
+    }
+    val wall = batches.map { b =>
+      val t0 = System.nanoTime()
+      IndexStore.mergeInto(spark, dir, df(b))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val meta = IndexStore.readMeta(spark, dir)
+    assert(meta.epoch == nMerges.toLong)
+    assert(meta.numPoints == 800L + nMerges * batchSz)
+    IndexStore.validate(spark, dir)
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(base ++ batches.flatten))))
+    // flat wall time: the last 5 merges must not run materially slower
+    // than the first 5 (3.5x slack absorbs local-mode timing noise; a
+    // real accumulation-leak regression is superlinear and blows well
+    // past it — the in-memory leak this guards against measured minutes)
+    val first5 = wall.take(5).sum / 5
+    val last5 = wall.takeRight(5).sum / 5
+    info(f"per-merge wall: first5 avg $first5%.2fs, last5 avg $last5%.2fs")
+    assert(last5 <= first5 * 3.5 + 0.5,
+      f"merge time grew across the chain: first5 $first5%.2fs -> last5 $last5%.2fs")
+    // bounded files: the hot buckets were rewritten 20 times — if
+    // replacement ever degraded to accretion the store would hold ~20x
+    // the file count of its bucket population
+    val nFiles = fileState(dir).size
+    val nBuckets = IndexStore.listBuckets(spark, dir).size
+    assert(nFiles <= nBuckets * 3,
+      s"file population grew unbounded: $nFiles files for $nBuckets buckets")
+  }
+
   test("non-default minPoints rides the store metadata") {
     val opts = ClusterOptions(minPoints = 5)
     val base = pts(600, 41)
