@@ -553,10 +553,18 @@ object Bench {
             idx.unpersist()
             val city = (12.0, 47.0, 13.0, 48.0)
             val world = (-180.0, -85.0, 180.0, 85.0)
+            // the serve-process shape: open once (meta + partition
+            // listing — the per-call fixed cost the one-shot path pays
+            // every time), probe many
+            val (reader, tOpen) = {
+              val t0 = System.nanoTime()
+              val r = IndexStore.open(spark, dir)
+              (r, (System.nanoTime() - t0) / 1e9)
+            }
             def probeMs(bbox: (Double, Double, Double, Double), z: Int): Double = {
               def once(): Double = {
                 val t0 = System.nanoTime()
-                val rs = IndexStore.getClusters(spark, dir, bbox, z).collect()
+                val rs = reader.getClusters(bbox, z).collect()
                 Bench.blackhole = rs.length.toLong
                 (System.nanoTime() - t0) / 1e6
               }
@@ -564,8 +572,18 @@ object Bench {
               val runs = (1 to 5).map(_ => once()).sorted
               runs(2)
             }
-            Seq(0, 4, 8, 12, 16).map(z =>
-              (s"store_q${tag}_city_z${z}_ms", probeMs(city, z), true)) :+
+            // one-shot comparator: meta read + full re-listing + probe,
+            // per call — what a caller with no held-open Reader pays
+            val oneshotMs = {
+              val t0 = System.nanoTime()
+              val rs = IndexStore.getClusters(spark, dir, city, 8).collect()
+              Bench.blackhole = rs.length.toLong
+              (System.nanoTime() - t0) / 1e6
+            }
+            Seq((s"store_open_${tag}_sec", tOpen, true),
+              (s"store_q${tag}_oneshot_z8_ms", oneshotMs, true)) ++
+              Seq(0, 4, 8, 12, 16).map(z =>
+                (s"store_q${tag}_city_z${z}_ms", probeMs(city, z), true)) :+
               ((s"store_q${tag}_world_z4_ms", probeMs(world, 4), true))
           } catch { case NonFatal(_) => Seq((s"store_query_ladder_$tag", 0.0, false)) }
         rung(1000000L, "1m") ++

@@ -279,8 +279,48 @@ object IndexStore {
       path: String,
       bbox: (Double, Double, Double, Double),
       zoom: Int,
-      maxPruneBuckets: Int = 4096): DataFrame = {
-    val meta = readMeta(spark, path)
+      maxPruneBuckets: Int = 4096): DataFrame =
+    getClustersOn(
+      spark.read.schema(StoreSchema).parquet(s"$path/levels"),
+      readMeta(spark, path), bbox, zoom, maxPruneBuckets)
+
+  /** A held-open store: the partition listing (one FS walk over the
+    * bucket directories) and the meta read are paid ONCE, and every
+    * probe plans against the cached file index — partition pruning
+    * still applies per-query (the catalog is warm; the data stays
+    * cold). This is the serve-process shape: the one-shot
+    * [[getClusters]] re-lists the store per call, which at 785 buckets
+    * measures ~20× the probe itself. A Reader is a snapshot of one
+    * commit: after [[mergeInto]] its listing is stale — check
+    * [[Reader.isCurrent]] or re-[[open]] per ingest window.
+    */
+  final class Reader private[cluster] (
+      private val base: DataFrame, val meta: StoreMeta, path: String) {
+    def getClusters(
+        bbox: (Double, Double, Double, Double),
+        zoom: Int,
+        maxPruneBuckets: Int = 4096): DataFrame =
+      getClustersOn(base, meta, bbox, zoom, maxPruneBuckets)
+
+    /** False once a merge has committed a newer epoch than this
+      * Reader's snapshot — time to re-open.
+      */
+    def isCurrent: Boolean =
+      readMeta(base.sparkSession, path).epoch == meta.epoch
+  }
+
+  /** Open the store for repeated serving — see [[Reader]]. */
+  def open(spark: SparkSession, path: String): Reader = {
+    val base = spark.read.schema(StoreSchema).parquet(s"$path/levels")
+    new Reader(base, readMeta(spark, path), path)
+  }
+
+  private def getClustersOn(
+      base: DataFrame,
+      meta: StoreMeta,
+      bbox: (Double, Double, Double, Double),
+      zoom: Int,
+      maxPruneBuckets: Int): DataFrame = {
     val opts = meta.opts
     // P10/P11 normalization — the same arithmetic as ClusterIndex
     val (minLng0, minLat, maxLng0, maxLat) = bbox
@@ -325,7 +365,6 @@ object IndexStore {
           by <- byLo to byHi
         } yield (bx << 20) | by).distinct)
       }
-    val base = spark.read.schema(StoreSchema).parquet(s"$path/levels")
     val prunedScan = candidates.fold(base)(c =>
       base.where(col("bucket").isin(c.map(Long.box): _*)))
     val inY = col("my") >= minY && col("my") <= maxY

@@ -261,6 +261,36 @@ class IndexStoreSpec extends AnyFunSuite {
     } finally idx.unpersist(): Unit
   }
 
+  test("held-open Reader == one-shot getClusters; staleness detected after a merge") {
+    val base = pts(1000, 91)
+    val dir = freshDir("reader")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 1000L)
+    val reader = IndexStore.open(spark, dir)
+    assert(reader.isCurrent)
+    val cases = Seq(
+      ((10.0, 40.0, 14.0, 44.0), 12),
+      ((10.0, 40.0, 14.0, 44.0), 1),
+      ((170.0, -20.0, -170.0, 20.0), 9),
+      ((-180.0, -85.0, 180.0, 85.0), 5))
+    cases.foreach { case (bbox, z) =>
+      assert(canon(reader.getClusters(bbox, z)) ==
+        canon(IndexStore.getClusters(spark, dir, bbox, z)),
+        s"reader diverged from one-shot at bbox=$bbox z=$z")
+    }
+    // a merge commits a new epoch: the held-open snapshot must KNOW it is
+    // stale (its cached listing predates the overwrite), and a re-open
+    // must serve the merged store
+    IndexStore.mergeInto(spark, dir, df(localPts(80, 92, from = 1000)))
+    assert(!reader.isCurrent, "reader must detect the newer epoch")
+    val reopened = IndexStore.open(spark, dir)
+    assert(reopened.isCurrent)
+    cases.foreach { case (bbox, z) =>
+      assert(canon(reopened.getClusters(bbox, z)) ==
+        canon(IndexStore.getClusters(spark, dir, bbox, z)),
+        s"reopened reader diverged at bbox=$bbox z=$z")
+    }
+  }
+
   test("streaming ingest into the store: foreachBatch + mergeInto == rebuild") {
     // the full deployment loop: a saved store, a point stream, one
     // partial-rewrite merge per micro-batch through the REAL streaming
