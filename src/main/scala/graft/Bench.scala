@@ -823,7 +823,14 @@ object Bench {
     val ann1m: Seq[(String, Double, Boolean)] =
       if (!only.exists(_.exists(o => "ann_1m".contains(o)))) Seq.empty
       else try {
-        val gen = graft.io.SyntheticVectors.clustered(spark, 1000000L).persist()
+        // 50k clusters × ~20 members: every query's true top-3 are its
+        // same-cluster members (within-cluster distance ≈ spread, other
+        // clusters ~unit distance away) — the regime where recall@3 is a
+        // MEANINGFUL metric at 1M. A few dense mega-clusters instead
+        // (64×15.6k) puts the exact top-3 below PQ quantization error —
+        // ties, where "recall" measures noise, not index quality.
+        val gen = graft.io.SyntheticVectors
+          .clustered(spark, 1000000L, nClusters = 50000).persist()
         gen.count()
         val probes = gen.where(col("vec_id") < 20)
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
