@@ -870,12 +870,28 @@ object Bench {
         val (cRes, tCS) = timedSec {
           grab(AnnIvfPq.search(probes, coded, cents, cb, gen, nprobe = 6, topK = 3))
         }
-        val (aRes, tAS) = timedSec {
-          grab(AnnIvfPq.searchAuto(probes, coded, cents, cb, gen, topK = 3))
-        }
         out += (("ann1m_ivfpq_index", tIdx, true))
         out += (("ann1m_ivfpq_search", tCS, true))
         out += (("ann1m_ivfpq_recall_at3", recallVs(truthL2, cRes), true))
+        // recall/cost CURVE at 1M (the scale argument is a curve, not a
+        // point): sweep probe depth at fixed refine
+        Seq(2, 4, 16).foreach { np =>
+          val (r, t) = timedSec {
+            grab(AnnIvfPq.search(probes, coded, cents, cb, gen, nprobe = np, topK = 3))
+          }
+          out += ((s"ann1m_ivfpq_np${np}_search", t, true))
+          out += ((s"ann1m_ivfpq_np${np}_recall_at3", recallVs(truthL2, r), true))
+        }
+        // calibrated default: calibration cost and CHOSEN depth published
+        // separately, then the search at that depth (one calibration pass
+        // — searchAuto composed inline so the artifact carries nprobe)
+        val (npAuto, tCal) = timedSec { AnnIvfPq.autoNprobe(coded, cents, gen) }
+        val (aRes, tAS) = timedSec {
+          grab(AnnIvfPq.search(probes, coded, cents, cb, gen,
+            nprobe = npAuto, topK = 3))
+        }
+        out += (("ann1m_ivfpq_auto_nprobe", npAuto.toDouble, true))
+        out += (("ann1m_ivfpq_calibrate_sec", tCal, true))
         out += (("ann1m_ivfpq_auto_search", tAS, true))
         out += (("ann1m_ivfpq_auto_recall_at3", recallVs(truthL2, aRes), true))
         ix.unpersist(); enc.unpersist(); coded.unpersist(); gen.unpersist()
