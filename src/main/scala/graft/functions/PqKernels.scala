@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Fused PQ kernels — the two interpreted-HOF hot loops of the product-
+  * quantization ladder (q63/q100) as single native expressions.
+  *
+  * [[PqCodes]] replaces encode's declarative per-subspace argmin chain
+  * (`transform(codebook_j, c -> aggregate(zip_with(slice(v), c, ...)))`
+  * × m subspaces — m·k interpreted lambda frames and ~3·m·k small array
+  * allocations PER ROW), which at 1M vectors measured 40 s of the 53 s
+  * encode: the fused loop computes all m codes in primitive arithmetic,
+  * one pass over the vector. Arithmetic is IDENTICAL to the declarative
+  * tree: per-centroid distance is the strict left-to-right IEEE fold of
+  * (x-y)², the winning code is the FIRST index attaining the minimum
+  * under SQL double ordering (NaN greatest — `array_position(apx,
+  * array_min(apx))` semantics), so encoded codes — and therefore the
+  * q63 oracle replay — are bit-identical (AnnPqSpec proves it
+  * differentially).
+  *
+  * [[AdcDistance]] replaces the per-candidate ADC lookup fold
+  * (`aggregate(sequence(0, m-1), 0.0, (acc, j) -> acc +
+  * tab[j][codes[j]])` — an interpreted 8-step fold with two nested
+  * element_at per step): same j-order summation, bit-identical totals.
+  * This is the PQ scan's inner loop — the expression every candidate
+  * row evaluates — so it bounds full-scan and probed-list search alike.
+  */
+case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case dt =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"PqCodes needs an array<float|double> input, got ${dt.catalogString}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val dsub = codebooks(0)(0).length
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    if (v.numElements() < m * dsub) return null // short vector: declarative
+    // path nulls out via zip_with padding; callers never hit this
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val off = j * dsub
+      var best = 0
+      var bestD = 0.0
+      var c = 0
+      while (c < cb.length) {
+        val cv = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = if (isFloat) v.getFloat(off + i).toDouble else v.getDouble(off + i)
+          val diff = x - cv(i)
+          d += diff * diff
+          i += 1
+        }
+        // first-minimum under SQL double ordering (NaN greatest): a
+        // strict compareDoubles win replaces the incumbent, ties and
+        // NaNs never do — array_position-of-array_min semantics
+        if (c == 0 ||
+            org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(d, bestD) < 0) {
+          bestD = d
+          best = c
+        }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** ADC total for one candidate: sum over j of `table(j)(codes(j))`,
+  * strict j-order double addition — see [[PqCodes]] class doc.
+  * `left` = array<int> codes, `right` = array<array<double>> per-query
+  * table.
+  */
+case class AdcDistance(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"AdcDistance needs (array<int>, array<array<double>>), got " +
+            s"${l.catalogString} / ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(codesAny: Any, tabAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val tab = tabAny.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += tab.getArray(j).getDouble(codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcDistance =
+    copy(left = newLeft, right = newRight)
+}

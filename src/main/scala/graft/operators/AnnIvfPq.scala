@@ -123,16 +123,15 @@ object AnnIvfPq {
     // candidates = codes in the probed lists ONLY (equi-join on the list
     // id — the composition point: AnnPq.search scans every code, this
     // scans nprobe/k of them); ADC total folds the m lookups in j order,
-    // bit-identical to the oracle's ORDER BY _j list fold
+    // bit-identical to the oracle's ORDER BY _j list fold (fused native
+    // kernel — the per-candidate inner loop stays primitive)
     val cand = coded
       .select(col(idCol).as("neighbor_id"), col("_centroid"), col("codes"))
       .join(broadcast(probes), Seq("_centroid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .join(broadcast(qtab), Seq("query_id"))
       .withColumn("approx_dist",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
-          acc + element_at(element_at(col("_tab"), j + 1),
-            element_at(col("codes"), j + 1) + 1)))
+        AnnPq.adcDistCol(col("codes").cast("array<int>"), col("_tab")))
 
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dist"), col("neighbor_id"))

@@ -42,6 +42,37 @@ class AnnPqSpec extends AnyFunSuite {
     assert(codes2 == codes)
   }
 
+  test("fused native encode == declarative argmin chain, code-for-code") {
+    // the r10 PqCodes kernel replaces m·k interpreted lambda frames per
+    // row; the q63 oracle replays the DECLARATIVE chain in DuckDB, so the
+    // kernel must produce bit-identical codes — same left-to-right IEEE
+    // distance fold, same first-minimum (SQL double ordering) tie-break
+    val cb = AnnPq.train(emb, m = 8, k = 16, iters = 2)
+    val native = AnnPq.encode(emb, cb).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    val declarative = AnnPq.encode(emb, cb, exprKernel = false).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    assert(native == declarative)
+
+    // and on an adversarial fixture: exact ties between centroids (the
+    // first-minimum tie-break is where a naive < or <= loop diverges) —
+    // duplicate centroids guarantee tied distances in every subspace
+    import spark.implicits._
+    val tieDf = Seq(
+      (0L, Array(1f, 2f, 3f, 4f)),
+      (1L, Array(-1f, 0f, 0f, 1f)),
+      (2L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val tieCb: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 2.0), Array(1.0, 2.0), Array(0.0, 0.0)),
+      Array(Array(3.0, 4.0), Array(0.5, 0.5), Array(3.0, 4.0)))
+    val nTie = AnnPq.encode(tieDf, tieCb).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    val dTie = AnnPq.encode(tieDf, tieCb, exprKernel = false).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    assert(nTie == dTie)
+    assert(nTie.head._2 == Seq(0, 0), "ties must pick the smallest code")
+  }
+
   test("ADC distance equals the sum of per-subspace table entries (hand case)") {
     import spark.implicits._
     // 4-dim vectors, m=2, k=2: centroids land on the two point clusters,
