@@ -820,17 +820,16 @@ object Bench {
     // (SPARK_GRAFT_BENCH_ONLY must name ann_1m): two brute-force truth
     // scans over 1M vectors + three index builds ≈ minutes;
     // bench_ann_1m.json carries the committed numbers.
-    val ann1m: Seq[(String, Double, Boolean)] =
-      if (!only.exists(_.exists(o => "ann_1m".contains(o)))) Seq.empty
-      else try {
-        // 50k clusters × ~20 members: every query's true top-3 are its
+    def annRung(n: Long, nClusters: Int, prefix: String): Seq[(String, Double, Boolean)] =
+      try {
+        // ~20 members per cluster: every query's true top-3 are its
         // same-cluster members (within-cluster distance ≈ spread, other
         // clusters ~unit distance away) — the regime where recall@3 is a
-        // MEANINGFUL metric at 1M. A few dense mega-clusters instead
+        // MEANINGFUL metric at scale. A few dense mega-clusters instead
         // (64×15.6k) puts the exact top-3 below PQ quantization error —
         // ties, where "recall" measures noise, not index quality.
         val gen = graft.io.SyntheticVectors
-          .clustered(spark, 1000000L, nClusters = 50000).persist()
+          .clustered(spark, n, nClusters = nClusters).persist()
         gen.count()
         val probes = gen.where(col("vec_id") < 20)
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
@@ -841,13 +840,13 @@ object Bench {
         val ((ix, cents), tIvfB) = timedSec {
           val (a, b) = AnnIvf.buildIndex(gen); val p = a.persist(); p.count(); (p, b)
         }
-        out += (("ann1m_ivf_build", tIvfB, true))
+        out += ((s"${prefix}_ivf_build", tIvfB, true))
         val truthCos = exactTop3(gen, byCosine = true)
         val (ivfRes, tIvfS) = timedSec {
           grab(AnnIvf.search(probes, ix, cents, nprobe = 6, topK = 3))
         }
-        out += (("ann1m_ivf_search", tIvfS, true))
-        out += (("ann1m_ivf_recall_at3", recallVs(truthCos, ivfRes), true))
+        out += ((s"${prefix}_ivf_search", tIvfS, true))
+        out += ((s"${prefix}_ivf_recall_at3", recallVs(truthCos, ivfRes), true))
         // PQ (L2 metric)
         val truthL2 = exactTop3(gen, byCosine = false)
         val (cb, tTrain) = timedSec {
@@ -859,10 +858,10 @@ object Bench {
         val (pqRes, tPqS) = timedSec {
           grab(AnnPq.search(probes, enc, cb, gen, topK = 3))
         }
-        out += (("ann1m_pq_train", tTrain, true))
-        out += (("ann1m_pq_encode", tEnc, true))
-        out += (("ann1m_pq_search", tPqS, true))
-        out += (("ann1m_pq_recall_at3", recallVs(truthL2, pqRes), true))
+        out += ((s"${prefix}_pq_train", tTrain, true))
+        out += ((s"${prefix}_pq_encode", tEnc, true))
+        out += ((s"${prefix}_pq_search", tPqS, true))
+        out += ((s"${prefix}_pq_recall_at3", recallVs(truthL2, pqRes), true))
         // composed IVF+PQ — fixed nprobe=6 and the calibrated default
         val (coded, tIdx) = timedSec {
           val c = AnnIvfPq.index(ix, enc).persist(); c.count(); c
@@ -870,17 +869,17 @@ object Bench {
         val (cRes, tCS) = timedSec {
           grab(AnnIvfPq.search(probes, coded, cents, cb, gen, nprobe = 6, topK = 3))
         }
-        out += (("ann1m_ivfpq_index", tIdx, true))
-        out += (("ann1m_ivfpq_search", tCS, true))
-        out += (("ann1m_ivfpq_recall_at3", recallVs(truthL2, cRes), true))
+        out += ((s"${prefix}_ivfpq_index", tIdx, true))
+        out += ((s"${prefix}_ivfpq_search", tCS, true))
+        out += ((s"${prefix}_ivfpq_recall_at3", recallVs(truthL2, cRes), true))
         // recall/cost CURVE at 1M (the scale argument is a curve, not a
         // point): sweep probe depth at fixed refine
         Seq(2, 4, 16).foreach { np =>
           val (r, t) = timedSec {
             grab(AnnIvfPq.search(probes, coded, cents, cb, gen, nprobe = np, topK = 3))
           }
-          out += ((s"ann1m_ivfpq_np${np}_search", t, true))
-          out += ((s"ann1m_ivfpq_np${np}_recall_at3", recallVs(truthL2, r), true))
+          out += ((s"${prefix}_ivfpq_np${np}_search", t, true))
+          out += ((s"${prefix}_ivfpq_np${np}_recall_at3", recallVs(truthL2, r), true))
         }
         // calibrated default: calibration cost and CHOSEN depth published
         // separately, then the search at that depth (one calibration pass
@@ -890,13 +889,24 @@ object Bench {
           grab(AnnIvfPq.search(probes, coded, cents, cb, gen,
             nprobe = npAuto, topK = 3))
         }
-        out += (("ann1m_ivfpq_auto_nprobe", npAuto.toDouble, true))
-        out += (("ann1m_ivfpq_calibrate_sec", tCal, true))
-        out += (("ann1m_ivfpq_auto_search", tAS, true))
-        out += (("ann1m_ivfpq_auto_recall_at3", recallVs(truthL2, aRes), true))
+        out += ((s"${prefix}_ivfpq_auto_nprobe", npAuto.toDouble, true))
+        out += ((s"${prefix}_ivfpq_calibrate_sec", tCal, true))
+        out += ((s"${prefix}_ivfpq_auto_search", tAS, true))
+        out += ((s"${prefix}_ivfpq_auto_recall_at3", recallVs(truthL2, aRes), true))
         ix.unpersist(); enc.unpersist(); coded.unpersist(); gen.unpersist()
         out.toSeq
-      } catch { case NonFatal(_) => Seq(("ann_1m", 0.0, false)) }
+      } catch { case NonFatal(_) => Seq((prefix, 0.0, false)) }
+    val ann1m: Seq[(String, Double, Boolean)] =
+      if (!only.exists(_.exists(o => "ann_1m".contains(o)))) Seq.empty
+      else annRung(1000000L, 50000, "ann1m")
+    // 4M rung (opt-in, same discipline as the grid ladder's 4M step):
+    // same knobs, 4× the corpus, 200k clusters to keep ~20 members each —
+    // extends the measured build/search/recall curve one rung before the
+    // brute-force truth scans (untimed, but 4M×20 exact pairs) dominate
+    // the wall clock.
+    val ann4m: Seq[(String, Double, Boolean)] =
+      if (!only.exists(_.exists(o => "ann_4m".contains(o)))) Seq.empty
+      else annRung(4000000L, 200000, "ann4m")
 
     // memory: per-stage JVM heap deltas mirroring the reference's
     // measurement discipline (benchmarks/run.ts:185-226 — gc, snapshot,
@@ -929,7 +939,7 @@ object Bench {
     // sfDir/outPath must not break the "guaranteed parseable last line"
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val errors = (results ++ maskTimes ++ annFast ++ ann1m ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ ivfBuild ++ pqBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
+    val errors = (results ++ maskTimes ++ annFast ++ ann1m ++ ann4m ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ ivfBuild ++ pqBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -977,6 +987,8 @@ object Bench {
       else s""","store_merge_chain":${jmap(storeChain)}"""
     val ann1mJson =
       if (ann1m.isEmpty) "" else s""","ann_1m":${jmap(ann1m)}"""
+    val ann4mJson =
+      if (ann4m.isEmpty) "" else s""","ann_4m":${jmap(ann4m)}"""
     val totalCold = resultsCold.map(_._2).sum
     val calibrationEnd = calibrationSec()
     val profileJson = calibrationProfile
@@ -1006,7 +1018,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpusJson,"queries":${jmap(results)},""" +
         s""""queries_cold":${jmap(resultsCold)},"total_cold":$totalCold,""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$ann1mJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson,"sf":"${jstr(sfDir)}"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$ann1mJson$ann4mJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson,"sf":"${jstr(sfDir)}"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(

@@ -33,6 +33,9 @@ case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // the short-vector guard below returns null even for a non-null child
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) =>
