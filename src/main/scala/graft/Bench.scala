@@ -810,16 +810,16 @@ object Bench {
     val annFast: Seq[(String, Double, Boolean)] =
       annIvfFast ++ annPqFast ++ annSweep ++ annIvfPqFast
 
-    // ANN scale rung (VERDICT r9 #3): 1M synthetic clustered vectors
-    // (SyntheticVectors — deterministic, distributed, 64 centers) through
-    // IVF, PQ, and the composed IVF+PQ at the SAME knobs the sf0.1 keys
-    // run (k=16 lists, nprobe=6, m=8×16 codes, refine=100, topK=3), plus
+    // ANN scale rungs (VERDICT r9 #3): n synthetic clustered vectors
+    // (SyntheticVectors — deterministic, distributed) through IVF, PQ,
+    // and the composed IVF+PQ at the SAME knobs the sf0.1 keys run
+    // (k=16 lists, nprobe=6, m=8×16 codes, refine=100, topK=3), plus
     // the calibrated searchAuto default. Build, search latency, and
     // recall@3 against exact brute force — the measured curve behind
-    // AnnIvfPq's 100 TB memory+compute-compression argument. OPT-IN
-    // (SPARK_GRAFT_BENCH_ONLY must name ann_1m): two brute-force truth
-    // scans over 1M vectors + three index builds ≈ minutes;
-    // bench_ann_1m.json carries the committed numbers.
+    // AnnIvfPq's 100 TB memory+compute-compression argument. Each rung
+    // is OPT-IN (SPARK_GRAFT_BENCH_ONLY must name ann_1m / ann_4m): two
+    // brute-force truth scans + three index builds ≈ minutes per rung;
+    // bench_ann_1m.json / bench_ann_4m.json carry the committed numbers.
     def annRung(n: Long, nClusters: Int, prefix: String): Seq[(String, Double, Boolean)] =
       try {
         // ~20 members per cluster: every query's true top-3 are its

@@ -95,10 +95,12 @@ case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
 /** ADC total for one candidate: sum over j of `table(j)(codes(j))`,
   * strict j-order double addition — see [[PqCodes]] class doc.
   * `left` = array<int> codes, `right` = array<array<double>> per-query
-  * table.
+  * table. Codegen'd (not CodegenFallback): this is the expression every
+  * candidate row of the PQ/IVF+PQ scan evaluates, and a fallback here
+  * would break the scan projection out of whole-stage codegen.
   */
 case class AdcDistance(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -125,6 +127,23 @@ case class AdcDistance(left: Expression, right: Expression)
     }
     acc
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, tab) => {
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      s"""
+         |final int $n = $codes.numElements();
+         |double ${ev.value}Acc = 0.0;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  ${ev.value}Acc += $tab.getArray($j).getDouble($codes.getInt($j));
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AdcDistance =

@@ -73,6 +73,35 @@ class AnnPqSpec extends AnyFunSuite {
     assert(nTie.head._2 == Seq(0, 0), "ties must pick the smallest code")
   }
 
+  test("ADC scan projection stays inside whole-stage codegen") {
+    // AdcDistance is the expression every candidate row evaluates; a
+    // CodegenFallback there would drop the scan projection out of
+    // whole-stage codegen exactly where the 100 TB row count is
+    val cb = AnnPq.train(emb, m = 8, k = 16, iters = 2)
+    val enc = AnnPq.encode(emb, cb)
+    val res = AnnPq.search(emb.where(col("vec_id") < 3), enc, cb, emb, topK = 3)
+    res.collect() // force planning + execution (AQE finalizes the plan)
+    // executedPlan is an AdaptiveSparkPlanExec with no children — unwrap
+    // to the AQE-final plan, then descend into materialized query stages
+    def spans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      val own = p.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+      }
+      val nested = p.collect {
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s.plan
+      }.flatMap(spans)
+      own ++ nested
+    }
+    val finalPlan = res.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val wscg = spans(finalPlan)
+    assert(wscg.exists(_.toLowerCase.contains("adcdistance")),
+      s"adcdistance not inside any WholeStageCodegen span:\n${wscg.mkString("\n---\n")}")
+  }
+
   test("ADC distance equals the sum of per-subspace table entries (hand case)") {
     import spark.implicits._
     // 4-dim vectors, m=2, k=2: centroids land on the two point clusters,
