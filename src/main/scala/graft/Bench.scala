@@ -793,6 +793,11 @@ object Bench {
         // measured key, not an assumption. Calibration cost (the sample
         // scan + driver fold) is inside the timed call: that IS what a
         // caller of the default path pays.
+        // searchAuto = autoNprobe + search; nprobe is computed separately
+        // first so the artifact records the calibrated depth (the 1M rung
+        // publishes the same key), then the timed call composes the same
+        // two steps a caller of the default path pays for.
+        val autoNp = AnnIvfPq.autoNprobe(coded, centroids, emb)
         val (resAuto, tAuto) = timedSec {
           AnnIvfPq.searchAuto(emb.where(col("vec_id") < 20), coded, centroids,
             cb, emb, topK = 3)
@@ -804,6 +809,7 @@ object Bench {
         Seq(("ann_ivfpq_index", tIndex, true),
           ("ann_ivfpq_search", tSearch, true),
           ("ann_ivfpq_recall_at3", recall, true),
+          ("ann_ivfpq_auto_nprobe", autoNp.toDouble, true),
           ("ann_ivfpq_auto_search", tAuto, true),
           ("ann_ivfpq_auto_recall_at3", recallAuto, true))
       } catch { case NonFatal(_) => Seq(("ann_ivfpq_fast", 0.0, false)) }

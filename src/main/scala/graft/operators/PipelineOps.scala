@@ -219,12 +219,7 @@ object PipelineOps {
       .orderBy("merge_rank").collect()
       .map(r => (r.getString(1), r.getString(2)))
     val w = col("w")
-    val s0 = concat_ws("", transform(sequence(lit(1), length(w)),
-      i => concat(lit("("), w.substr(i, lit(1)), lit(")"))))
-    val encoded = merges.foldLeft(s0) { case (c, (l, r)) =>
-      replace(c, lit(s"($l)($r)"), lit(s"($l$r)"))
-    }
-    val nTok = size(split(encoded.substr(lit(2), length(encoded) - 2), "\\)\\("))
+    val nTok = bpeTokenCount(w, merges.toSeq)
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .select(col("doc_id"), length(w).cast("long").as("wlen"), nTok.cast("long").as("ntok"))
       .groupBy(col("doc_id"))
@@ -235,6 +230,32 @@ object PipelineOps {
         (sum(col("wlen")).cast("double") / sum(col("ntok"))).as("compression"))
       .orderBy("doc_id")
   }
+
+  /** Per-word BPE token count after applying `merges` in rank order —
+    * q80's corpus-sized tokenization map. Default: the fused native
+    * kernel ([[graft.functions.BpeTokenCount]] — one primitive pass,
+    * codegen'd into the scan projection). `exprKernel = false` keeps the
+    * declarative bracket → literal-replace → split chain — an interpreted
+    * `transform` lambda per CHARACTER — as the executable semantics spec
+    * the DuckDB oracle replays; BpeKernelSpec proves the two equal
+    * word-for-word (the counts are exact integers, so equality is exact).
+    */
+  def bpeTokenCount(
+      w: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)],
+      exprKernel: Boolean = true): org.apache.spark.sql.Column =
+    if (exprKernel) {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(graft.functions.BpeTokenCount(
+        ColumnBridge.expression(w), merges))
+    } else {
+      val s0 = concat_ws("", transform(sequence(lit(1), length(w)),
+        i => concat(lit("("), w.substr(i, lit(1)), lit(")"))))
+      val encoded = merges.foldLeft(s0) { case (c, (l, r)) =>
+        replace(c, lit(s"($l)($r)"), lit(s"($l$r)"))
+      }
+      size(split(encoded.substr(lit(2), length(encoded) - 2), "\\)\\("))
+    }
 
   /** Deterministic corpus-mixture sampling: each source is kept at its
     * target rate (the Pile/LLaMA-style mixture weighting step) by
