@@ -816,6 +816,44 @@ object Bench {
     val annFast: Seq[(String, Double, Boolean)] =
       annIvfFast ++ annPqFast ++ annSweep ++ annIvfPqFast
 
+    // Fused BPE token-count kernel vs the declarative HOF chain (r10):
+    // q80's corpus-sized tokenization map, same words, same merge table,
+    // every per-word count forced row-for-row (toRdd). The gap is the
+    // interpreted per-CHARACTER transform lambda plus the chained
+    // full-width replace intermediates the kernel fuses away — the same
+    // measurement shape as the PQ-kernel keys. One warmup each, then
+    // median of 3; word count rides along for rows/sec context.
+    val bpeKernel: Seq[(String, Double, Boolean)] =
+      if (!sectionOn("bpe_kernel")) Seq.empty
+      else try {
+        import org.apache.spark.sql.functions.explode
+        val docs = Tables.documents(spark, sfDir)
+        val merges = graft.operators.PipelineOps.bpeMergeTable(docs, iters = 4)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val words = docs
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+          .persist()
+        val nWords = words.count()
+        def pass(kernel: Boolean): Double = {
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            words.select(graft.operators.PipelineOps
+                .bpeTokenCount(col("w"), merges, exprKernel = kernel).as("n"))
+              .queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          once() // warmup: JIT + codegen cache
+          median((1 to 3).map(_ => once()))
+        }
+        val tKernel = pass(kernel = true)
+        val tDecl = pass(kernel = false)
+        words.unpersist()
+        Seq(("bpe_encode_words", nWords.toDouble, true),
+          ("bpe_encode_kernel_sec", tKernel, true),
+          ("bpe_encode_declarative_sec", tDecl, true))
+      } catch { case NonFatal(_) => Seq(("bpe_kernel", 0.0, false)) }
+
     // ANN scale rungs (VERDICT r9 #3): n synthetic clustered vectors
     // (SyntheticVectors — deterministic, distributed) through IVF, PQ,
     // and the composed IVF+PQ at the SAME knobs the sf0.1 keys run
@@ -945,7 +983,7 @@ object Bench {
     // sfDir/outPath must not break the "guaranteed parseable last line"
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val errors = (results ++ maskTimes ++ annFast ++ ann1m ++ ann4m ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ ivfBuild ++ pqBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
+    val errors = (results ++ maskTimes ++ annFast ++ bpeKernel ++ ann1m ++ ann4m ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ ivfBuild ++ pqBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -973,6 +1011,8 @@ object Bench {
     }.getOrElse("")
     val annFastJson =
       if (annFast.isEmpty) "" else s""","ann_fast":${jmap(annFast)}"""
+    val bpeKernelJson =
+      if (bpeKernel.isEmpty) "" else s""","bpe_kernel":${jmap(bpeKernel)}"""
     val ranksBuildJson = ranksBuild.map { case (off, on) =>
       s""","build_insertion_ranks":{"ranks_off_sec":$off,"ranks_on_sec":$on}"""
     }.getOrElse("")
@@ -1024,7 +1064,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpusJson,"queries":${jmap(results)},""" +
         s""""queries_cold":${jmap(resultsCold)},"total_cold":$totalCold,""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$ann1mJson$ann4mJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson,"sf":"${jstr(sfDir)}"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$bpeKernelJson$ann1mJson$ann4mJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson,"sf":"${jstr(sfDir)}"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(
