@@ -951,6 +951,13 @@ object Bench {
     val ann4m: Seq[(String, Double, Boolean)] =
       if (!only.exists(_.exists(o => "ann_4m".contains(o)))) Seq.empty
       else annRung(4000000L, 200000, "ann4m")
+    // 10M rung (opt-in): the ladder's top step, matching the grid/exact/
+    // store paths' 10M rungs — 500k clusters keeps the ~20-member regime.
+    // The untimed brute-force truth scans (2 × 10M×20 exact pairs) are
+    // the bulk of the wall clock; the timed keys stay minutes-scale.
+    val ann10m: Seq[(String, Double, Boolean)] =
+      if (!only.exists(_.exists(o => "ann_10m".contains(o)))) Seq.empty
+      else annRung(10000000L, 500000, "ann10m")
 
     // memory: per-stage JVM heap deltas mirroring the reference's
     // measurement discipline (benchmarks/run.ts:185-226 — gc, snapshot,
@@ -983,7 +990,7 @@ object Bench {
     // sfDir/outPath must not break the "guaranteed parseable last line"
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val errors = (results ++ maskTimes ++ annFast ++ bpeKernel ++ ann1m ++ ann4m ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ ivfBuild ++ pqBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
+    val errors = (results ++ maskTimes ++ annFast ++ bpeKernel ++ ann1m ++ ann4m ++ ann10m ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ ivfBuild ++ pqBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -1035,6 +1042,8 @@ object Bench {
       if (ann1m.isEmpty) "" else s""","ann_1m":${jmap(ann1m)}"""
     val ann4mJson =
       if (ann4m.isEmpty) "" else s""","ann_4m":${jmap(ann4m)}"""
+    val ann10mJson =
+      if (ann10m.isEmpty) "" else s""","ann_10m":${jmap(ann10m)}"""
     val totalCold = resultsCold.map(_._2).sum
     val calibrationEnd = calibrationSec()
     val profileJson = calibrationProfile
@@ -1064,7 +1073,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpusJson,"queries":${jmap(results)},""" +
         s""""queries_cold":${jmap(resultsCold)},"total_cold":$totalCold,""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$bpeKernelJson$ann1mJson$ann4mJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson,"sf":"${jstr(sfDir)}"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$bpeKernelJson$ann1mJson$ann4mJson$ann10mJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson,"sf":"${jstr(sfDir)}"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(
