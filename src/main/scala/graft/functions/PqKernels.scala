@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
@@ -29,7 +28,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * row evaluates — so it bounds full-scan and probed-list search alike.
   */
 case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -47,13 +46,42 @@ case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
 
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  @transient private lazy val dsub = codebooks(0)(0).length
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    PqCodes.compute(input.asInstanceOf[ArrayData], codebooks, isFloat)
+
+  // codegen'd like AdcDistance (the encode projection is a corpus-sized
+  // map at build time): the kernel body stays one static call, with the
+  // codebooks riding along as a referenced object. The short-vector
+  // guard surfaces as a null result, so isNull is re-derived from the
+  // returned value.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+       |${ev.value} = graft.functions.PqCodes.compute($v, $cbRef, $isFloat);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+object PqCodes {
+  /** All m codes for one vector; null for a short vector (the
+    * declarative path nulls out via zip_with padding; callers never hit
+    * this). Shared by eval and generated code (static forwarder).
+    */
+  def compute(
+      v: ArrayData,
+      codebooks: Array[Array[Array[Double]]],
+      isFloat: Boolean): ArrayData = {
     val m = codebooks.length
-    if (v.numElements() < m * dsub) return null // short vector: declarative
-    // path nulls out via zip_with padding; callers never hit this
+    val dsub = codebooks(0)(0).length
+    if (v.numElements() < m * dsub) return null
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -87,9 +115,6 @@ case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
     }
     new GenericArrayData(codes)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): PqCodes =
-    copy(child = newChild)
 }
 
 /** ADC total for one candidate: sum over j of `table(j)(codes(j))`,

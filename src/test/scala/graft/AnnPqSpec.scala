@@ -100,6 +100,18 @@ class AnnPqSpec extends AnyFunSuite {
     val wscg = spans(finalPlan)
     assert(wscg.exists(_.toLowerCase.contains("adcdistance")),
       s"adcdistance not inside any WholeStageCodegen span:\n${wscg.mkString("\n---\n")}")
+
+    // the encode projection (PqCodes — the corpus-sized build-time map)
+    // must land inside a span too
+    enc.collect() // finalize ITS adaptive plan (res only executed a copy)
+    val encPlan = enc.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val encSpans = spans(encPlan)
+    assert(encSpans.exists(_.toLowerCase.contains("pqcodes")),
+      s"pqcodes not inside any WholeStageCodegen span:\n${encSpans.mkString("\n---\n")}")
   }
 
   test("ADC distance equals the sum of per-subspace table entries (hand case)") {
