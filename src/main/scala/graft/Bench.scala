@@ -931,7 +931,7 @@ object Bench {
         val (npAuto, tCal) = timedSec { AnnIvfPq.autoNprobe(coded, cents, gen) }
         val (aRes, tAS) = timedSec {
           grab(AnnIvfPq.search(probes, coded, cents, cb, gen,
-            nprobe = npAuto, topK = 3))
+            nprobe = npAuto, topK = 3, refine = 200)) // searchAuto's knobs
         }
         out += ((s"${prefix}_ivfpq_auto_nprobe", npAuto.toDouble, true))
         out += ((s"${prefix}_ivfpq_calibrate_sec", tCal, true))

@@ -186,6 +186,15 @@ object AnnIvfPq {
     * `nprobe = 4` default measured recall@3 0.70 on the near-uniform sf0.1
     * fixture; a caller who has not placed their corpus on the recall/cost
     * curve should come through here.
+    *
+    * `refine` defaults to 200 here (vs [[search]]'s 100): probe depth
+    * bounds the IVF miss, but the PQ quantization loss is bounded only
+    * by the exact re-rank's shortlist, and on the adversarial sf0.1
+    * fixture refine=100 CAPS recall at 0.917 no matter how deep the
+    * calibration probes (refine=200 lifts the cap to 0.967, measured at
+    * NO search-time cost — the shortlist is the constant-size bounded
+    * join the ADC scan dwarfs). The calibrated default shouldn't be
+    * capped below its own target by the knob the caller didn't pick.
     */
   def searchAuto(
       queries: DataFrame,
@@ -197,7 +206,7 @@ object AnnIvfPq {
       vecCol: String = "embedding",
       targetRecall: Double = 0.9,
       topK: Int = 3,
-      refine: Int = 100,
+      refine: Int = 200,
       exactScores: Boolean = false): DataFrame =
     search(queries, coded, centroids, codebooks, emb, idCol, vecCol,
       nprobe = autoNprobe(coded, centroids, emb, idCol, vecCol,
