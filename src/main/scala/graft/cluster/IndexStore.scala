@@ -74,9 +74,19 @@ object IndexStore {
       ClusterOptions(minZoom, maxZoom, radius, extent, minPoints)
   }
 
-  /** What a merge did to the store — the locality evidence. */
+  /** What a merge did to the store — the locality evidence, plus a
+    * per-phase wall-clock split (`delta` = batch checkpoint + id-range
+    * validation, `touched` = touched-bucket discovery, `recompute` =
+    * the level fold over touched membership, `write` = the dynamic
+    * partition overwrite, `commit` = meta swap + row-count footer read
+    * + bucket listing) so a slow merge in a long ingest chain
+    * attributes to a phase — compaction-style tail latency (FS commit,
+    * listing growth) separates from compute — instead of reading as an
+    * opaque outlier.
+    */
   final case class MergeStats(
-      ingested: Long, rewrittenBuckets: Long, totalBuckets: Long)
+      ingested: Long, rewrittenBuckets: Long, totalBuckets: Long,
+      phaseSec: Map[String, Double] = Map.empty)
 
   private val DataCols = Seq(
     "zoom", "mx", "my", "id", "parent_id", "point_count", "is_cluster",
@@ -290,23 +300,62 @@ object IndexStore {
     * still applies per-query (the catalog is warm; the data stays
     * cold). This is the serve-process shape: the one-shot
     * [[getClusters]] re-lists the store per call, which at 785 buckets
-    * measures ~20× the probe itself. A Reader is a snapshot of one
-    * commit: after [[mergeInto]] its listing is stale — check
-    * [[Reader.isCurrent]] or re-[[open]] per ingest window.
+    * measures ~20× the probe itself.
+    *
+    * COARSE-LEVEL CACHE: every wide-bbox / coarse-zoom probe re-reads
+    * the same few small levels — the shared `-1` bucket below
+    * `bucketZoom`, and the first couple of spatial levels whose
+    * whole-world row count is bounded by the cell grid, not the corpus
+    * (≤ (extent·2^z/radius)² cells plus pass-through singletons). The
+    * Reader lazily persists zooms ≤ bucketZoom+2 on the first coarse
+    * probe and serves every later one from memory; a corpus whose
+    * coarse levels exceed `coarseCacheRowCap` rows (pathologically
+    * sparse data pass-through) skips the cache and keeps the scan
+    * path. [[close]] releases it.
+    *
+    * STALENESS — the honest contract: a Reader is pinned to the file
+    * listing (and cache contents) of one commit, NOT an MVCC snapshot.
+    * After [[mergeInto]] dynamically overwrites touched buckets, the
+    * listed files for those buckets are DELETED: a stale Reader's probe
+    * that plans over them fails with FileNotFoundException (or, if the
+    * scheduler raced the delete, returns partial rows) — it does NOT
+    * serve the old commit. Already-materialized cache blocks are the
+    * one exception (they serve the open-time rows). [[isCurrent]] is an
+    * advisory check-then-query — a merge can still land between the
+    * check and the probe — so the deployment pattern is: one writer,
+    * re-[[open]] readers AFTER each ingest window commits, treat probe
+    * failures as "re-open and retry".
     */
   final class Reader private[cluster] (
-      private val base: DataFrame, val meta: StoreMeta, path: String) {
+      private val base: DataFrame, val meta: StoreMeta, path: String,
+      coarseCacheRowCap: Long = 2000000L) {
+    private val cacheMaxZoom = math.min(meta.bucketZoom + 2, meta.maxZoom + 1)
+    @transient @volatile private var cached: Option[DataFrame] = None
+    @transient private lazy val coarse: Option[DataFrame] = {
+      val df = base.where(col("zoom") <= cacheMaxZoom)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (df.count() <= coarseCacheRowCap) { cached = Some(df); cached }
+      else { df.unpersist(); None }
+    }
+
     def getClusters(
         bbox: (Double, Double, Double, Double),
         zoom: Int,
-        maxPruneBuckets: Int = 4096): DataFrame =
-      getClustersOn(base, meta, bbox, zoom, maxPruneBuckets)
+        maxPruneBuckets: Int = 4096): DataFrame = {
+      val z = math.max(meta.minZoom, math.min(zoom, meta.maxZoom + 1))
+      val src = if (z <= cacheMaxZoom) coarse.getOrElse(base) else base
+      getClustersOn(src, meta, bbox, zoom, maxPruneBuckets)
+    }
 
     /** False once a merge has committed a newer epoch than this
-      * Reader's snapshot — time to re-open.
+      * Reader's snapshot — time to re-open. Advisory (see class doc):
+      * it cannot close the check-to-probe race.
       */
     def isCurrent: Boolean =
       readMeta(base.sparkSession, path).epoch == meta.epoch
+
+    /** Release the coarse-level cache (no-op if never materialized). */
+    def close(): Unit = { cached.foreach(_.unpersist()); cached = None }
   }
 
   /** Open the store for repeated serving — see [[Reader]]. */
@@ -417,19 +466,31 @@ object IndexStore {
     def ckpt(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); scratch += c; c
     }
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def phase[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      phases(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
     val nNew = newPoints.count()
     val newTotal = meta.numPoints + nNew
-    val addedBase = ckpt(
-      GridHierarchy.baseRecords(newPoints, lngCol, latCol, idCol)
-        .repartition(IncrementalGrid.deltaPartitions(spark, nNew)))
-    IncrementalGrid.validateIdRange(addedBase, meta.numPoints, newTotal)
+    val addedBase = phase("delta") {
+      val b = ckpt(
+        GridHierarchy.baseRecords(newPoints, lngCol, latCol, idCol)
+          .repartition(IncrementalGrid.deltaPartitions(spark, nNew)))
+      IncrementalGrid.validateIdRange(b, meta.numPoints, newTotal)
+      b
+    }
 
     // touched buckets, upfront from the batch's coordinates alone; the
     // -1 bucket (coarse levels) always recomputes. Bounded by the bucket
     // count, not the batch size.
-    val touched = addedBase
-      .select(packCell(rBucket(opts, meta.bucketZoom)).as("bucket"))
-      .distinct().collect().map(_.getLong(0))
+    val touched = phase("touched") {
+      addedBase
+        .select(packCell(rBucket(opts, meta.bucketZoom)).as("bucket"))
+        .distinct().collect().map(_.getLong(0))
+    }
     val wanted = touched :+ -1L
 
     // partition-pruned read: only the touched buckets reach the plan
@@ -439,23 +500,30 @@ object IndexStore {
         .select(DataCols.map(col): _*),
       newTotal) // decode against the NEW total = the merge id shift, free
 
-    val (keep, emits) =
-      IncrementalGrid.recomputeTouched(subset, addedBase, opts, newTotal, nNew, ckpt)
-    // materialize before writing: the keep/identity frames are lazy over
-    // the very files dynamic overwrite will replace (and Spark refuses a
-    // write whose plan reads the target path)
-    val out = ckpt((keep +: emits).reduce(_ unionByName _))
+    val out = phase("recompute") {
+      val (keep, emits) =
+        IncrementalGrid.recomputeTouched(subset, addedBase, opts, newTotal, nNew, ckpt)
+      // materialize before writing: the keep/identity frames are lazy over
+      // the very files dynamic overwrite will replace (and Spark refuses a
+      // write whose plan reads the target path)
+      ckpt((keep +: emits).reduce(_ unionByName _))
+    }
 
-    encodeIds(out, newTotal)
-      .withColumn("bucket", bucketCol(opts, meta.bucketZoom))
-      .repartition(col("bucket"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(s"$path/levels")
-    writeMeta(spark, path, meta.copy(numPoints = newTotal,
-      levelsRows = levelsRowCount(spark, path), epoch = meta.epoch + 1L))
-    scratch.foreach(_.unpersist())
-    MergeStats(nNew, touched.length + 1L, listBuckets(spark, path).length.toLong)
+    phase("write") {
+      encodeIds(out, newTotal)
+        .withColumn("bucket", bucketCol(opts, meta.bucketZoom))
+        .repartition(col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(s"$path/levels")
+    }
+    val totalBuckets = phase("commit") {
+      writeMeta(spark, path, meta.copy(numPoints = newTotal,
+        levelsRows = levelsRowCount(spark, path), epoch = meta.epoch + 1L))
+      scratch.foreach(_.unpersist())
+      listBuckets(spark, path).length.toLong
+    }
+    MergeStats(nNew, touched.length + 1L, totalBuckets, phases.toMap)
   }
 
   /** The store's materialized bucket partitions (directory listing — no

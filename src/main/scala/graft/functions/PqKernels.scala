@@ -123,11 +123,22 @@ object PqCodes {
   * table. Codegen'd (not CodegenFallback): this is the expression every
   * candidate row of the PQ/IVF+PQ scan evaluates, and a fallback here
   * would break the scan projection out of whole-stage codegen.
+  *
+  * Malformed input null-propagates the way the declarative
+  * `element_at` fold it replaces does (under `spark.sql.ansi.enabled =
+  * false`, this codebase's mode): a null code, a null table row, or an
+  * out-of-range/null lookup makes the WHOLE result null rather than
+  * reading garbage — internal callers (PQ encode output joined to the
+  * per-query table) never hit the guard, so the hot loop's extra
+  * comparisons are branch-predicted away.
   */
 case class AdcDistance(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // the malformed-input guard surfaces as null even for non-null inputs
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -140,19 +151,13 @@ case class AdcDistance(left: Expression, right: Expression)
             s"${l.catalogString} / ${r.catalogString}")
     }
 
-  override protected def nullSafeEval(codesAny: Any, tabAny: Any): Any = {
-    val codes = codesAny.asInstanceOf[ArrayData]
-    val tab = tabAny.asInstanceOf[ArrayData]
-    val m = codes.numElements()
-    var acc = 0.0
-    var j = 0
-    while (j < m) {
-      acc += tab.getArray(j).getDouble(codes.getInt(j))
-      j += 1
-    }
-    acc
-  }
+  override protected def nullSafeEval(codesAny: Any, tabAny: Any): Any =
+    AdcDistance.compute(
+      codesAny.asInstanceOf[ArrayData], tabAny.asInstanceOf[ArrayData])
 
+  // the loop stays inline and primitive (no per-row boxing — this is the
+  // per-candidate inner loop); the guard mirrors AdcDistance.compute,
+  // whose equivalence the interpreted-vs-codegen spec pins
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
@@ -160,17 +165,52 @@ case class AdcDistance(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (codes, tab) => {
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
+      val nt = ctx.freshName("nt")
+      val row = ctx.freshName("row")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
       s"""
          |final int $n = $codes.numElements();
-         |double ${ev.value}Acc = 0.0;
+         |final int $nt = $tab.numElements();
+         |double $acc = 0.0;
          |for (int $j = 0; $j < $n; $j++) {
-         |  ${ev.value}Acc += $tab.getArray($j).getDouble($codes.getInt($j));
+         |  if ($codes.isNullAt($j) || $j >= $nt || $tab.isNullAt($j)) {
+         |    ${ev.isNull} = true; break;
+         |  }
+         |  final org.apache.spark.sql.catalyst.util.ArrayData $row = $tab.getArray($j);
+         |  final int $c = $codes.getInt($j);
+         |  if ($c < 0 || $c >= $row.numElements() || $row.isNullAt($c)) {
+         |    ${ev.isNull} = true; break;
+         |  }
+         |  $acc += $row.getDouble($c);
          |}
-         |${ev.value} = ${ev.value}Acc;
+         |${ev.value} = ${ev.isNull} ? 0.0 : $acc;
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AdcDistance =
     copy(left = newLeft, right = newRight)
+}
+
+object AdcDistance {
+  /** Boxed ADC total, or null on any malformed lookup (element_at null
+    * semantics). Shared by eval and generated code (static forwarder) —
+    * the same shape as [[PqCodes.compute]].
+    */
+  def compute(codes: ArrayData, tab: ArrayData): java.lang.Double = {
+    val m = codes.numElements()
+    val tabs = tab.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j) || j >= tabs || tab.isNullAt(j)) return null
+      val row = tab.getArray(j)
+      val c = codes.getInt(j)
+      if (c < 0 || c >= row.numElements() || row.isNullAt(c)) return null
+      acc += row.getDouble(c)
+      j += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
 }

@@ -4,7 +4,6 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,13 +23,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * Returns null when the document has fewer than `n` tokens (the
   * declarative `array_min(empty)` is null per band; callers `element_at`
   * into the null array and get the same nulls).
+  *
+  * Codegen'd (static-helper shape, like [[PqCodes]]): the md5 loop is
+  * the cost, but a CodegenFallback would break the q25/q35 signature
+  * projection out of whole-stage codegen around it.
   */
 case class ShingleBandMins(child: Expression, n: Int, bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1 && n <= 8, "shingle size out of range")
   require(bands >= 1 && bands <= 4, "hex rotation defines at most 4 bands")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // the short-document guard below returns null even for a non-null child
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -42,10 +48,31 @@ case class ShingleBandMins(child: Expression, n: Int, bands: Int)
           s"ShingleBandMins needs array<string>, got ${other.catalogString}")
     }
 
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleBandMins.compute(input.asInstanceOf[ArrayData], n, bands)
+
+  // static-helper codegen like PqCodes: the short-document guard
+  // surfaces as a null result, so isNull is re-derived from the value
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"""
+       |${ev.value} = graft.functions.ShingleBandMins.compute($v, $n, $bands);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleBandMins =
+    copy(child = newChild)
+}
+
+object ShingleBandMins {
   private val hexChars = "0123456789abcdef".toCharArray
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** All band minima for one token array; null for a short document.
+    * Shared by eval and generated code (static forwarder).
+    */
+  def compute(toks: ArrayData, n: Int, bands: Int): ArrayData = {
     val numTokens = toks.numElements()
     val numShingles = numTokens - (n - 1)
     if (numShingles <= 0) return null
@@ -106,7 +133,4 @@ case class ShingleBandMins(child: Expression, n: Int, bands: Int)
     }
     false
   }
-
-  override protected def withNewChildInternal(newChild: Expression): ShingleBandMins =
-    copy(child = newChild)
 }

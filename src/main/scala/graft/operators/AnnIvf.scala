@@ -6,6 +6,35 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 
+/** A probe-depth calibration, persistable WITH the index it was measured
+  * on ([[AnnIvf.saveCalibration]] / [[AnnIvfPq.saveCalibration]]).
+  *
+  * At 10M vectors the calibration scan costs ~6× the search it tunes
+  * (bench_ann_10m: 97.8 s vs 15.8 s), yet its result — the smallest
+  * probe depth reaching the recall target — is a property of the INDEX +
+  * CORPUS, not of the process that computed it. Persisting it turns
+  * "calibrate per serving process" into "calibrate once at build, serve
+  * anywhere", the same build-once shape as the index files themselves.
+  *
+  * @param targetRecall   the recall target the calibration was run for —
+  *                       a loaded calibration satisfies any request with
+  *                       target ≤ this
+  * @param nprobe         chosen probe depth
+  * @param refine         exact-rerank shortlist factor the calibrating
+  *                       searcher uses (0 where not applicable — plain IVF)
+  * @param measuredRecall sample point-estimate of probe-depth recall at
+  *                       `nprobe` (the fraction of brute-force-true
+  *                       neighbor pairs whose list lands within the first
+  *                       `nprobe` probes — the quantity [[AnnIvf
+  *                       .autoNprobe]] thresholds, NOT end-to-end recall)
+  * @param corpusSize     index rows at calibration time (provenance)
+  * @param epoch          the index save's epoch the calibration belongs
+  *                       to — a re-saved (rebuilt) index invalidates it
+  */
+final case class AnnCalibration(
+    targetRecall: Double, nprobe: Int, refine: Int,
+    measuredRecall: Double, corpusSize: Long, epoch: String)
+
 /** IVF (inverted-file) approximate nearest neighbour — the index-structure
   * scale path for embedding search (complements the LSH sign-sketch in
   * [[Similarity]]).
@@ -98,7 +127,32 @@ object AnnIvf {
       .write.mode("overwrite").parquet(s"$path/assignments")
     centroids.select(col("_c"), col("_cv"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // fresh epoch per save: a stale calibration dir left over from a
+    // previous save of a DIFFERENT index at the same path can no longer
+    // be served against the new one (loadCalibration compares epochs)
+    AnnCalStore.writeEpoch(indexed.sparkSession, path)
   }
+
+  /** Persist a [[calibrate]] result NEXT TO a [[saveIndex]]'d index,
+    * stamped with that save's epoch — [[loadCalibration]] +
+    * [[searchAuto]]'s `calibration` parameter then serve at the
+    * calibrated depth with ZERO calibration jobs (the r10 verdict's
+    * calibrate-once/serve-many gap: at 10M the per-process calibration
+    * scan costs ~6× the search it tunes). Returns the stamped copy.
+    */
+  def saveCalibration(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cal: AnnCalibration): AnnCalibration =
+    AnnCalStore.save(spark, path, cal)
+
+  /** The calibration persisted with the index at `path`, or None when
+    * absent or stamped by a different index save (epoch mismatch).
+    */
+  def loadCalibration(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[AnnCalibration] =
+    AnnCalStore.load(spark, path)
 
   /** Reload an index persisted by [[saveIndex]]: (assignments, centroids),
     * directly usable by [[search]]/[[searchAuto]]/[[autoNprobe]]. No
@@ -268,14 +322,49 @@ object AnnIvf {
       targetRecall: Double = 0.9,
       sampleSize: Int = 32,
       topK: Int = 3,
-      l2Truth: Boolean = false): Int = {
+      l2Truth: Boolean = false): Int =
+    calibrateCore(indexed, centroids, idCol, vecCol,
+      targetRecall, sampleSize, topK, l2Truth)._1
+
+  /** [[autoNprobe]] plus its evidence as a persistable [[AnnCalibration]]
+    * (epoch empty until [[saveCalibration]] stamps it against a saved
+    * index). `refine` is recorded verbatim — 0 for plain IVF (no
+    * shortlist), [[AnnIvfPq.searchAuto]]'s value for the composed path.
+    * Pays one extra `count()` over the index (provenance) on top of
+    * [[autoNprobe]]'s sample scan.
+    */
+  def calibrate(
+      indexed: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      targetRecall: Double = 0.9,
+      sampleSize: Int = 32,
+      topK: Int = 3,
+      l2Truth: Boolean = false,
+      refine: Int = 0): AnnCalibration = {
+    val (np, measured) = calibrateCore(indexed, centroids, idCol, vecCol,
+      targetRecall, sampleSize, topK, l2Truth)
+    AnnCalibration(targetRecall, np, refine, measured, indexed.count(), "")
+  }
+
+  /** (chosen nprobe, measured sample recall at that depth). */
+  private def calibrateCore(
+      indexed: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      targetRecall: Double,
+      sampleSize: Int,
+      topK: Int,
+      l2Truth: Boolean): (Int, Double) = {
     val cents = centroids
       .select(col("_c").cast("int"), col("_cv").cast("array<double>"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     val k = cents.length
-    if (k <= 1) return math.max(k, 1)
+    if (k <= 1) return (math.max(k, 1), 1.0)
 
     // deterministic sample: the sampleSize smallest ids. Casts pin the
     // row layout the driver-side fold reads (getLong/getInt/getSeq[Double])
@@ -328,7 +417,7 @@ object AnnIvf {
       .where(col("_rk") <= topK)
       .select("query_id", "_qv", "_nc")
       .collect()
-    if (truth.isEmpty) return k
+    if (truth.isEmpty) return (k, 1.0)
 
     // per query: centroid ids ordered exactly like search's probe
     // selection (desc similarity, then centroid id)
@@ -361,12 +450,18 @@ object AnnIvf {
     // target = 1.0 keeps margin 0 (full-scan fallback unchanged).
     val margin = math.sqrt(targetRecall * (1.0 - targetRecall) / total)
     val goal = math.min(1.0, targetRecall + margin)
-    (1 to k).find(p => needed.count(_ <= p) / total >= goal).getOrElse(k)
+    val chosen = (1 to k).find(p => needed.count(_ <= p) / total >= goal).getOrElse(k)
+    (chosen, needed.count(_ <= chosen) / total)
   }
 
   /** [[search]] with the probe count chosen by [[autoNprobe]] — the
     * default path a caller should use when they have not placed their
     * corpus on the committed recall/cost curve themselves.
+    *
+    * @param calibration a persisted [[loadCalibration]] result: reused
+    *   (zero calibration jobs) when its own target covers the requested
+    *   one; a calibration run for a LOWER target than now requested
+    *   cannot vouch for it, so the sample calibration runs as if absent
     */
   def searchAuto(
       queries: DataFrame,
@@ -376,8 +471,58 @@ object AnnIvf {
       vecCol: String = "embedding",
       targetRecall: Double = 0.9,
       topK: Int = 3,
-      exactScores: Boolean = false): DataFrame =
+      exactScores: Boolean = false,
+      calibration: Option[AnnCalibration] = None): DataFrame = {
+    val np = calibration.filter(_.targetRecall >= targetRecall).map(_.nprobe)
+      .getOrElse(autoNprobe(indexed, centroids, idCol, vecCol, targetRecall, topK = topK))
     search(queries, indexed, centroids, idCol, vecCol,
-      nprobe = autoNprobe(indexed, centroids, idCol, vecCol, targetRecall, topK = topK),
-      topK = topK, exactScores = exactScores)
+      nprobe = np, topK = topK, exactScores = exactScores)
+  }
+}
+
+/** Parquet persistence for [[AnnCalibration]] + the index-save epoch it
+  * binds to. Both sides are single-row coalesced parquet — broadcast-
+  * sized metadata next to the index files, the same deployment story.
+  */
+private[operators] object AnnCalStore {
+  def writeEpoch(spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    import spark.implicits._
+    val epoch = java.util.UUID.randomUUID().toString
+    Seq(epoch).toDF("epoch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/epoch")
+    epoch
+  }
+
+  def readEpoch(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[String] =
+    scala.util.Try(
+      spark.read.parquet(s"$path/epoch").collect()(0).getString(0)).toOption
+
+  def save(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cal: AnnCalibration): AnnCalibration = {
+    import spark.implicits._
+    val epoch = readEpoch(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no index epoch at $path — saveIndex before saveCalibration"))
+    val stamped = cal.copy(epoch = epoch)
+    Seq(stamped).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/calibration")
+    stamped
+  }
+
+  def load(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[AnnCalibration] =
+    for {
+      epoch <- readEpoch(spark, path)
+      cal <- scala.util.Try {
+        val r = spark.read.parquet(s"$path/calibration").collect()(0)
+        AnnCalibration(r.getAs[Double]("targetRecall"), r.getAs[Int]("nprobe"),
+          r.getAs[Int]("refine"), r.getAs[Double]("measuredRecall"),
+          r.getAs[Long]("corpusSize"), r.getAs[String]("epoch"))
+      }.toOption
+      if cal.epoch == epoch
+    } yield cal
 }

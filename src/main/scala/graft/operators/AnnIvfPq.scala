@@ -61,7 +61,27 @@ object AnnIvfPq {
     centroids.select(col("_c"), col("_cv"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     AnnPq.saveCodebooks(coded.sparkSession, codebooks, s"$path/codebooks")
+    // fresh epoch per save — binds any later saveCalibration to THIS
+    // index (see AnnIvf.saveIndex)
+    AnnCalStore.writeEpoch(coded.sparkSession, path)
   }
+
+  /** Persist a [[calibrate]] result next to a [[saveIndex]]'d composed
+    * index (same epoch-binding contract as [[AnnIvf.saveCalibration]]).
+    */
+  def saveCalibration(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cal: AnnCalibration): AnnCalibration =
+    AnnCalStore.save(spark, path, cal)
+
+  /** The calibration persisted with the index at `path`, or None when
+    * absent or from a different index save (epoch mismatch).
+    */
+  def loadCalibration(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[AnnCalibration] =
+    AnnCalStore.load(spark, path)
 
   /** Reload an index persisted by [[saveIndex]]:
     * (coded, centroids, codebooks), directly usable by [[search]].
@@ -181,6 +201,27 @@ object AnnIvfPq {
       targetRecall, sampleSize, topK, l2Truth = true)
   }
 
+  /** [[autoNprobe]] plus its evidence as a persistable [[AnnCalibration]]
+    * — `refine` records the shortlist factor the calibrated searcher
+    * will run with ([[searchAuto]]'s default 200), so a serving process
+    * reloads the WHOLE tuned configuration, not just the probe depth.
+    */
+  def calibrate(
+      coded: DataFrame,
+      centroids: DataFrame,
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      targetRecall: Double = 0.9,
+      sampleSize: Int = 32,
+      topK: Int = 3,
+      refine: Int = 200): AnnCalibration = {
+    val indexedLike = emb.select(col(idCol), col(vecCol))
+      .join(coded.select(col(idCol), col("_centroid")), Seq(idCol))
+    AnnIvf.calibrate(indexedLike, centroids, idCol, vecCol,
+      targetRecall, sampleSize, topK, l2Truth = true, refine = refine)
+  }
+
   /** [[search]] with the probe count chosen by [[autoNprobe]] — the
     * default composed path (mirrors [[AnnIvf.searchAuto]]). The fixed
     * `nprobe = 4` default measured recall@3 0.70 on the near-uniform sf0.1
@@ -195,6 +236,12 @@ object AnnIvfPq {
     * NO search-time cost — the shortlist is the constant-size bounded
     * join the ADC scan dwarfs). The calibrated default shouldn't be
     * capped below its own target by the knob the caller didn't pick.
+    *
+    * @param calibration a persisted [[loadCalibration]] result: reused
+    *   (zero calibration jobs — its nprobe AND refine replace the
+    *   knobs here) when its own target covers the requested one; a
+    *   lower-target calibration cannot vouch for the request, so the
+    *   sample calibration runs as if absent
     */
   def searchAuto(
       queries: DataFrame,
@@ -207,9 +254,13 @@ object AnnIvfPq {
       targetRecall: Double = 0.9,
       topK: Int = 3,
       refine: Int = 200,
-      exactScores: Boolean = false): DataFrame =
+      exactScores: Boolean = false,
+      calibration: Option[AnnCalibration] = None): DataFrame = {
+    val reuse = calibration.filter(_.targetRecall >= targetRecall)
+    val np = reuse.map(_.nprobe).getOrElse(
+      autoNprobe(coded, centroids, emb, idCol, vecCol, targetRecall, topK = topK))
+    val rf = reuse.filter(_.refine > 0).map(_.refine).getOrElse(refine)
     search(queries, coded, centroids, codebooks, emb, idCol, vecCol,
-      nprobe = autoNprobe(coded, centroids, emb, idCol, vecCol,
-        targetRecall, topK = topK),
-      topK = topK, refine = refine, exactScores = exactScores)
+      nprobe = np, topK = topK, refine = rf, exactScores = exactScores)
+  }
 }

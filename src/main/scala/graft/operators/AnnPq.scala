@@ -202,6 +202,15 @@ object AnnPq {
     *   interpreted lambda frames per row measured 40 s of a 53 s encode
     *   at 1M vectors; the fused kernel computes bit-identical codes
     *   (AnnPqSpec differential) in one primitive pass.
+    *
+    *   KNOWN DIVERGENCE on undersized vectors (< m·dsub elements, a
+    *   malformed input neither [[train]] nor any internal caller can
+    *   produce): the kernel returns a NULL `codes` array, while the
+    *   declarative chain pads with zip_with and yields an array
+    *   CONTAINING null codes. Downstream both shapes null out the
+    *   candidate ([[AdcDistance]] null-propagates a null code; a null
+    *   array never joins), so search results agree — only the
+    *   intermediate column differs.
     */
   def encode(
       emb: DataFrame,

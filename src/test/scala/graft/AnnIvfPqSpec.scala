@@ -64,6 +64,77 @@ class AnnIvfPqSpec extends AnyFunSuite {
     assert(inSession == reloaded, "reloaded index must search identically")
   }
 
+  test("persisted calibration: load → searchAuto runs ZERO calibration jobs, searches bit-identically (r10 verdict #3)") {
+    val (coded, centroids, cb) = built
+    val queries = emb.where(col("vec_id") < 30)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_cal_spec"
+    AnnIvfPq.saveIndex(coded, centroids, cb, path)
+    val cal = AnnIvfPq.calibrate(coded, centroids, emb)
+    assert(cal.nprobe >= 1 && cal.refine == 200 && cal.epoch.isEmpty)
+    assert(cal.corpusSize == emb.count())
+    val stamped = AnnIvfPq.saveCalibration(spark, path, cal)
+    assert(stamped.epoch.nonEmpty)
+    val loaded = AnnIvfPq.loadCalibration(spark, path)
+    assert(loaded.contains(stamped), s"roundtrip mismatch: $loaded vs $stamped")
+
+    val (coded2, cents2, cb2) = AnnIvfPq.loadIndex(spark, path)
+    // job-count proof via a job group (suites share the session and run in
+    // parallel, so a global listener would cross-count): any calibration
+    // work fires eagerly — and therefore in THIS thread's group — during
+    // searchAuto construction; plan construction itself fires nothing.
+    val sc = spark.sparkContext
+    def groupJobs(grp: String)(f: => Unit): Int = {
+      sc.setJobGroup(grp, "calibration job probe")
+      try f finally sc.clearJobGroup()
+      // the status store is fed asynchronously — settle briefly
+      var ids = sc.statusTracker.getJobIdsForGroup(grp)
+      val deadline = System.nanoTime() + 5000000000L
+      while (ids.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        ids = sc.statusTracker.getJobIdsForGroup(grp)
+      }
+      ids.length
+    }
+    var dfCal: org.apache.spark.sql.DataFrame = null
+    val calJobs = groupJobs("ivfpq-cal-reuse") {
+      dfCal = AnnIvfPq.searchAuto(queries, coded2, cents2, cb2, emb,
+        calibration = loaded)
+    }
+    assert(calJobs == 0,
+      s"calibrated searchAuto construction fired $calJobs calibration jobs")
+    // sanity arm: the same construction WITHOUT the stored calibration
+    // does fire the sample-scan jobs (guards the probe itself)
+    val uncalJobs = groupJobs("ivfpq-cal-fresh") {
+      AnnIvfPq.searchAuto(queries, coded2, cents2, cb2, emb): Unit
+    }
+    assert(uncalJobs > 0, "probe sanity: uncalibrated searchAuto fired no jobs")
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("dist"), col("rk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val got = rows(dfCal)
+    assert(got == rows(AnnIvfPq.search(queries, coded2, cents2, cb2, emb,
+      nprobe = stamped.nprobe, topK = 3, refine = stamped.refine)),
+      "calibrated searchAuto must equal explicit search at the stored knobs")
+    assert(got == rows(AnnIvfPq.searchAuto(queries, coded, centroids, cb, emb)),
+      "calibrated reload must search bit-identically to the in-session auto path")
+
+    // a calibration run for a LOWER target cannot vouch for a higher one
+    val low = stamped.copy(targetRecall = 0.5)
+    val recal = groupJobs("ivfpq-cal-low") {
+      AnnIvfPq.searchAuto(queries, coded2, cents2, cb2, emb,
+        targetRecall = 0.9, calibration = Some(low)): Unit
+    }
+    assert(recal > 0, "a lower-target calibration must trigger recalibration")
+
+    // epoch staleness: a re-saved index invalidates the stored calibration
+    AnnIvfPq.saveIndex(coded, centroids, cb, path)
+    assert(AnnIvfPq.loadCalibration(spark, path).isEmpty,
+      "calibration from a previous index save must not load")
+  }
+
   test("every candidate honors the probe restriction (recall floor at nprobe=6)") {
     val (coded, centroids, cb) = built
     val queries = emb.where(col("vec_id") < 50)

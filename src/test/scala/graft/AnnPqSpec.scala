@@ -131,6 +131,36 @@ class AnnPqSpec extends AnyFunSuite {
     assert(res(0).getDouble(2) < 1.0) // same-cluster ADC distance is small
   }
 
+  test("AdcDistance null-propagates malformed input like element_at (ADVICE r10)") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import spark.implicits._
+    def adc(codes: org.apache.spark.sql.Column, tab: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.functions.AdcDistance(
+        ColumnBridge.expression(codes), ColumnBridge.expression(tab)))
+    val tab = Seq(Seq(1.0, 2.0), Seq(10.0, 20.0))
+    val rows = Seq(
+      (0L, Seq[Integer](0, 1)),      // well-formed → 1.0 + 20.0
+      (1L, Seq[Integer](0, null)),   // null code → null
+      (2L, Seq[Integer](0, 99)),     // out-of-range code → null
+      (3L, Seq[Integer](-1, 0)),     // negative code → null
+      (4L, Seq[Integer](0, 1, 0)))   // more codes than table rows → null
+      .toDF("id", "codes")
+      .select(col("id"), col("codes").cast("array<int>").as("codes"),
+        typedLit(tab).as("tab"))
+    // codegen path (projection over a DataFrame)
+    val got = rows.select(col("id"), adc(col("codes"), col("tab")).as("d"))
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))).toSeq
+    assert(got == Seq(Some(21.0), None, None, None, None))
+    // interpreted path (direct eval) agrees with codegen
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def arr(xs: Seq[Any]): ArrayData = ArrayData.toArrayData(xs.toArray)
+    val tabData = ArrayData.toArrayData(tab.map(r => arr(r)).toArray)
+    assert(graft.functions.AdcDistance.compute(arr(Seq(0, 1)), tabData) == 21.0)
+    assert(graft.functions.AdcDistance.compute(arr(Seq(0, null)), tabData) == null)
+    assert(graft.functions.AdcDistance.compute(arr(Seq(0, 99)), tabData) == null)
+  }
+
   test("fast kernel (exactMeans=false) trains the same-shape codebooks with recall parity") {
     val cb = AnnPq.train(emb, m = 8, k = 16, iters = 2, exactMeans = false)
     assert(cb.length == 8 && cb.forall(_.length == 16) && cb.forall(_.forall(_.length == 8)))

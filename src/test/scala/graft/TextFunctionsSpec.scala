@@ -75,6 +75,29 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(n(1).drop(1).forall(_ == null)) // < 3 tokens
   }
 
+  test("dot and shingle kernels stay inside whole-stage codegen (r10 verdict #4)") {
+    // these are the q25/q28/q35 inner loops: a CodegenFallback would break
+    // the candidate-scan projection out of WholeStageCodegen exactly where
+    // the 100 TB row count is. Plan-shape tests read from parquet — a
+    // local Seq collapses to LocalRelation at optimization time.
+    val sf = "/root/testdata/sf0.001"
+    val sig = Tables.documents(spark, sf)
+      .select(minhashBandMins(tokens(col("text")), 3, 4).as("bm"))
+    sig.collect()
+    assert(PlanSpans.inWholeStageCodegen(sig, "shinglebandmins"),
+      "ShingleBandMins not inside any WholeStageCodegen span")
+
+    val emb = Tables.embeddings(spark, sf)
+    val dots = emb.select(
+      VectorFunctions.dotExact(col("embedding"), col("embedding")).as("x"),
+      VectorFunctions.dotApprox(col("embedding"), col("embedding")).as("y"))
+    dots.collect()
+    assert(PlanSpans.inWholeStageCodegen(dots, "exactdotproduct"),
+      "ExactDotProduct not inside any WholeStageCodegen span")
+    assert(PlanSpans.inWholeStageCodegen(dots, "doubledotproduct"),
+      "DoubleDotProduct not inside any WholeStageCodegen span")
+  }
+
   test("ExactDotProduct equals the declarative decimal aggregate tree") {
     import org.apache.spark.sql.types.DecimalType
     val Dec = DecimalType(25, 15)
