@@ -358,10 +358,16 @@ object IndexStore {
     def close(): Unit = { cached.foreach(_.unpersist()); cached = None }
   }
 
-  /** Open the store for repeated serving — see [[Reader]]. */
-  def open(spark: SparkSession, path: String): Reader = {
+  /** Open the store for repeated serving — see [[Reader]].
+    * @param coarseCacheRowCap skip the coarse-level cache when the
+    *   zooms ≤ bucketZoom+2 hold more rows than this (0 disables it)
+    */
+  def open(
+      spark: SparkSession,
+      path: String,
+      coarseCacheRowCap: Long = 2000000L): Reader = {
     val base = spark.read.schema(StoreSchema).parquet(s"$path/levels")
-    new Reader(base, readMeta(spark, path), path)
+    new Reader(base, readMeta(spark, path), path, coarseCacheRowCap)
   }
 
   private def getClustersOn(

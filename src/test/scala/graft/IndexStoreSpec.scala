@@ -291,6 +291,31 @@ class IndexStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("Reader coarse cache: cached, uncached (row-cap fallback), and closed probes all agree") {
+    val base = pts(1000, 93)
+    val dir = freshDir("readercache")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 1000L)
+    val world = (-180.0, -85.0, 180.0, 85.0)
+    val city = (10.0, 40.0, 14.0, 44.0)
+    // coarse zooms (≤ bucketZoom+2 = 4) serve off the cache; the capped
+    // reader skips the cache and must return the identical rows
+    val cached = IndexStore.open(spark, dir)
+    val uncached = IndexStore.open(spark, dir, coarseCacheRowCap = 0L)
+    Seq((world, 0), (world, 3), (world, 4), (city, 2)).foreach { case (bbox, z) =>
+      val want = canon(IndexStore.getClusters(spark, dir, bbox, z))
+      assert(canon(cached.getClusters(bbox, z)) == want,
+        s"cached reader diverged at z=$z")
+      assert(canon(uncached.getClusters(bbox, z)) == want,
+        s"cache-skipping reader diverged at z=$z")
+    }
+    // after close() the reader still answers (scan path), identically
+    cached.close()
+    assert(canon(cached.getClusters(world, 3)) ==
+      canon(IndexStore.getClusters(spark, dir, world, 3)),
+      "closed reader must still serve correct rows")
+    uncached.close() // no-op: cache never materialized
+  }
+
   test("streaming ingest into the store: foreachBatch + mergeInto == rebuild") {
     // the full deployment loop: a saved store, a point stream, one
     // partial-rewrite merge per micro-batch through the REAL streaming
