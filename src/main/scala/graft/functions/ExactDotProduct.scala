@@ -3,6 +3,7 @@ package graft.functions
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DecimalType, DoubleType, FloatType}
 
@@ -18,19 +19,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DecimalType, Do
   * row replaces two materialized intermediate arrays and ~3·dim interpreted
   * lambda frames, which is what makes pairwise similarity joins feasible.
   *
-  * Codegen'd (static-helper shape, like [[PqCodes]]): the BigDecimal loop
-  * itself is the cost, but a CodegenFallback here would break the
-  * SURROUNDING projection — the q25/q28/q35 candidate scans — out of
-  * whole-stage codegen, forcing an interpreted row pipeline around every
-  * candidate (the same argument that earned [[AdcDistance]] its
-  * `doGenCode` in r10).
-  *
   * Null if either array is null; mismatched lengths dot the common prefix
   * (zip_with pads with null — here we stop, equivalent since a null product
   * would nullify the sum; callers always pass equal-length vectors).
+  *
+  * DELIBERATELY CodegenFallback — measured, not an omission (r11). The
+  * expensive decimal kernel is always used through the hoisted-norm
+  * discipline: `normSqExact` is projected BELOW a broadcast join so each
+  * input row pays ONE decimal dot (AnnIvf.search, Similarity q28/q88).
+  * Whole-stage codegen evaluates projection columns LAZILY at first use:
+  * make this expression codegen-able and the norm projection fuses into
+  * the join stage, deferring the decimal dot into the per-MATCH loop —
+  * every candidate pair recomputes both sides' norms, exactly what the
+  * hoisting exists to prevent. Measured on the full sf0.1 suite when an
+  * r11 experiment gave this expression a real `doGenCode`: q88 0.84 →
+  * 3.72 s, q47 2.06 → 2.88 s, q98 2.18 → 3.50 s — reverting recovered
+  * all three (focused: q88 1.07 s). The fallback is the materialization
+  * barrier that keeps "once per row" true; the per-row call overhead it
+  * costs is noise against the BigDecimal loop it wraps. The cheap
+  * [[DoubleDotProduct]] prefilter below IS codegen'd — recomputing a
+  * primitive loop per match is cheaper than breaking its stage.
   */
 case class ExactDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DecimalType(35, 15)
 
@@ -53,31 +64,9 @@ case class ExactDotProduct(left: Expression, right: Expression)
   @transient private lazy val rightIsFloat =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    ExactDotProduct.compute(a.asInstanceOf[ArrayData],
-      b.asInstanceOf[ArrayData], leftIsFloat, rightIsFloat)
-
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-       |${ev.value} = graft.functions.ExactDotProduct.compute(
-       |  $a, $b, $leftIsFloat, $rightIsFloat);
-     """.stripMargin)
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): ExactDotProduct =
-    copy(left = newLeft, right = newRight)
-}
-
-object ExactDotProduct {
-  /** Shared by eval and generated code (static forwarder). Never null for
-    * non-null inputs — nullSafeCodeGen's isNull from the children stands.
-    */
-  def compute(
-      xs: ArrayData, ys: ArrayData,
-      leftIsFloat: Boolean, rightIsFloat: Boolean): Decimal = {
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
     val n = math.min(xs.numElements(), ys.numElements())
     var acc = JBigDecimal.ZERO
     var i = 0
@@ -91,6 +80,10 @@ object ExactDotProduct {
     }
     Decimal(acc.setScale(15))
   }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ExactDotProduct =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Plain IEEE-double dot product, fused loop — the cheap prefilter

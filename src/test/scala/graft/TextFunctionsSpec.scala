@@ -75,11 +75,12 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(n(1).drop(1).forall(_ == null)) // < 3 tokens
   }
 
-  test("dot and shingle kernels stay inside whole-stage codegen (r10 verdict #4)") {
-    // these are the q25/q28/q35 inner loops: a CodegenFallback would break
-    // the candidate-scan projection out of WholeStageCodegen exactly where
-    // the 100 TB row count is. Plan-shape tests read from parquet — a
-    // local Seq collapses to LocalRelation at optimization time.
+  test("kernel codegen placement: shingle/double-dot fused, exact-dot deliberately NOT (r10 verdict #4)") {
+    // ShingleBandMins and DoubleDotProduct are per-row/per-pair hot loops:
+    // a CodegenFallback would break their projections out of
+    // WholeStageCodegen exactly where the 100 TB row count is. Plan-shape
+    // tests read from parquet — a local Seq collapses to LocalRelation at
+    // optimization time.
     val sf = "/root/testdata/sf0.001"
     val sig = Tables.documents(spark, sf)
       .select(minhashBandMins(tokens(col("text")), 3, 4).as("bm"))
@@ -87,15 +88,26 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(PlanSpans.inWholeStageCodegen(sig, "shinglebandmins"),
       "ShingleBandMins not inside any WholeStageCodegen span")
 
+    // separate queries: a CodegenFallback expression anywhere in a
+    // projection breaks the WHOLE projection out of codegen, so pairing
+    // the two dots in one select would mask DoubleDotProduct's placement
     val emb = Tables.embeddings(spark, sf)
-    val dots = emb.select(
-      VectorFunctions.dotExact(col("embedding"), col("embedding")).as("x"),
+    val approx = emb.select(
       VectorFunctions.dotApprox(col("embedding"), col("embedding")).as("y"))
-    dots.collect()
-    assert(PlanSpans.inWholeStageCodegen(dots, "exactdotproduct"),
-      "ExactDotProduct not inside any WholeStageCodegen span")
-    assert(PlanSpans.inWholeStageCodegen(dots, "doubledotproduct"),
+    approx.collect()
+    assert(PlanSpans.inWholeStageCodegen(approx, "doubledotproduct"),
       "DoubleDotProduct not inside any WholeStageCodegen span")
+    val dots = emb.select(
+      VectorFunctions.dotExact(col("embedding"), col("embedding")).as("x"))
+    dots.collect()
+    // ExactDotProduct stays OUT on purpose: WSCG's lazy column evaluation
+    // would defer the hoisted normSqExact projection into broadcast-join
+    // per-match loops — the decimal dot then runs per candidate PAIR
+    // (measured: q88 0.84 → 3.72 s when an r11 experiment codegen'd it;
+    // see the class doc). The fallback IS the materialization barrier.
+    assert(!PlanSpans.inWholeStageCodegen(dots, "exactdotproduct"),
+      "ExactDotProduct entered WholeStageCodegen — this re-breaks the " +
+        "hoisted-norm discipline; read ExactDotProduct's class doc before changing")
   }
 
   test("ExactDotProduct equals the declarative decimal aggregate tree") {
