@@ -1029,19 +1029,59 @@ object Bench {
       if (!only.exists(_.contains("ann_10m"))) Seq.empty
       else annRung(10000000L, 500000, "ann10m")
 
-    // HARD 1M fixture (VERDICT r10 #2): planted near-dup pairs over
-    // overlapping heavy-tailed superclusters (SyntheticVectors
-    // .hardClustered) — the corpus where probe depth and shortlist depth
-    // actually cost recall, so the published curves BEND instead of
-    // pinning at 1.0. Also carries the calibrate-once/serve-many story
-    // (VERDICT r10 #3): the calibration is persisted WITH the index and a
-    // fresh "serving process" (loadIndex + loadCalibration + searchAuto)
-    // runs zero calibration jobs. OPT-IN like the other ANN rungs;
-    // bench_ann_1m.json carries the committed numbers.
-    val ann1mHard: Seq[(String, Double, Boolean)] =
-      if (!only.exists(_.contains("ann_1m_hard"))) Seq.empty
+    // Calibrate-once/serve-many AT 10M (VERDICT r10 #3's cited scale:
+    // calibration 97.8 s vs 15.8 s search, re-paid per process). No
+    // truth scans — recall evidence lives in the 1M-hard section and the
+    // full 10M rung; this measures only the costs the persistence
+    // deletes: calibrate+save ONCE, then a fresh serve path (loadIndex +
+    // loadCalibration + searchAuto) that runs zero calibration jobs.
+    // OPT-IN; bench_ann_10m_cal.json carries the committed numbers.
+    val ann10mCal: Seq[(String, Double, Boolean)] =
+      if (!only.exists(_.contains("ann_10m_cal"))) Seq.empty
       else try {
-        val gen = graft.io.SyntheticVectors.hardClustered(spark, 1000000L).persist()
+        val gen = graft.io.SyntheticVectors
+          .clustered(spark, 10000000L, nClusters = 500000).persist()
+        gen.count()
+        val probes = gen.where(col("vec_id") < 20)
+        val (ix0, cents) = AnnIvf.buildIndex(gen)
+        val ix = ix0.persist(); ix.count()
+        val cb = AnnPq.train(gen, m = 8, k = 16, iters = 2, exactMeans = false)
+        val coded = AnnIvfPq.index(ix, AnnPq.encode(gen, cb)).persist()
+        coded.count()
+        val (cal, tCal) = timedSec { AnnIvfPq.calibrate(coded, cents, gen) }
+        val dir = graft.io.Scratch.dir("graft_bench_ann10m_cal")
+        val (_, tSave) = timedSec {
+          graft.operators.AnnIvfPq.saveIndex(coded, cents, cb, dir)
+          graft.operators.AnnIvfPq.saveCalibration(spark, dir, cal): Unit
+        }
+        val (nServed, tServe) = timedSec {
+          val (c2, ct2, cb2) = AnnIvfPq.loadIndex(spark, dir)
+          val cal2 = AnnIvfPq.loadCalibration(spark, dir)
+          AnnIvfPq.searchAuto(probes, c2, ct2, cb2, gen, calibration = cal2)
+            .select("query_id", "neighbor_id").collect().length
+        }
+        ix.unpersist(); coded.unpersist(); gen.unpersist()
+        Seq(
+          ("ann10m_cal_nprobe", cal.nprobe.toDouble, true),
+          ("ann10m_cal_calibrate_sec", tCal, true),
+          ("ann10m_cal_save_sec", tSave, true),
+          ("ann10m_cal_serve_search_sec", tServe, true),
+          ("ann10m_cal_serve_rows", nServed.toDouble, true))
+      } catch { case NonFatal(_) => Seq(("ann_10m_cal", 0.0, false)) }
+
+    // HARD fixtures (VERDICT r10 #2; r11 extends the rung ladder): planted
+    // near-dup pairs over overlapping heavy-tailed superclusters
+    // (SyntheticVectors.hardClustered) — the corpus where probe depth and
+    // shortlist depth actually cost recall, so the published curves BEND
+    // instead of pinning at 1.0. Also carries the calibrate-once/serve-many
+    // story (VERDICT r10 #3): the calibration is persisted WITH the index
+    // and a fresh "serving process" (loadIndex + loadCalibration +
+    // searchAuto) runs zero calibration jobs. OPT-IN like the other ANN
+    // rungs; bench_ann_1m.json / bench_ann_4m.json carry the committed
+    // numbers (key prefixes unchanged from the r11 1M landing).
+    def annHardRung(n: Long, tag: String): Seq[(String, Double, Boolean)] =
+      try {
+        val gen = graft.io.SyntheticVectors.hardClustered(spark, n).persist()
         gen.count()
         val probes = gen.where(col("vec_id") < 20)
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
@@ -1056,8 +1096,8 @@ object Bench {
         val (coded, tIdx) = timedSec {
           val c = AnnIvfPq.index(ix, enc).persist(); c.count(); c
         }
-        out += (("ann1m_hard_ivf_build", tB, true))
-        out += (("ann1m_hard_ivfpq_index", tIdx, true))
+        out += ((s"${tag}_ivf_build", tB, true))
+        out += ((s"${tag}_ivfpq_index", tIdx, true))
         val truthL2 = exactTop3(gen, byCosine = false)
         // the probe-depth curve at searchAuto's refine (200)
         Seq(1, 2, 4, 8, 16).foreach { np =>
@@ -1065,8 +1105,8 @@ object Bench {
             grab(AnnIvfPq.search(probes, coded, cents, cb, gen,
               nprobe = np, topK = 3, refine = 200))
           }
-          out += ((s"ann1m_hard_ivfpq_np${np}_search", t, true))
-          out += ((s"ann1m_hard_ivfpq_np${np}_recall_at3", recallVs(truthL2, r), true))
+          out += ((s"${tag}_ivfpq_np${np}_search", t, true))
+          out += ((s"${tag}_ivfpq_np${np}_recall_at3", recallVs(truthL2, r), true))
         }
         // the shortlist-depth curve at a fixed mid probe depth
         Seq(20, 50, 200).foreach { rf =>
@@ -1074,26 +1114,26 @@ object Bench {
             grab(AnnIvfPq.search(probes, coded, cents, cb, gen,
               nprobe = 8, topK = 3, refine = rf))
           }
-          out += ((s"ann1m_hard_ivfpq_rf${rf}_search", t, true))
-          out += ((s"ann1m_hard_ivfpq_rf${rf}_recall_at3", recallVs(truthL2, r), true))
+          out += ((s"${tag}_ivfpq_rf${rf}_search", t, true))
+          out += ((s"${tag}_ivfpq_rf${rf}_recall_at3", recallVs(truthL2, r), true))
         }
         // the calibrated default on the fixture where calibration matters
         val (cal, tCal) = timedSec { AnnIvfPq.calibrate(coded, cents, gen) }
-        out += (("ann1m_hard_ivfpq_auto_nprobe", cal.nprobe.toDouble, true))
-        out += (("ann1m_hard_ivfpq_calibrate_sec", tCal, true))
+        out += ((s"${tag}_ivfpq_auto_nprobe", cal.nprobe.toDouble, true))
+        out += ((s"${tag}_ivfpq_calibrate_sec", tCal, true))
         val (aRes, tAS) = timedSec {
           grab(AnnIvfPq.search(probes, coded, cents, cb, gen,
             nprobe = cal.nprobe, topK = 3, refine = cal.refine))
         }
-        out += (("ann1m_hard_ivfpq_auto_search", tAS, true))
-        out += (("ann1m_hard_ivfpq_auto_recall_at3", recallVs(truthL2, aRes), true))
+        out += ((s"${tag}_ivfpq_auto_search", tAS, true))
+        out += ((s"${tag}_ivfpq_auto_recall_at3", recallVs(truthL2, aRes), true))
         // calibrate once (persisted with the index) …
-        val dir = graft.io.Scratch.dir("graft_bench_ann_cal")
+        val dir = graft.io.Scratch.dir(s"graft_bench_${tag}_cal")
         val (_, tSave) = timedSec {
           graft.operators.AnnIvfPq.saveIndex(coded, cents, cb, dir)
           graft.operators.AnnIvfPq.saveCalibration(spark, dir, cal): Unit
         }
-        out += (("ann1m_hard_cal_save_sec", tSave, true))
+        out += ((s"${tag}_cal_save_sec", tSave, true))
         // … serve many: a fresh process-shape path — reload index +
         // calibration, searchAuto with ZERO calibration jobs. Compare
         // serve_calibrated_sec against calibrate_sec + auto_search.
@@ -1104,13 +1144,28 @@ object Bench {
             calibration = cal2))
           (r, recallVs(truthL2, r))
         }
-        out += (("ann1m_hard_serve_calibrated_sec", tServe, true))
-        out += (("ann1m_hard_serve_recall_at3", sRecall, true))
-        out += (("ann1m_hard_serve_matches_auto",
+        out += ((s"${tag}_serve_calibrated_sec", tServe, true))
+        out += ((s"${tag}_serve_recall_at3", sRecall, true))
+        out += ((s"${tag}_serve_matches_auto",
           if (sRes.sorted.sameElements(aRes.sorted)) 1.0 else 0.0, true))
         ix.unpersist(); enc.unpersist(); coded.unpersist(); gen.unpersist()
         out.toSeq
-      } catch { case NonFatal(_) => Seq(("ann_1m_hard", 0.0, false)) }
+      } catch { case NonFatal(_) => Seq((tag, 0.0, false)) }
+
+    val ann1mHard: Seq[(String, Double, Boolean)] =
+      if (!only.exists(_.contains("ann_1m_hard"))) Seq.empty
+      else annHardRung(1000000L, "ann1m_hard")
+
+    // the rung where "at scale" stops being a 1M claim: same planted-pair
+    // fixture, 4× the corpus (VERDICT r10 carried caveat — the easy 4M/10M
+    // rungs saturate recall, so only this one exercises the probe-depth/
+    // recall tradeoff above 1M)
+    val ann4mHard: Seq[(String, Double, Boolean)] =
+      if (!only.exists(_.contains("ann_4m_hard"))) Seq.empty
+      else annHardRung(4000000L, "ann4m_hard")
+    val ann10mHard: Seq[(String, Double, Boolean)] =
+      if (!only.exists(_.contains("ann_10m_hard"))) Seq.empty
+      else annHardRung(10000000L, "ann10m_hard")
 
     // memory: per-stage JVM heap deltas mirroring the reference's
     // measurement discipline (benchmarks/run.ts:185-226 — gc, snapshot,
@@ -1143,7 +1198,7 @@ object Bench {
     // sfDir/outPath must not break the "guaranteed parseable last line"
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val errors = (results ++ maskTimes ++ annFast ++ bpeKernel ++ ann1m ++ ann1mHard ++ ann4m ++ ann10m ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ ivfBuild ++ pqBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
+    val errors = (results ++ maskTimes ++ annFast ++ bpeKernel ++ ann1m ++ ann1mHard ++ ann4m ++ ann4mHard ++ ann10m ++ ann10mHard ++ ann10mCal ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ ivfBuild ++ pqBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -1195,10 +1250,16 @@ object Bench {
       if (ann1m.isEmpty) "" else s""","ann_1m":${jmap(ann1m)}"""
     val ann1mHardJson =
       if (ann1mHard.isEmpty) "" else s""","ann_1m_hard":${jmap(ann1mHard)}"""
+    val ann4mHardJson =
+      if (ann4mHard.isEmpty) "" else s""","ann_4m_hard":${jmap(ann4mHard)}"""
+    val ann10mHardJson =
+      if (ann10mHard.isEmpty) "" else s""","ann_10m_hard":${jmap(ann10mHard)}"""
     val ann4mJson =
       if (ann4m.isEmpty) "" else s""","ann_4m":${jmap(ann4m)}"""
     val ann10mJson =
       if (ann10m.isEmpty) "" else s""","ann_10m":${jmap(ann10m)}"""
+    val ann10mCalJson =
+      if (ann10mCal.isEmpty) "" else s""","ann_10m_cal":${jmap(ann10mCal)}"""
     val totalCold = resultsCold.map(_._2).sum
     val calibrationEnd = calibrationSec()
     val profileJson = calibrationProfile
@@ -1233,7 +1294,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpusJson,"queries":${jmap(results)},""" +
         s""""queries_cold":${jmap(resultsCold)},"total_cold":$totalCold,""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$bpeKernelJson$ann1mJson$ann1mHardJson$ann4mJson$ann10mJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson$rerunJson,"sf":"${jstr(sfDir)}"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$bpeKernelJson$ann1mJson$ann1mHardJson$ann4mJson$ann4mHardJson$ann10mJson$ann10mHardJson$ann10mCalJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson$rerunJson,"sf":"${jstr(sfDir)}"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(
