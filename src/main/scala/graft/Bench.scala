@@ -1048,6 +1048,10 @@ object Bench {
         val cb = AnnPq.train(gen, m = 8, k = 16, iters = 2, exactMeans = false)
         val coded = AnnIvfPq.index(ix, AnnPq.encode(gen, cb)).persist()
         coded.count()
+        // ix fed coded and is dead weight from here — at 10M it pins ~1/4
+        // of the 8g-heap storage pool through the spill-heavy calibrate
+        // join (measured OOM with it held; green without)
+        ix.unpersist()
         val (cal, tCal) = timedSec { AnnIvfPq.calibrate(coded, cents, gen) }
         val dir = graft.io.Scratch.dir("graft_bench_ann10m_cal")
         val (_, tSave) = timedSec {
@@ -1060,7 +1064,7 @@ object Bench {
           AnnIvfPq.searchAuto(probes, c2, ct2, cb2, gen, calibration = cal2)
             .select("query_id", "neighbor_id").collect().length
         }
-        ix.unpersist(); coded.unpersist(); gen.unpersist()
+        coded.unpersist(); gen.unpersist()
         Seq(
           ("ann10m_cal_nprobe", cal.nprobe.toDouble, true),
           ("ann10m_cal_calibrate_sec", tCal, true),
