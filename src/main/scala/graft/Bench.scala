@@ -1052,7 +1052,9 @@ object Bench {
         // of the 8g-heap storage pool through the spill-heavy calibrate
         // join (measured OOM with it held; green without)
         ix.unpersist()
-        val (cal, tCal) = timedSec { AnnIvfPq.calibrate(coded, cents, gen) }
+        val (cal, tCal) = timedSec {
+          AnnIvfPq.calibrateEndToEnd(coded, cents, cb, gen)
+        }
         val dir = graft.io.Scratch.dir("graft_bench_ann10m_cal")
         val (_, tSave) = timedSec {
           graft.operators.AnnIvfPq.saveIndex(coded, cents, cb, dir)
@@ -1067,6 +1069,8 @@ object Bench {
         coded.unpersist(); gen.unpersist()
         Seq(
           ("ann10m_cal_nprobe", cal.nprobe.toDouble, true),
+          ("ann10m_cal_refine", cal.refine.toDouble, true),
+          ("ann10m_cal_sample_recall", cal.measuredRecall, true),
           ("ann10m_cal_calibrate_sec", tCal, true),
           ("ann10m_cal_save_sec", tSave, true),
           ("ann10m_cal_serve_search_sec", tServe, true),
@@ -1122,8 +1126,14 @@ object Bench {
           out += ((s"${tag}_ivfpq_rf${rf}_recall_at3", recallVs(truthL2, r), true))
         }
         // the calibrated default on the fixture where calibration matters
-        val (cal, tCal) = timedSec { AnnIvfPq.calibrate(coded, cents, gen) }
+        // — end-to-end since r11: tunes nprobe AND the refine shortlist
+        // against sample recall (at 10M the shortlist binds, not nprobe)
+        val (cal, tCal) = timedSec {
+          AnnIvfPq.calibrateEndToEnd(coded, cents, cb, gen)
+        }
         out += ((s"${tag}_ivfpq_auto_nprobe", cal.nprobe.toDouble, true))
+        out += ((s"${tag}_ivfpq_auto_refine", cal.refine.toDouble, true))
+        out += ((s"${tag}_ivfpq_cal_sample_recall", cal.measuredRecall, true))
         out += ((s"${tag}_ivfpq_calibrate_sec", tCal, true))
         val (aRes, tAS) = timedSec {
           grab(AnnIvfPq.search(probes, coded, cents, cb, gen,

@@ -358,13 +358,33 @@ object AnnIvf {
       sampleSize: Int,
       topK: Int,
       l2Truth: Boolean): (Int, Double) = {
+    val (np, measured, _) = calibrateCoreWithTruth(
+      indexed, centroids, idCol, vecCol, targetRecall, sampleSize, topK, l2Truth)
+    (np, measured)
+  }
+
+  /** [[calibrateCore]] plus the exact-truth pairs it computed anyway —
+    * (query_id, true neighbor_id) for the deterministic sample. Lets a
+    * composed calibration ([[AnnIvfPq.calibrateEndToEnd]]) tune its
+    * OTHER knob (the refine shortlist) against end-to-end sample recall
+    * without a second brute-force corpus scan.
+    */
+  private[operators] def calibrateCoreWithTruth(
+      indexed: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      targetRecall: Double,
+      sampleSize: Int,
+      topK: Int,
+      l2Truth: Boolean): (Int, Double, Array[(Long, Long)]) = {
     val cents = centroids
       .select(col("_c").cast("int"), col("_cv").cast("array<double>"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     val k = cents.length
-    if (k <= 1) return (math.max(k, 1), 1.0)
+    if (k <= 1) return (math.max(k, 1), 1.0, Array.empty)
 
     // deterministic sample: the sampleSize smallest ids. Casts pin the
     // row layout the driver-side fold reads (getLong/getInt/getSeq[Double])
@@ -415,9 +435,11 @@ object AnnIvf {
     val truth = scored
       .withColumn("_rk", row_number().over(rw))
       .where(col("_rk") <= topK)
-      .select("query_id", "_qv", "_nc")
+      .select(col("query_id"), col("_qv"), col("_nc"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
       .collect()
-    if (truth.isEmpty) return (k, 1.0)
+    if (truth.isEmpty) return (k, 1.0, Array.empty)
+    val truthPairs = truth.map(r => (r.getLong(0), r.getLong(3)))
 
     // per query: centroid ids ordered exactly like search's probe
     // selection (desc similarity, then centroid id)
@@ -451,7 +473,7 @@ object AnnIvf {
     val margin = math.sqrt(targetRecall * (1.0 - targetRecall) / total)
     val goal = math.min(1.0, targetRecall + margin)
     val chosen = (1 to k).find(p => needed.count(_ <= p) / total >= goal).getOrElse(k)
-    (chosen, needed.count(_ <= chosen) / total)
+    (chosen, needed.count(_ <= chosen) / total, truthPairs)
   }
 
   /** [[search]] with the probe count chosen by [[autoNprobe]] — the

@@ -222,6 +222,77 @@ object AnnIvfPq {
       targetRecall, sampleSize, topK, l2Truth = true, refine = refine)
   }
 
+  /** [[calibrate]] extended to the composed path's SECOND knob: after the
+    * probe depth is chosen, the refine shortlist is tuned against
+    * END-TO-END sample recall — the actual [[search]] at (nprobe, rf) for
+    * the same deterministic sample, compared to the exact-L2 truth the
+    * probe calibration already computed (no extra corpus scan), doubling
+    * rf from `refine` until the sample recall clears the target by the
+    * same one-sided standard-error margin [[AnnIvf.autoNprobe]] uses, or
+    * `maxRefine` is reached.
+    *
+    * WHY: probe-depth calibration bounds only the IVF miss. At 10M on the
+    * hard fixture the probe curve is FLAT (nprobe 1→16 all 0.833 recall@3,
+    * bench_ann_10m_hard.json) while the shortlist is the binding knob
+    * (rf 20/50/200 → 0.55/0.70/0.833): a calibration that tunes nprobe
+    * alone meets its own contract yet undershoots the end-to-end target
+    * the caller asked for. This is the build-time calibration a serving
+    * deployment should persist ([[saveCalibration]]).
+    *
+    * CONTRACT: returns the cheapest (nprobe, refine) whose end-to-end
+    * sample recall clears the margin-adjusted target, or the `maxRefine`
+    * configuration with its honestly-measured recall when the target is
+    * unreachable within bounds — `measuredRecall` here is END-TO-END
+    * sample recall (strictly more informative than [[calibrate]]'s
+    * probe-depth recall; a caller detects the unreached case by
+    * `measuredRecall < targetRecall`).
+    */
+  def calibrateEndToEnd(
+      coded: DataFrame,
+      centroids: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      targetRecall: Double = 0.9,
+      sampleSize: Int = 32,
+      topK: Int = 3,
+      refine: Int = 200,
+      maxRefine: Int = 1600): AnnCalibration = {
+    val indexedLike = emb.select(col(idCol), col(vecCol))
+      .join(coded.select(col(idCol), col("_centroid")), Seq(idCol))
+    val (np, _, truthPairs) = AnnIvf.calibrateCoreWithTruth(
+      indexedLike, centroids, idCol, vecCol,
+      targetRecall, sampleSize, topK, l2Truth = true)
+    val n = emb.count()
+    if (truthPairs.isEmpty)
+      return AnnCalibration(targetRecall, np, refine, 1.0, n, "")
+    val truthByQ = truthPairs.groupBy(_._1)
+      .map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val sampleIds = truthByQ.keys.toSeq.sorted
+    val sampleQ = emb.where(col(idCol).cast("long").isin(sampleIds: _*))
+    val total = truthPairs.length.toDouble
+    val margin = math.sqrt(targetRecall * (1.0 - targetRecall) / total)
+    val goal = math.min(1.0, targetRecall + margin)
+    def recallAt(rf: Int): Double = {
+      val byQ = search(sampleQ, coded, centroids, codebooks, emb,
+        idCol, vecCol, nprobe = np, topK = topK, refine = rf)
+        .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      truthByQ.iterator.map { case (q, t) =>
+        byQ.get(q).map(a => (a & t).size.toDouble).getOrElse(0.0)
+      }.sum / total
+    }
+    var rf = math.max(refine, 1)
+    var measured = recallAt(rf)
+    while (measured < goal && rf < maxRefine) {
+      rf = math.min(rf * 2, maxRefine)
+      measured = recallAt(rf)
+    }
+    AnnCalibration(targetRecall, np, rf, measured, n, "")
+  }
+
   /** [[search]] with the probe count chosen by [[autoNprobe]] — the
     * default composed path (mirrors [[AnnIvf.searchAuto]]). The fixed
     * `nprobe = 4` default measured recall@3 0.70 on the near-uniform sf0.1
@@ -236,6 +307,11 @@ object AnnIvfPq {
     * NO search-time cost — the shortlist is the constant-size bounded
     * join the ADC scan dwarfs). The calibrated default shouldn't be
     * capped below its own target by the knob the caller didn't pick.
+    * Since r11 the inline path goes further: with no reusable stored
+    * calibration it runs [[calibrateEndToEnd]], so `refine` here is the
+    * STARTING shortlist — doubled as needed until the end-to-end sample
+    * recall clears the target (10M hard fixture: rf200 caps at 0.833; the
+    * tuned path escalates past it or reports the measured ceiling).
     *
     * @param calibration a persisted [[loadCalibration]] result: reused
     *   (zero calibration jobs — its nprobe AND refine replace the
@@ -257,10 +333,15 @@ object AnnIvfPq {
       exactScores: Boolean = false,
       calibration: Option[AnnCalibration] = None): DataFrame = {
     val reuse = calibration.filter(_.targetRecall >= targetRecall)
-    val np = reuse.map(_.nprobe).getOrElse(
-      autoNprobe(coded, centroids, emb, idCol, vecCol, targetRecall, topK = topK))
-    val rf = reuse.filter(_.refine > 0).map(_.refine).getOrElse(refine)
+    // no reusable calibration → tune BOTH knobs end-to-end (r11: at 10M
+    // the probe curve is flat and the shortlist binds — nprobe-only
+    // tuning met its own contract but undershot the caller's target;
+    // see calibrateEndToEnd). The tuned rf starts at the caller's value.
+    val cal = reuse.getOrElse(
+      calibrateEndToEnd(coded, centroids, codebooks, emb, idCol, vecCol,
+        targetRecall, topK = topK, refine = refine))
+    val rf = if (cal.refine > 0) cal.refine else refine
     search(queries, coded, centroids, codebooks, emb, idCol, vecCol,
-      nprobe = np, topK = topK, refine = rf, exactScores = exactScores)
+      nprobe = cal.nprobe, topK = topK, refine = rf, exactScores = exactScores)
   }
 }

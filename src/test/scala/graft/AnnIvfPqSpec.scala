@@ -183,6 +183,50 @@ class AnnIvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("calibrateEndToEnd tunes the refine shortlist against end-to-end sample recall (r11)") {
+    val (coded, centroids, cb) = built
+    // starting shortlist of 1: topK·1 = 3 ADC-ranked candidates go to the
+    // exact re-rank — the PQ quantization loss is fully exposed, so the
+    // tuner must escalate (the 10M-hard regime reproduced at spec scale)
+    val tuned = AnnIvfPq.calibrateEndToEnd(coded, centroids, cb, emb,
+      refine = 1, maxRefine = 256)
+    info(s"tuned: nprobe=${tuned.nprobe} refine=${tuned.refine} " +
+      f"recall=${tuned.measuredRecall}%.3f")
+    // contract: either the margin-adjusted target was cleared, or the
+    // tuner hit maxRefine and reports the measured ceiling honestly
+    val margin = math.sqrt(0.9 * 0.1 / (tuned.corpusSize.min(32) * 3).toDouble)
+    assert(tuned.measuredRecall >= math.min(1.0, 0.9 + margin) ||
+      tuned.refine == 256,
+      s"stopped at refine=${tuned.refine} recall=${tuned.measuredRecall} " +
+        "without clearing the target or the bound")
+    // the escalation is real on this fixture: a shortlist pinned at the
+    // start value measures strictly lower end-to-end sample recall
+    val capped = AnnIvfPq.calibrateEndToEnd(coded, centroids, cb, emb,
+      refine = 1, maxRefine = 1)
+    info(f"capped at rf=1: recall=${capped.measuredRecall}%.3f")
+    assert(capped.refine == 1, "maxRefine must bound the escalation")
+    assert(capped.measuredRecall < tuned.measuredRecall,
+      f"rf=1 (${capped.measuredRecall}%.3f) should trail the tuned " +
+        f"shortlist (${tuned.measuredRecall}%.3f) on the PQ path")
+    // a persisted tuned calibration serves at ITS refine, not the default:
+    // searchAuto(calibration = tuned') must equal explicit search at the
+    // tuned knobs (the reuse path carries BOTH knobs)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_e2e_cal_spec"
+    AnnIvfPq.saveIndex(coded, centroids, cb, path)
+    val stamped = AnnIvfPq.saveCalibration(spark, path, tuned)
+    val queries = emb.where(col("vec_id") < 30)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("dist"), col("rk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    assert(rows(AnnIvfPq.searchAuto(queries, coded, centroids, cb, emb,
+      calibration = Some(stamped))) ==
+      rows(AnnIvfPq.search(queries, coded, centroids, cb, emb,
+        nprobe = stamped.nprobe, topK = 3, refine = stamped.refine)),
+      "reused calibration must serve at the tuned (nprobe, refine)")
+  }
+
   test("searchAuto reaches the 0.9 recall target on BOTH corpus regimes") {
     // the r9 gap: the composed path's fixed nprobe=4 default measured
     // recall@3 0.70 on the near-uniform fixture — the worst default on
