@@ -205,6 +205,10 @@ object AnnIvfPq {
     * — `refine` records the shortlist factor the calibrated searcher
     * will run with ([[searchAuto]]'s default 200), so a serving process
     * reloads the WHOLE tuned configuration, not just the probe depth.
+    * Build pipelines should prefer [[calibrateEndToEnd]], which TUNES
+    * the shortlist against end-to-end sample recall instead of
+    * recording the default; this probe-only variant remains for callers
+    * who manage refine themselves.
     */
   def calibrate(
       coded: DataFrame,
