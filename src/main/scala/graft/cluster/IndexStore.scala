@@ -325,6 +325,21 @@ object IndexStore {
     * check and the probe — so the deployment pattern is: one writer,
     * re-[[open]] readers AFTER each ingest window commits, treat probe
     * failures as "re-open and retry".
+    *
+    * THE MVCC PATH (designed, deliberately not built): true snapshot
+    * isolation needs append-only bucket files plus a per-epoch manifest
+    * — [[mergeInto]] would write NEW part files into the touched bucket
+    * dirs (never deleting), commit a manifest listing every live file
+    * for the new epoch, [[open]] would plan from its epoch's explicit
+    * file list (`spark.read.option("basePath", …).parquet(files: _*)`
+    * keeps directory-derived partition pruning), and a `vacuum(keep)`
+    * would reclaim files unreferenced by retained epochs — the
+    * Iceberg/Delta shape reduced to this store's two-level layout. Not
+    * built because the serve topology this store targets (one writer,
+    * readers re-opened per ingest window) gets the same guarantee from
+    * the epoch check at open, while dynamic partition overwrite keeps
+    * the merge O(touched buckets) with zero manifest bookkeeping; the
+    * note exists so the tradeoff is a decision, not an oversight.
     */
   final class Reader private[cluster] (
       private val base: DataFrame, val meta: StoreMeta, path: String,
