@@ -102,12 +102,17 @@ object Bench {
         val ok = try { warm; true } catch { case NonFatal(_) => false }
         Seq((key, (System.nanoTime() - t0) / 1e9, ok))
       }
-    val ivfBuild = timedBuild("ivf_exact_build", Seq("q47", "q76", "q98", "q100")) {
+    val ivfBuild = timedBuild("ivf_exact_build", Seq("q47", "q76", "q98", "q100", "q107")) {
       graft.operators.Similarity.warmIvfExactIndex(spark, sfDir)
     }
     // q63's PQ train+encode, same discipline (one-time cost, own key)
     val pqBuild = timedBuild("pq_exact_build", Seq("q63", "q100")) {
       graft.operators.Similarity.warmPqExactIndex(spark, sfDir)
+    }
+    // q107's residual train+encode (one-time cost, own key) — depends on
+    // the IVF build above, which its consumer list already triggers
+    val residualBuild = timedBuild("residual_exact_build", Seq("q107")) {
+      graft.operators.Similarity.warmResidualExactIndex(spark, sfDir)
     }
     // q103's base build + incremental merge, same discipline
     val incrBuild = timedBuild("incr_merge_build", Seq("q103")) {
@@ -168,7 +173,7 @@ object Bench {
     // contaminated one self-documents (rerun diverges), and nobody has
     // to re-measure anything. Full suites only: a focused ONLY run IS
     // the adjudication tool already.
-    val rerun: Seq[(String, Double, Double)] =
+    val rerun: Seq[(String, Double, Double, Boolean)] =
       if (only.nonEmpty || results.isEmpty) Seq.empty
       else {
         val baseline: Map[String, Double] =
@@ -196,21 +201,49 @@ object Bench {
         val queriesByName = SparkEntry.queries
         (slowest ++ divergent).distinct.take(16).map { name =>
           val fn = queriesByName(name)
+          // per-rep success tracked (r11 advice): a query that breaks
+          // between passes must not read as a fast clean rerun — failed
+          // reps are dropped from the median when any rep succeeded, and
+          // the ok flag lands in the artifact either way
           val runs = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
-            try { fn(spark, sfDir).queryExecution.toRdd.count(); () }
-            catch { case NonFatal(_) => () }
-            (System.nanoTime() - t0) / 1e9
+            val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+              catch { case NonFatal(_) => false }
+            ((System.nanoTime() - t0) / 1e9, ok)
           }
-          (name, medians(name), median(runs))
+          val good = runs.filter(_._2).map(_._1)
+          val med = if (good.nonEmpty) median(good) else median(runs.map(_._1))
+          (name, medians(name), med, runs.forall(_._2))
         }
       }
+
+    // SECTION rerun registry (VERDICT r11 #3): queries got the
+    // self-adjudicating rerun in r10, section keys did not — the r11
+    // driver's grid_build_4m read 3.4× committed with nothing in-artifact
+    // to vouch. Re-runnable sections register a replay thunk per key as
+    // they run; at suite end the keys that diverged >3× from the previous
+    // committed artifact re-run once and both numbers land in a
+    // "section_rerun" map. Scope: the always-on rebuildable sections
+    // (filter_mask_load, grid_build_ladder, incremental_merge) — the
+    // stateful ones (store merges mutate their store; ann_fast holds
+    // persisted intermediates) stay out rather than re-measure a
+    // different thing.
+    val sectionReruns =
+      scala.collection.mutable.LinkedHashMap.empty[String, () => Double]
 
     // filterMask load-scaling: exact greedy build at three mask selectivities
     // (reference benchmarks/run.ts:491-538 — its only published scaling
     // claim). Honors the focus filter: a run narrowed to other queries
     // skips the three full hierarchy builds.
     import graft.cluster.{ClusterEngine, ClusterOptions}
+    def maskBuildSec(mask: Option[org.apache.spark.sql.Column]): Double = {
+      val t0 = System.nanoTime()
+      val idx = ClusterEngine.load(
+        graft.operators.Spatial.pointsDf(spark, sfDir), ClusterOptions(),
+        idCol = Some("event_id"), filterMask = mask)
+      idx.unpersist()
+      (System.nanoTime() - t0) / 1e9
+    }
     val maskTimes = Seq(
       "mask_none" -> None,
       "mask_50pct" -> Some(col("event_id") % 2 === 0),
@@ -218,14 +251,9 @@ object Bench {
     ).filter { case (name, _) =>
       sectionOn(name, "filter_mask_load")
     }.map { case (name, mask) =>
+      sectionReruns(name) = () => maskBuildSec(mask)
       val t0 = System.nanoTime()
-      val ok = try {
-        val idx = ClusterEngine.load(
-          graft.operators.Spatial.pointsDf(spark, sfDir), ClusterOptions(),
-          idCol = Some("event_id"), filterMask = mask)
-        idx.unpersist()
-        true
-      } catch { case NonFatal(_) => false }
+      val ok = try { maskBuildSec(mask); true } catch { case NonFatal(_) => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
 
@@ -455,16 +483,19 @@ object Bench {
             graft.io.SyntheticPoints.uniform(spark, 50000),
             ClusterOptions(radius = 75), idCol = "row_id").unpersist(): Unit
         } catch { case NonFatal(_) => () }
-        gridLadderSizes.map { nPts =>
-        val key = s"grid_build_${if (nPts >= 1000000) s"${nPts / 1000000}m" else s"${nPts / 1000}k"}"
-        val t0 = System.nanoTime()
-        val ok = try {
+        def gridBuildSec(nPts: Int): Double = {
+          val t0 = System.nanoTime()
           val idx = ClusterEngine.loadDistributed(
             graft.io.SyntheticPoints.uniform(spark, nPts),
             ClusterOptions(radius = 75), idCol = "row_id")
           idx.unpersist()
-          true
-        } catch { case NonFatal(_) => false }
+          (System.nanoTime() - t0) / 1e9
+        }
+        gridLadderSizes.map { nPts =>
+        val key = s"grid_build_${if (nPts >= 1000000) s"${nPts / 1000000}m" else s"${nPts / 1000}k"}"
+        sectionReruns(key) = () => gridBuildSec(nPts)
+        val t0 = System.nanoTime()
+        val ok = try { gridBuildSec(nPts); true } catch { case NonFatal(_) => false }
         (key, (System.nanoTime() - t0) / 1e9, ok)
       }
       }
@@ -507,6 +538,17 @@ object Bench {
           Seq(base, merged, rebuilt).filter(_ != null).foreach(_.unpersist(): Unit)
           Seq(baseT, mergeT, rebuildT)
         }
+        // per-key replay thunks: a rung is pure (fresh builds off the
+        // deterministic generator), so a divergent key re-runs the whole
+        // rung and reads its own value back out
+        def registerRung(nBase: Long, tag: String): Unit =
+          Seq(s"incr_base_build_$tag", s"incr_merge_10k_$tag", s"incr_rebuild_$tag")
+            .foreach { key =>
+              sectionReruns(key) = () =>
+                rung(nBase, tag).collectFirst { case (`key`, v, true) => v }
+                  .getOrElse(0.0)
+            }
+        registerRung(1000000L, "1m")
         // default rung: 1M base. The 4M/10M rungs are OPT-IN
         // (SPARK_GRAFT_BENCH_ONLY must name them) — they are the evidence
         // that merge time is FLAT in the base size (its floor is 17
@@ -986,6 +1028,48 @@ object Bench {
         out += ((s"${prefix}_ivfpq_index", tIdx, true))
         out += ((s"${prefix}_ivfpq_search", tCS, true))
         out += ((s"${prefix}_ivfpq_recall_at3", recallVs(truthL2, cRes), true))
+        // driver-local serve (VERDICT r11 #4): snapshot the probed
+        // structures into driver arrays and answer single queries
+        // in-process — the ms-scale interactive path next to the per-job
+        // floor the distributed batch pays. Row-for-row parity with the
+        // distributed search is spec'd (AnnLocalSpec); the artifact
+        // carries a sanity bit plus the measured per-query latency
+        // (median of 10 passes over the 20 probes, reference discipline).
+        // Above the row cap open() refuses and the key records the
+        // documented fallback instead.
+        val (localIdx, tOpen) = timedSec {
+          graft.operators.AnnLocal.open(coded, cents, cb, gen)
+        }
+        localIdx match {
+          case Some(lix) =>
+            out += ((s"${prefix}_local_open_sec", tOpen, true))
+            val qvecs = probes
+              .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+              .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+            def onceAll(): Long = {
+              var acc = 0L
+              qvecs.foreach { case (qid, qv) =>
+                acc += lix.search(qv, nprobe = 6, topK = 3, queryId = qid).length
+              }
+              acc
+            }
+            (1 to 3).foreach(_ => onceAll())
+            val runs = (1 to 10).map { _ =>
+              val t0 = System.nanoTime()
+              Bench.blackhole = onceAll()
+              (System.nanoTime() - t0) / 1e6
+            }.sorted
+            out += ((s"${prefix}_local_query_ms",
+              ((runs(4) + runs(5)) / 2.0) / qvecs.length, true))
+            val localPairs = qvecs.flatMap { case (qid, qv) =>
+              lix.search(qv, nprobe = 6, topK = 3, queryId = qid)
+                .map(h => (qid, h.neighborId))
+            }
+            out += ((s"${prefix}_local_matches_dist",
+              if (localPairs.sorted.sameElements(cRes.sorted)) 1.0 else 0.0, true))
+          case None =>
+            out += ((s"${prefix}_local_capped", 1.0, true))
+        }
         // recall/cost CURVE at 1M (the scale argument is a curve, not a
         // point): sweep probe depth at fixed refine
         Seq(2, 4, 16).foreach { np =>
@@ -1162,7 +1246,46 @@ object Bench {
         out += ((s"${tag}_serve_recall_at3", sRecall, true))
         out += ((s"${tag}_serve_matches_auto",
           if (sRes.sorted.sameElements(aRes.sorted)) 1.0 else 0.0, true))
-        ix.unpersist(); enc.unpersist(); coded.unpersist(); gen.unpersist()
+        enc.unpersist(); coded.unpersist()
+        // RESIDUAL arm (r12 verdict #1): same coarse lists, codebooks
+        // trained on residuals to the list centroid — the standard IVF-PQ
+        // recipe. The raw arm above measured the ADC ceiling this exists
+        // to lift (10M: rf200 caps recall at 0.833, tuner spends rf800 +
+        // 16.4 s); the rf curve and the calibrated default here are the
+        // direct comparison at identical knobs. Raw tables released
+        // first — the two coded tables must not stack in the heap at 10M.
+        val (rcb, tRTrain) = timedSec {
+          AnnIvfPq.trainResidual(ix, cents, exactMeans = false)
+        }
+        val (rcoded, tREnc) = timedSec {
+          val c = AnnIvfPq.encodeResidual(ix, cents, rcb).persist()
+          c.count(); c
+        }
+        out += ((s"${tag}_res_train", tRTrain, true))
+        out += ((s"${tag}_res_encode", tREnc, true))
+        Seq(20, 50, 200).foreach { rf =>
+          val (r, t) = timedSec {
+            grab(AnnIvfPq.search(probes, rcoded, cents, rcb, gen,
+              nprobe = 8, topK = 3, refine = rf, residual = true))
+          }
+          out += ((s"${tag}_res_rf${rf}_search", t, true))
+          out += ((s"${tag}_res_rf${rf}_recall_at3", recallVs(truthL2, r), true))
+        }
+        val (rcal, tRCal) = timedSec {
+          AnnIvfPq.calibrateEndToEnd(rcoded, cents, rcb, gen, residual = true)
+        }
+        out += ((s"${tag}_res_auto_nprobe", rcal.nprobe.toDouble, true))
+        out += ((s"${tag}_res_auto_refine", rcal.refine.toDouble, true))
+        out += ((s"${tag}_res_cal_sample_recall", rcal.measuredRecall, true))
+        out += ((s"${tag}_res_cal_met_target", if (rcal.metTarget) 1.0 else 0.0, true))
+        out += ((s"${tag}_res_calibrate_sec", tRCal, true))
+        val (rARes, tRAS) = timedSec {
+          grab(AnnIvfPq.search(probes, rcoded, cents, rcb, gen,
+            nprobe = rcal.nprobe, topK = 3, refine = rcal.refine, residual = true))
+        }
+        out += ((s"${tag}_res_auto_search", tRAS, true))
+        out += ((s"${tag}_res_auto_recall_at3", recallVs(truthL2, rARes), true))
+        rcoded.unpersist(); ix.unpersist(); gen.unpersist()
         out.toSeq
       } catch { case NonFatal(_) => Seq((tag, 0.0, false)) }
 
@@ -1206,13 +1329,56 @@ object Bench {
         } catch { case NonFatal(_) => None }
       else None
 
+    // SECTION self-adjudication (VERDICT r11 #3): any registered section
+    // key reading >3× its value in the previous committed artifact
+    // re-runs once via its replay thunk — both numbers land in the
+    // artifact, so a contaminated section self-documents exactly like a
+    // contaminated query. Full suites only (a focused run IS the
+    // adjudication tool); capped at 3 thunks (a grid/incr rung is
+    // tens of seconds).
+    val sectionRerun: Seq[(String, Double, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else {
+        val prevSections: Map[String, Double] =
+          try {
+            val txt = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(sys.env.getOrElse(
+                "SPARK_GRAFT_BENCH_BASELINE", "bench_result.json"))), "UTF-8")
+            import org.json4s._
+            val root = org.json4s.jackson.JsonMethods.parse(txt)
+            def leaves(v: JValue): Seq[(String, Double)] = v match {
+              case JObject(fields) => fields.flatMap {
+                case (k, JDouble(d)) => Seq(k -> d)
+                case (k, JInt(i)) => Seq(k -> i.toDouble)
+                case (_, o: JObject) => leaves(o) // one flat namespace
+                case _ => Seq.empty
+              }
+              case _ => Seq.empty
+            }
+            leaves(root).toMap
+          } catch { case NonFatal(_) => Map.empty[String, Double] }
+        val measured = (maskTimes ++ gridBuildLadder ++ incrMerge)
+          .collect { case (k, v, true) => k -> v }.toMap
+        measured.toSeq
+          .filter { case (k, v) =>
+            v > 0.5 && prevSections.get(k).exists(p => p > 0.05 && v > 3 * p)
+          }
+          .sortBy(-_._2).take(3)
+          .flatMap { case (k, first) =>
+            sectionReruns.get(k).map { thunk =>
+              val again = try thunk() catch { case NonFatal(_) => 0.0 }
+              (k, first, again)
+            }
+          }
+      }
+
     def jmap(xs: Seq[(String, Double, Boolean)]): String =
       xs.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // JSON string escape for interpolated paths — a quote or backslash in
     // sfDir/outPath must not break the "guaranteed parseable last line"
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val errors = (results ++ maskTimes ++ annFast ++ bpeKernel ++ ann1m ++ ann1mHard ++ ann4m ++ ann4mHard ++ ann10m ++ ann10mHard ++ ann10mCal ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ ivfBuild ++ pqBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
+    val errors = (results ++ maskTimes ++ annFast ++ bpeKernel ++ ann1m ++ ann1mHard ++ ann4m ++ ann4mHard ++ ann10m ++ ann10mHard ++ ann10mCal ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ ivfBuild ++ pqBuild ++ residualBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -1284,14 +1450,20 @@ object Bench {
         s""""profile":$profileJson}"""
     val rerunJson =
       if (rerun.isEmpty) ""
-      else rerun.map { case (n, first, again) =>
-        s""""$n":{"first":$first,"rerun":$again}"""
+      else rerun.map { case (n, first, again, ok) =>
+        s""""$n":{"first":$first,"rerun":$again,"ok":$ok}"""
       }.mkString(""","rerun":{""", ",", "}")
+    val sectionRerunJson =
+      if (sectionRerun.isEmpty) ""
+      else sectionRerun.map { case (n, first, again) =>
+        s""""$n":{"first":$first,"rerun":$again}"""
+      }.mkString(""","section_rerun":{""", ",", "}")
     val ivfBuildJson =
       (if (ivfBuild.isEmpty) "" else s""","ivf_exact_build_sec":${ivfBuild.head._2}""") +
         (if (incrBuild.isEmpty) "" else s""","incr_merge_build_sec":${incrBuild.head._2}""") +
         (if (storeBuild.isEmpty) "" else s""","store_merge_build_sec":${storeBuild.head._2}""") +
-        (if (pqBuild.isEmpty) "" else s""","pq_exact_build_sec":${pqBuild.head._2}""")
+        (if (pqBuild.isEmpty) "" else s""","pq_exact_build_sec":${pqBuild.head._2}""") +
+        (if (residualBuild.isEmpty) "" else s""","residual_exact_build_sec":${residualBuild.head._2}""")
     val ladder4mJson = queryLadder4m.map { l =>
       s""","query_ladder_4m_ms":${zoomsJson(l.rows)},"query_avg_4m_ms":${l.rowAvg}""" +
         s""","query_ladder_4m_batch_ms":${zoomsJson(l.batch)},"query_avg_4m_batch_ms":${l.batchAvg}""" +
@@ -1308,7 +1480,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpusJson,"queries":${jmap(results)},""" +
         s""""queries_cold":${jmap(resultsCold)},"total_cold":$totalCold,""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$bpeKernelJson$ann1mJson$ann1mHardJson$ann4mJson$ann4mHardJson$ann10mJson$ann10mHardJson$ann10mCalJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson$rerunJson,"sf":"${jstr(sfDir)}"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$bpeKernelJson$ann1mJson$ann1mHardJson$ann4mJson$ann4mHardJson$ann10mJson$ann10mHardJson$ann10mCalJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson$rerunJson$sectionRerunJson,"sf":"${jstr(sfDir)}"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(

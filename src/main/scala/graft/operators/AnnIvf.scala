@@ -30,10 +30,28 @@ import graft.functions.VectorFunctions
   * @param corpusSize     index rows at calibration time (provenance)
   * @param epoch          the index save's epoch the calibration belongs
   *                       to — a re-saved (rebuilt) index invalidates it
+  * @param topK           the recall@topK the calibration measured — a
+  *                       calibration tuned for recall@3 says nothing about
+  *                       recall@10, so reuse is gated on `topK >= requested`
+  *                       (r11 advice: the silent under-recall reuse gap)
+  * @param metTarget      whether the measured sample recall actually
+  *                       reached `targetRecall` — [[AnnIvfPq
+  *                       .calibrateEndToEnd]] stops at maxRefine and
+  *                       reports honestly, so a capped calibration carries
+  *                       `false` here and [[AnnIvfPq.searchAuto]] will NOT
+  *                       serve it as if it vouched for the target
   */
 final case class AnnCalibration(
     targetRecall: Double, nprobe: Int, refine: Int,
-    measuredRecall: Double, corpusSize: Long, epoch: String)
+    measuredRecall: Double, corpusSize: Long, epoch: String,
+    topK: Int = 3, metTarget: Boolean = true) {
+  /** True when this calibration can vouch for a (targetRecall, topK)
+    * request: it was measured at an equal-or-harder target AND an
+    * equal-or-deeper topK AND actually reached its own target.
+    */
+  def covers(requestedRecall: Double, requestedTopK: Int): Boolean =
+    targetRecall >= requestedRecall && topK >= requestedTopK && metTarget
+}
 
 /** IVF (inverted-file) approximate nearest neighbour — the index-structure
   * scale path for embedding search (complements the LSH sign-sketch in
@@ -345,7 +363,8 @@ object AnnIvf {
       refine: Int = 0): AnnCalibration = {
     val (np, measured) = calibrateCore(indexed, centroids, idCol, vecCol,
       targetRecall, sampleSize, topK, l2Truth)
-    AnnCalibration(targetRecall, np, refine, measured, indexed.count(), "")
+    AnnCalibration(targetRecall, np, refine, measured, indexed.count(), "",
+      topK = topK, metTarget = measured >= targetRecall)
   }
 
   /** (chosen nprobe, measured sample recall at that depth). */
@@ -481,9 +500,10 @@ object AnnIvf {
     * corpus on the committed recall/cost curve themselves.
     *
     * @param calibration a persisted [[loadCalibration]] result: reused
-    *   (zero calibration jobs) when its own target covers the requested
-    *   one; a calibration run for a LOWER target than now requested
-    *   cannot vouch for it, so the sample calibration runs as if absent
+    *   (zero calibration jobs) when it [[AnnCalibration.covers]] the
+    *   request — its own target ≥ the requested one, its measured topK ≥
+    *   the requested topK, and it actually met its target; otherwise the
+    *   sample calibration runs as if absent
     */
   def searchAuto(
       queries: DataFrame,
@@ -495,7 +515,7 @@ object AnnIvf {
       topK: Int = 3,
       exactScores: Boolean = false,
       calibration: Option[AnnCalibration] = None): DataFrame = {
-    val np = calibration.filter(_.targetRecall >= targetRecall).map(_.nprobe)
+    val np = calibration.filter(_.covers(targetRecall, topK)).map(_.nprobe)
       .getOrElse(autoNprobe(indexed, centroids, idCol, vecCol, targetRecall, topK = topK))
     search(queries, indexed, centroids, idCol, vecCol,
       nprobe = np, topK = topK, exactScores = exactScores)
@@ -541,9 +561,16 @@ private[operators] object AnnCalStore {
       epoch <- readEpoch(spark, path)
       cal <- scala.util.Try {
         val r = spark.read.parquet(s"$path/calibration").collect()(0)
+        // pre-r12 artifacts lack topK/metTarget: every earlier producer
+        // calibrated at topK=3, and metTarget falls back to the measured-
+        // vs-target comparison (probe-only calibrations always met it)
+        val topK = scala.util.Try(r.getAs[Int]("topK")).getOrElse(3)
+        val met = scala.util.Try(r.getAs[Boolean]("metTarget")).getOrElse(
+          r.getAs[Double]("measuredRecall") >= r.getAs[Double]("targetRecall"))
         AnnCalibration(r.getAs[Double]("targetRecall"), r.getAs[Int]("nprobe"),
           r.getAs[Int]("refine"), r.getAs[Double]("measuredRecall"),
-          r.getAs[Long]("corpusSize"), r.getAs[String]("epoch"))
+          r.getAs[Long]("corpusSize"), r.getAs[String]("epoch"),
+          topK = topK, metTarget = met)
       }.toOption
       if cal.epoch == epoch
     } yield cal

@@ -39,6 +39,80 @@ object AnnIvfPq {
     indexed.select(col(idCol), col("_centroid"))
       .join(encoded.select(col(idCol), col("codes")), Seq(idCol))
 
+  /** Each vector's RESIDUAL to its assigned coarse centroid — (idCol,
+    * _centroid, _rv): the quantity residual PQ trains on and encodes.
+    * One broadcast join of the ≤k-row centroid table; the subtraction is
+    * a pure map (`zip_with` double subtraction — IEEE-deterministic and
+    * replayable element-for-element by the DuckDB oracle).
+    */
+  private[operators] def residuals(
+      indexed: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    indexed
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"),
+        col("_centroid"))
+      .join(broadcast(centroids.select(col("_c").as("_centroid"),
+        col("_cv").cast("array<double>").as("_cvd"))), Seq("_centroid"))
+      .select(col(idCol), col("_centroid"),
+        zip_with(col("_v"), col("_cvd"), (x, y) => x - y).as("_rv"))
+
+  /** Train PQ codebooks on RESIDUALS to the coarse centroids instead of
+    * raw vectors — the standard billion-scale IVF-PQ formulation (Jégou
+    * et al. 2011, "Product Quantization for Nearest Neighbor Search",
+    * §IV; the reference engine has no ANN surface, so the published
+    * recipe is the semantics source). WHY: within a probed list every
+    * vector shares the list centroid, so the residual field has a
+    * fraction of the raw field's variance — the same m·k code bits rank
+    * candidates much better. Measured on the 10M hard fixture (r11,
+    * bench_ann_10m_hard.json): RAW encoding caps recall@3 at 0.833 with
+    * a 200-deep shortlist and the tuner must spend rf=800 + 16.4 s
+    * searches to reach 0.967; residuals lift the ADC ceiling instead of
+    * paying a 4× shortlist (bench_ann_*_hard_res keys carry the curve).
+    *
+    * Same deterministic seeding/Lloyd discipline as [[AnnPq.train]]
+    * (this delegates to it on the residual frame), so the q107 oracle
+    * replays the whole chain bit-exactly in decimal mode.
+    */
+  def trainResidual(
+      indexed: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 2,
+      exactMeans: Boolean = true): Array[Array[Array[Double]]] =
+    AnnPq.train(residuals(indexed, centroids, idCol, vecCol),
+      idCol, "_rv", m, k, iters, exactMeans)
+
+  /** Encode every vector's residual as m codes, co-located with its list
+    * assignment — returns the coded table (idCol, _centroid, codes)
+    * DIRECTLY (the residual path fuses [[AnnPq.encode]] + [[index]]: the
+    * assignment is an input to the residual, so the co-locating join is
+    * already paid). `exprKernel = false` keeps the declarative argmin
+    * chain as the executable spec (AnnIvfPqSpec proves the kernel
+    * bit-identical on residual inputs too).
+    */
+  def encodeResidual(
+      indexed: DataFrame,
+      centroids: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      exprKernel: Boolean = true): DataFrame = {
+    val res = residuals(indexed, centroids, idCol, vecCol)
+    if (exprKernel)
+      res.select(col(idCol), col("_centroid"),
+        AnnPq.pqCodesCol(col("_rv"), codebooks).as("codes"))
+    else
+      res.select(col(idCol), col("_centroid"))
+        .join(AnnPq.encode(res, codebooks, idCol, "_rv", exprKernel = false)
+          .withColumnRenamed("vec_id", idCol), Seq(idCol))
+        .select(col(idCol), col("_centroid"), col("codes"))
+  }
+
   /** Persist the composed index — the coded table ([[index]]'s co-located
     * (id, list, codes) layout), the coarse centroids, and the PQ codebooks
     * — as plain parquet, reloadable by [[loadIndex]] with [[search]]
@@ -55,16 +129,34 @@ object AnnIvfPq {
       centroids: DataFrame,
       codebooks: Array[Array[Array[Double]]],
       path: String,
-      idCol: String = "vec_id"): Unit = {
+      idCol: String = "vec_id",
+      residual: Boolean = false): Unit = {
+    import coded.sparkSession.implicits._
     coded.select(col(idCol), col("_centroid"), col("codes"))
       .write.mode("overwrite").parquet(s"$path/coded")
     centroids.select(col("_c"), col("_cv"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     AnnPq.saveCodebooks(coded.sparkSession, codebooks, s"$path/codebooks")
+    // encoding variant marker: a reloaded residual index MUST be searched
+    // with residual=true (per-list ADC tables) — codes from one encoding
+    // read as garbage under the other's table. Written every save so a
+    // path reused across variants can't serve a stale marker.
+    Seq(residual).toDF("residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/variant")
     // fresh epoch per save — binds any later saveCalibration to THIS
     // index (see AnnIvf.saveIndex)
     AnnCalStore.writeEpoch(coded.sparkSession, path)
   }
+
+  /** Whether the index saved at `path` carries residual codes — the
+    * `residual` flag its [[search]]/[[searchAuto]] calls must use.
+    * Pre-r12 saves have no marker and were always raw → false.
+    */
+  def isResidual(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    scala.util.Try(
+      spark.read.parquet(s"$path/variant").collect()(0).getBoolean(0))
+      .getOrElse(false)
 
   /** Persist a [[calibrate]] result next to a [[saveIndex]]'d composed
     * index (same epoch-binding contract as [[AnnIvf.saveCalibration]]).
@@ -104,6 +196,15 @@ object AnnIvfPq {
     * @param exactScores probe selection with the decimal-exact cosine
     *                    (the q100 oracle mode); production callers keep
     *                    the fast double kernel
+    * @param residual    `coded` carries RESIDUAL codes ([[encodeResidual]]):
+    *                    the ADC table is then built per (query, probed
+    *                    list) on the query's residual to THAT list —
+    *                    nprobe small tables per query instead of one,
+    *                    still broadcast-sized (nprobe·m·k doubles). The
+    *                    identity making this correct: q−n = (q−c)−(n−c)
+    *                    inside a shared list c, so residual ADC estimates
+    *                    the same ||q−n||² the raw table does — from codes
+    *                    quantizing a much smaller-variance field.
     */
   def search(
       queries: DataFrame,
@@ -116,7 +217,8 @@ object AnnIvfPq {
       nprobe: Int = 4,
       topK: Int = 3,
       refine: Int = 100,
-      exactScores: Boolean = false): DataFrame = {
+      exactScores: Boolean = false,
+      residual: Boolean = false): DataFrame = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
     val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
@@ -124,34 +226,53 @@ object AnnIvfPq {
     // probe selection — identical ordering to AnnIvf.search (desc cosine,
     // then centroid id), k centroids broadcast as a tiny build side
     val pw = Window.partitionBy(col("query_id")).orderBy(desc("_sim"), col("_c"))
-    val probes = queries
+    val probesRaw = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .join(broadcast(centroids))
       .withColumn("_sim", AnnIvf.scoreCosine(col("_qv"), col("_cv"), exactScores))
       .withColumn("_rk", row_number().over(pw))
       .where(col("_rk") <= nprobe)
-      .select(col("query_id"), col("_c").as("_centroid"))
 
-    // per-query ADC table, computed ONCE per query (not per probe row /
-    // candidate): table(j)(c) = ||q_j - cb(j)(c)||²
-    val qv = col(vecCol).cast("array<double>")
-    val table = transform(sequence(lit(0), lit(m - 1)), j =>
-      transform(element_at(cbLit, j + 1), c =>
-        AnnPq.sqDist(AnnPq.subvec(qv, j, dsub), c)))
-    val qtab = queries.select(col(idCol).as("query_id"), table.as("_tab"))
+    def tableOf(v: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(element_at(cbLit, j + 1), c =>
+          AnnPq.sqDist(AnnPq.subvec(v, j, dsub), c)))
 
     // candidates = codes in the probed lists ONLY (equi-join on the list
     // id — the composition point: AnnPq.search scans every code, this
     // scans nprobe/k of them); ADC total folds the m lookups in j order,
     // bit-identical to the oracle's ORDER BY _j list fold (fused native
     // kernel — the per-candidate inner loop stays primitive)
-    val cand = coded
-      .select(col(idCol).as("neighbor_id"), col("_centroid"), col("codes"))
-      .join(broadcast(probes), Seq("_centroid"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .join(broadcast(qtab), Seq("query_id"))
-      .withColumn("approx_dist",
-        AnnPq.adcDistCol(col("codes").cast("array<int>"), col("_tab")))
+    val cand =
+      if (residual) {
+        // per (query, probed list) ADC table on the query's residual to
+        // that list: table rides the probe row, so the candidate join
+        // needs no second broadcast
+        val probesTab = probesRaw
+          .withColumn("_rqv", zip_with(col("_qv").cast("array<double>"),
+            col("_cv").cast("array<double>"), (x, y) => x - y))
+          .select(col("query_id"), col("_c").as("_centroid"),
+            tableOf(col("_rqv")).as("_tab"))
+        coded
+          .select(col(idCol).as("neighbor_id"), col("_centroid"), col("codes"))
+          .join(broadcast(probesTab), Seq("_centroid"))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .withColumn("approx_dist",
+            AnnPq.adcDistCol(col("codes").cast("array<int>"), col("_tab")))
+      } else {
+        val probes = probesRaw.select(col("query_id"), col("_c").as("_centroid"))
+        // per-query ADC table, computed ONCE per query (not per probe row /
+        // candidate): table(j)(c) = ||q_j - cb(j)(c)||²
+        val qtab = queries.select(col(idCol).as("query_id"),
+          tableOf(col(vecCol).cast("array<double>")).as("_tab"))
+        coded
+          .select(col(idCol).as("neighbor_id"), col("_centroid"), col("codes"))
+          .join(broadcast(probes), Seq("_centroid"))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .join(broadcast(qtab), Seq("query_id"))
+          .withColumn("approx_dist",
+            AnnPq.adcDistCol(col("codes").cast("array<int>"), col("_tab")))
+      }
 
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dist"), col("neighbor_id"))
@@ -162,7 +283,8 @@ object AnnIvfPq {
 
     // exact re-rank of the bounded shortlist (plain-double left-fold L2 —
     // the q63-proven cross-engine kernel)
-    val qSide = queries.select(col(idCol).as("query_id"), qv.as("_qv"))
+    val qSide = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
     val nSide = emb.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("_nv"))
     val we = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
@@ -262,7 +384,8 @@ object AnnIvfPq {
       sampleSize: Int = 32,
       topK: Int = 3,
       refine: Int = 200,
-      maxRefine: Int = 1600): AnnCalibration = {
+      maxRefine: Int = 1600,
+      residual: Boolean = false): AnnCalibration = {
     val indexedLike = emb.select(col(idCol), col(vecCol))
       .join(coded.select(col(idCol), col("_centroid")), Seq(idCol))
     val (np, _, truthPairs) = AnnIvf.calibrateCoreWithTruth(
@@ -270,7 +393,7 @@ object AnnIvfPq {
       targetRecall, sampleSize, topK, l2Truth = true)
     val n = emb.count()
     if (truthPairs.isEmpty)
-      return AnnCalibration(targetRecall, np, refine, 1.0, n, "")
+      return AnnCalibration(targetRecall, np, refine, 1.0, n, "", topK = topK)
     val truthByQ = truthPairs.groupBy(_._1)
       .map { case (q, ps) => q -> ps.map(_._2).toSet }
     val sampleIds = truthByQ.keys.toSeq.sorted
@@ -280,7 +403,8 @@ object AnnIvfPq {
     val goal = math.min(1.0, targetRecall + margin)
     def recallAt(rf: Int): Double = {
       val byQ = search(sampleQ, coded, centroids, codebooks, emb,
-        idCol, vecCol, nprobe = np, topK = topK, refine = rf)
+        idCol, vecCol, nprobe = np, topK = topK, refine = rf,
+        residual = residual)
         .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
@@ -294,7 +418,12 @@ object AnnIvfPq {
       rf = math.min(rf * 2, maxRefine)
       measured = recallAt(rf)
     }
-    AnnCalibration(targetRecall, np, rf, measured, n, "")
+    // metTarget compares against the CALLER's target, not the margin-
+    // adjusted goal: the margin is calibration-time confidence padding,
+    // while metTarget answers "did the sample recall reach what I asked
+    // for" — the question a serving process gates reuse on
+    AnnCalibration(targetRecall, np, rf, measured, n, "",
+      topK = topK, metTarget = measured >= targetRecall)
   }
 
   /** [[search]] with the probe count chosen by [[autoNprobe]] — the
@@ -319,9 +448,18 @@ object AnnIvfPq {
     *
     * @param calibration a persisted [[loadCalibration]] result: reused
     *   (zero calibration jobs — its nprobe AND refine replace the
-    *   knobs here) when its own target covers the requested one; a
-    *   lower-target calibration cannot vouch for the request, so the
-    *   sample calibration runs as if absent
+    *   knobs here) when it [[AnnCalibration.covers]] the request —
+    *   target ≥ requested, measured topK ≥ requested, and it actually
+    *   met its own target (a calibrateEndToEnd result that capped at
+    *   maxRefine below target cannot vouch); otherwise the sample
+    *   calibration runs as if absent
+    * @param tuneRefine run the full two-knob [[calibrateEndToEnd]] when
+    *   no reusable calibration exists (default — the r11 honesty fix:
+    *   nprobe-only tuning undershoots when the shortlist binds). `false`
+    *   keeps the cheaper probe-only [[calibrate]] for latency-sensitive
+    *   callers who manage `refine` themselves: one brute-force sample
+    *   scan instead of one-or-more full sample searches per refine
+    *   doubling (~100+ s per uncalibrated process at 10M).
     */
   def searchAuto(
       queries: DataFrame,
@@ -335,17 +473,24 @@ object AnnIvfPq {
       topK: Int = 3,
       refine: Int = 200,
       exactScores: Boolean = false,
-      calibration: Option[AnnCalibration] = None): DataFrame = {
-    val reuse = calibration.filter(_.targetRecall >= targetRecall)
+      calibration: Option[AnnCalibration] = None,
+      tuneRefine: Boolean = true,
+      residual: Boolean = false): DataFrame = {
+    val reuse = calibration.filter(_.covers(targetRecall, topK))
     // no reusable calibration → tune BOTH knobs end-to-end (r11: at 10M
     // the probe curve is flat and the shortlist binds — nprobe-only
     // tuning met its own contract but undershot the caller's target;
     // see calibrateEndToEnd). The tuned rf starts at the caller's value.
     val cal = reuse.getOrElse(
-      calibrateEndToEnd(coded, centroids, codebooks, emb, idCol, vecCol,
-        targetRecall, topK = topK, refine = refine))
+      if (tuneRefine)
+        calibrateEndToEnd(coded, centroids, codebooks, emb, idCol, vecCol,
+          targetRecall, topK = topK, refine = refine, residual = residual)
+      else
+        calibrate(coded, centroids, emb, idCol, vecCol,
+          targetRecall, topK = topK, refine = refine))
     val rf = if (cal.refine > 0) cal.refine else refine
     search(queries, coded, centroids, codebooks, emb, idCol, vecCol,
-      nprobe = cal.nprobe, topK = topK, refine = rf, exactScores = exactScores)
+      nprobe = cal.nprobe, topK = topK, refine = rf, exactScores = exactScores,
+      residual = residual)
   }
 }

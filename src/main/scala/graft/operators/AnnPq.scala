@@ -47,7 +47,7 @@ object AnnPq {
     * [[graft.functions.PqCodes]] (bit-identical to the declarative
     * argmin chain; AnnPqSpec proves it differentially).
     */
-  private def pqCodesCol(
+  private[operators] def pqCodesCol(
       v: Column, codebooks: Array[Array[Array[Double]]]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.functions.PqCodes(

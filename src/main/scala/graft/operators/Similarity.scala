@@ -18,7 +18,8 @@ object Similarity {
 
   def all: Seq[GraftQuery] = Seq(
     knnBruteForce, embeddingNearDup, annLsh, annIvf, embeddingQuantize, annPq,
-    semDedup, embeddingOutliers, hardNegatives, annIndexRoundtrip, annIvfPq)
+    semDedup, embeddingOutliers, hardNegatives, annIndexRoundtrip, annIvfPq,
+    annIvfPqResidual)
 
   /** Embedding-space outlier pruning: distance of every vector to its
     * label centroid, flagging the top ceil(5%) per label — the
@@ -329,6 +330,61 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Residual IVF+PQ ([[AnnIvfPq.trainResidual]]/[[AnnIvfPq
+    * .encodeResidual]]): PQ codebooks train on and codes quantize each
+    * vector's RESIDUAL to its coarse centroid — the standard billion-scale
+    * IVF-PQ formulation, where the same m·k code bits spend on a much
+    * smaller-variance field and the ADC ranking sharpens (the r11 10M-hard
+    * evidence: raw encoding caps recall@3 at 0.833 under a 200-deep
+    * shortlist). Same knobs as q100 (nprobe=6, topK=3, refine=10, decimal
+    * probe scores) so the two hashes differ ONLY by the encoding; the
+    * oracle replays the full residual chain — q47's coarse build, residual
+    * subtraction, q63's PQ Lloyd on residual subvectors, per-probed-list
+    * ADC tables — in DuckDB.
+    */
+  val annIvfPqResidual: GraftQuery = GraftQuery.sql(
+    "q107_ann_ivfpq_residual", annIvfPqResidualOracleSql) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val (_, centroids) = ivfExactIndex(spark, dir)
+    val (cb, coded) = residualExactIndex(spark, dir)
+    AnnIvfPq.search(
+      emb.where(col("vec_id") < 20), coded, centroids, cb, emb,
+      nprobe = 6, topK = 3, refine = 10, exactScores = true, residual = true)
+      .orderBy("query_id", "rk")
+  }
+
+  /** q107's residual train + encode, memoized per (session, dir) like
+    * [[pqExactIndex]] (decimal Lloyd, deterministic seeds — one build per
+    * session, searches measure the recurring cost).
+    */
+  private val residualExactCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (Array[Array[Array[Double]]], org.apache.spark.sql.DataFrame)]
+  private def residualExactIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): (Array[Array[Array[Double]]], org.apache.spark.sql.DataFrame) = synchronized {
+    residualExactCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    residualExactCache.get((spark, dir)) match {
+      case Some(v) => v
+      case None =>
+        val (indexed, centroids) = ivfExactIndex(spark, dir)
+        val cb = AnnIvfPq.trainResidual(indexed, centroids,
+          m = 8, k = 16, iters = 2, exactMeans = true)
+        val v = (cb, AnnIvfPq.encodeResidual(indexed, centroids, cb).persist())
+        residualExactCache.put((spark, dir), v): Unit
+        v
+    }
+  }
+
+  /** Force (and persist) the shared residual train+encode — Bench times
+    * it as its own `residual_exact_build` key (see [[warmPqExactIndex]]).
+    */
+  def warmResidualExactIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val (_, coded) = residualExactIndex(spark, dir)
+    coded.count(): Unit
+  }
+
   /** q100's coded table — PQ codes joined onto their IVF list assignment
     * ([[AnnIvfPq.index]]), derived from the two memoized parent builds and
     * itself memoized+persisted per (session, dir): the join is paid once,
@@ -545,6 +601,123 @@ object Similarity {
        |    list_aggregate(list(${sq("q.sv", "c.cv")} ORDER BY q._j), 'sum') AS approx_dist
        |  FROM candp cp
        |  JOIN sub q ON q.id = cp.query_id
+       |  JOIN enc n ON n.id = cp.neighbor_id AND n._j = q._j
+       |  JOIN cb2 c ON c._j = n._j AND c._c = n.code
+       |  GROUP BY cp.query_id, cp.neighbor_id
+       |),
+       |sl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY approx_dist, neighbor_id) AS ark
+       |    FROM adc) WHERE ark <= 30
+       |),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${sq("qe.embedding", "ne.embedding")} AS dist
+       |  FROM sl s
+       |  JOIN embeddings qe ON qe.vec_id = s.query_id
+       |  JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY dist, neighbor_id) AS BIGINT) AS rk
+       |  FROM rr
+       |)
+       |SELECT query_id, neighbor_id, dist, rk FROM ranked WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** DuckDB replay of the q107 RESIDUAL IVF+PQ chain: [[ivfChainSql]]
+    * (ending with `asg2`/`c2n`/`e`) → per-vector residual to its assigned
+    * centroid (`res` — double subtraction, element-for-element the same
+    * IEEE op as Spark's zip_with) → the q63 PQ Lloyd chain over RESIDUAL
+    * subvectors → residual encode → probe selection (q47's `pr` verbatim)
+    * → per-(query, probed list) ADC tables on the query's residual to
+    * THAT list (`qsub` carries (query, list, j) residual subvectors; the
+    * `adc` join keys the candidate's list so each candidate is scored
+    * against its own list's table, mirroring AnnIvfPq.search's
+    * residual=true branch) → shortlist(30) → exact re-rank on the raw
+    * embeddings.
+    */
+  private def annIvfPqResidualOracleSql: String = {
+    def sq(a: String, b: String): String =
+      s"""list_aggregate(list_transform(range(1, len($a) + 1),
+         |    i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |       * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+         |  'sum')""".stripMargin
+    def lloydPq(prev: String, a: String, g: String, u: String, v: String, next: String): String =
+      s"""$a AS (
+         |  SELECT s.id, s._j, s.sv, c._c,
+         |    ROW_NUMBER() OVER (PARTITION BY s.id, s._j
+         |      ORDER BY ${sq("s.sv", "c.cv")}, c._c) AS rk
+         |  FROM sub s JOIN $prev c ON c._j = s._j
+         |), $g AS (SELECT id, _j, sv, _c FROM $a WHERE rk = 1),
+         |$u AS (
+         |  SELECT _j, _c, i,
+         |    CAST(SUM(CAST(sv[i] AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS mv
+         |  FROM $g, pp, UNNEST(range(1, pp.dsub + 1)) AS t(i)
+         |  GROUP BY _j, _c, i
+         |), $v AS (SELECT _j, _c, list(mv ORDER BY i) AS cv FROM $u GROUP BY _j, _c),
+         |$next AS (
+         |  SELECT c._j, c._c, COALESCE(w.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN $v w ON w._j = c._j AND w._c = c._c
+         |)""".stripMargin
+    s"""$ivfChainSql,
+       |pp AS (SELECT len(embedding) // 8 AS dsub FROM embeddings LIMIT 1),
+       |res AS (
+       |  SELECT a.vec_id AS id, a._c,
+       |    list_transform(range(1, len(a.embedding) + 1),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) - c.cv[i]) AS rv
+       |  FROM asg2 a JOIN c2n c USING (_c)
+       |),
+       |sub AS (
+       |  SELECT r.id, CAST(j._j AS INT) AS _j,
+       |    list_transform(range(1, pp.dsub + 1),
+       |      i -> r.rv[CAST(j._j AS INT) * pp.dsub + i]) AS sv
+       |  FROM res r, pp, UNNEST(range(0, 8)) AS j(_j)
+       |),
+       |sid AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16),
+       |cb0 AS (
+       |  SELECT _j, CAST(ROW_NUMBER() OVER (PARTITION BY _j ORDER BY id) - 1 AS INT) AS _c,
+       |    sv AS cv
+       |  FROM sub WHERE id IN (SELECT vec_id FROM sid)
+       |),
+       |${lloydPq("cb0", "ra1", "rg1", "ru1", "rv1", "cb1")},
+       |${lloydPq("cb1", "ra2", "rg2", "ru2", "rv2", "cb2")},
+       |encr AS (
+       |  SELECT s.id, s._j, c._c,
+       |    ROW_NUMBER() OVER (PARTITION BY s.id, s._j
+       |      ORDER BY ${sq("s.sv", "c.cv")}, c._c) AS rk
+       |  FROM sub s JOIN cb2 c ON c._j = s._j
+       |), enc AS (SELECT id, _j, _c AS code FROM encr WHERE rk = 1),
+       |pr AS (
+       |  SELECT e.vec_id AS query_id, s._c,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${cosGuardedSql("e.embedding", "s.cv", "e.nsq", "s.cnsq")} DESC, s._c) AS prk
+       |  FROM e CROSS JOIN c2n s WHERE e.vec_id < 20
+       |),
+       |probed AS (SELECT query_id, _c FROM pr WHERE prk <= 6),
+       |qsub AS (
+       |  SELECT p.query_id, p._c, CAST(j._j AS INT) AS _j,
+       |    list_transform(range(1, pp.dsub + 1),
+       |      i -> CAST(e.embedding[CAST(j._j AS INT) * pp.dsub + i] AS DOUBLE)
+       |         - c.cv[CAST(j._j AS INT) * pp.dsub + i]) AS sv
+       |  FROM probed p
+       |  JOIN e ON e.vec_id = p.query_id
+       |  JOIN c2n c ON c._c = p._c, pp, UNNEST(range(0, 8)) AS j(_j)
+       |),
+       |candp AS (
+       |  SELECT pb.query_id, a.vec_id AS neighbor_id, pb._c
+       |  FROM probed pb JOIN asg2 a ON a._c = pb._c
+       |  WHERE pb.query_id <> a.vec_id
+       |),
+       |adc AS (
+       |  SELECT cp.query_id, cp.neighbor_id,
+       |    list_aggregate(list(${sq("q.sv", "c.cv")} ORDER BY q._j), 'sum') AS approx_dist
+       |  FROM candp cp
+       |  JOIN qsub q ON q.query_id = cp.query_id AND q._c = cp._c
        |  JOIN enc n ON n.id = cp.neighbor_id AND n._j = q._j
        |  JOIN cb2 c ON c._j = n._j AND c._c = n.code
        |  GROUP BY cp.query_id, cp.neighbor_id
