@@ -171,13 +171,86 @@ class IndexStoreSpec extends AnyFunSuite {
     info(f"per-merge wall: first5 avg $first5%.2fs, last5 avg $last5%.2fs")
     assert(last5 <= first5 * 3.5 + 0.5,
       f"merge time grew across the chain: first5 $first5%.2fs -> last5 $last5%.2fs")
-    // bounded files: the hot buckets were rewritten 20 times — if
-    // replacement ever degraded to accretion the store would hold ~20x
-    // the file count of its bucket population
-    val nFiles = fileState(dir).size
+    // file census under MVCC: merges APPEND (old epochs' files stay for
+    // pinned readers), so disk grows across the chain BY DESIGN — and
+    // vacuum(keep=1) must bring it back to the live population. The live
+    // set itself (what a fresh open reads) stays bounded throughout.
     val nBuckets = IndexStore.listBuckets(spark, dir).size
+    val preVacuum = fileState(dir).size
+    assert(preVacuum > nBuckets,
+      s"append-only chain should accumulate versions: $preVacuum files for $nBuckets buckets")
+    val deleted = IndexStore.vacuum(spark, dir, keepEpochs = 1)
+    assert(deleted > 0, "a 20-merge chain must leave reclaimable versions")
+    val nFiles = fileState(dir).size
     assert(nFiles <= nBuckets * 3,
-      s"file population grew unbounded: $nFiles files for $nBuckets buckets")
+      s"post-vacuum file population unbounded: $nFiles files for $nBuckets buckets")
+    // vacuum must not have touched live data
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(base ++ batches.flatten))))
+    IndexStore.validate(spark, dir)
+  }
+
+  test("MVCC: a held-open Reader serves its epoch bit-identically THROUGH a merge; vacuum reclaims only unreferenced files (r11 verdict #2)") {
+    val base = pts(1000, 95)
+    val batch = localPts(80, 96, from = 1000)
+    val dir = freshDir("mvcc")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 1000L)
+    val reader = IndexStore.open(spark, dir)
+    val cases = Seq(
+      ((10.0, 40.0, 14.0, 44.0), 12),   // deep zoom: cold pinned-file scan
+      ((11.9, 46.9, 13.1, 48.1), 12),   // the box the batch lands in
+      ((10.0, 40.0, 14.0, 44.0), 1),    // coarse: -1 bucket (+cache)
+      ((-180.0, -85.0, 180.0, 85.0), 5))
+    val preMerge = cases.map { case (b, z) => canon(reader.getClusters(b, z)) }
+    IndexStore.mergeInto(spark, dir, df(batch))
+    assert(!reader.isCurrent, "reader must detect the newer epoch")
+    // snapshot isolation — the r11 failure mode (FileNotFoundException or
+    // silent partial rows) is gone: the stale Reader answers every probe
+    // bit-identically to its open-time epoch, INCLUDING the merged region
+    cases.zip(preMerge).foreach { case ((b, z), want) =>
+      assert(canon(reader.getClusters(b, z)) == want,
+        s"stale reader diverged from its snapshot at bbox=$b z=$z")
+    }
+    // a fresh open sees the merged epoch
+    val fresh = IndexStore.open(spark, dir)
+    assert(fresh.isCurrent)
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(base ++ batch))))
+    // vacuum(keep=1) reclaims exactly the files only epoch 0 referenced:
+    // something is deleted, the live epoch is untouched, and the fresh
+    // Reader (pinned to the retained epoch) still answers every probe
+    val deleted = IndexStore.vacuum(spark, dir, keepEpochs = 1)
+    assert(deleted > 0, "the merge must leave epoch-0-only files to reclaim")
+    cases.foreach { case (b, z) =>
+      assert(canon(fresh.getClusters(b, z)) ==
+        canon(IndexStore.getClusters(spark, dir, b, z)),
+        s"post-vacuum reader diverged at bbox=$b z=$z")
+    }
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(base ++ batch))))
+    IndexStore.validate(spark, dir)
+  }
+
+  test("pre-manifest store upgrades in place on its first merge") {
+    val base = pts(700, 97)
+    val batch = pts(120, 98, from = 700)
+    val dir = freshDir("legacy")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 700L)
+    // simulate an r11-era store: no manifests directory at all
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/manifests"), true)
+    // reads fall back to the directory listing
+    assert(canon(IndexStore.load(spark, dir)) == canon(GridHierarchy.build(df(base))))
+    // the first merge synthesizes the old epoch's file list and commits a
+    // real manifest — results stay exactly rebuild-equal
+    IndexStore.mergeInto(spark, dir, df(batch))
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(base ++ batch))))
+    val meta = IndexStore.readMeta(spark, dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/manifests/epoch-${meta.epoch}.txt")),
+      "first merge must commit a manifest for the new epoch")
   }
 
   test("non-default minPoints rides the store metadata") {
