@@ -722,6 +722,16 @@ object Bench {
           ((System.nanoTime() - t0) / 1e9, st.phaseSec)
         }
         val times = merges.map(_._1)
+        // MVCC GC cost at chain end (r12): the 20-merge chain leaves ~20
+        // superseded file versions per hot bucket; vacuum(keep=1) is the
+        // reclaim a deployment runs between ingest windows — its wall
+        // time and the reclaimed-file count are the published cost of
+        // the append-only isolation.
+        val (nVacuumed, tVacuum) = {
+          val t0 = System.nanoTime()
+          val n = IndexStore.vacuum(spark, dir, keepEpochs = 1)
+          (n.toDouble, (System.nanoTime() - t0) / 1e9)
+        }
         // per-phase attribution (VERDICT r10 #5): mean and max of each
         // merge phase across the chain, plus the SLOWEST merge's own
         // split — a tail merge whose excess sits in write/commit (FS
@@ -734,7 +744,9 @@ object Bench {
           ("store_chain_total_sec", times.sum, true),
           ("store_chain_first5_avg_sec", times.take(5).sum / 5, true),
           ("store_chain_last5_avg_sec", times.takeRight(5).sum / 5, true),
-          ("store_chain_max_sec", times.max, true)) ++
+          ("store_chain_max_sec", times.max, true),
+          ("store_chain_vacuum_sec", tVacuum, true),
+          ("store_chain_vacuum_deleted_files", nVacuumed, true)) ++
           phaseKeys.flatMap { p =>
             val vs = merges.map(_._2.getOrElse(p, 0.0))
             Seq((s"store_chain_phase_${p}_mean_sec", vs.sum / vs.size, true),
