@@ -222,6 +222,17 @@ object IndexStore {
   // files while merges land, and [[vacuum]] reclaims files no retained
   // epoch references. Stores saved before manifests existed fall back to
   // directory listing and are upgraded in place by their next mergeInto.
+  //
+  // SCALE NOTE (the manifest's own 100 TB posture): each commit rewrites
+  // the FULL live-file list — O(live files) bytes per merge, ~40 B/file.
+  // At this store's layout that is bounded by occupied buckets ×
+  // saltFiles (≤ 2^20-per-axis packing; 785 buckets here = ~30 KB), so a
+  // whole-list rewrite is deliberately simpler than manifest DELTAS. If
+  // a deployment pushes live files into the millions (deep bucketZoom ×
+  // high salt), the Iceberg-style split — per-bucket manifest files plus
+  // a tiny manifest-list — drops commit I/O back to O(touched buckets);
+  // the read path (explicit file list per epoch) is unchanged by that
+  // refinement, so it can land without touching readers.
   // ---------------------------------------------------------------------
 
   private def manifestFile(path: String, epoch: Long): HPath =
