@@ -1297,6 +1297,43 @@ object Bench {
         }
         out += ((s"${tag}_res_auto_search", tRAS, true))
         out += ((s"${tag}_res_auto_recall_at3", recallVs(truthL2, rARes), true))
+        // driver-local serve ON the residual encoding AT the calibrated
+        // knobs (r12: the two deliverables composed — the interactive
+        // path serving the encoding that survives the hard fixture).
+        // Row cap bounds it to the 1M rung; larger rungs record the
+        // documented fallback.
+        graft.operators.AnnLocal.open(rcoded, cents, rcb, gen,
+            residual = true) match {
+          case Some(lix) =>
+            val qvecs = probes
+              .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+              .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+            def onceAll(): Long = {
+              var acc = 0L
+              qvecs.foreach { case (qid, qv) =>
+                acc += lix.search(qv, nprobe = rcal.nprobe, topK = 3,
+                  refine = rcal.refine, queryId = qid).length
+              }
+              acc
+            }
+            (1 to 3).foreach(_ => onceAll())
+            val runs = (1 to 10).map { _ =>
+              val t0 = System.nanoTime()
+              Bench.blackhole = onceAll()
+              (System.nanoTime() - t0) / 1e6
+            }.sorted
+            out += ((s"${tag}_res_local_query_ms",
+              ((runs(4) + runs(5)) / 2.0) / qvecs.length, true))
+            val localPairs = qvecs.flatMap { case (qid, qv) =>
+              lix.search(qv, nprobe = rcal.nprobe, topK = 3,
+                refine = rcal.refine, queryId = qid)
+                .map(h => (qid, h.neighborId))
+            }
+            out += ((s"${tag}_res_local_matches_dist",
+              if (localPairs.sorted.sameElements(rARes.sorted)) 1.0 else 0.0, true))
+          case None =>
+            out += ((s"${tag}_res_local_capped", 1.0, true))
+        }
         rcoded.unpersist(); ix.unpersist(); gen.unpersist()
         out.toSeq
       } catch { case NonFatal(_) => Seq((tag, 0.0, false)) }
