@@ -185,6 +185,35 @@ object AnnIvfPq {
       spark.read.parquet(s"$path/centroids"),
       AnnPq.loadCodebooks(spark, s"$path/codebooks"))
 
+  /** The one-call serving path: reload EVERYTHING a [[saveIndex]]'d
+    * index carries — coded table, centroids, codebooks, the persisted
+    * calibration (when present and epoch-valid), and the encoding
+    * variant marker — and run [[searchAuto]] with all of it. This is
+    * the API a serving process should call: it cannot pair residual
+    * codes with raw tables (the marker decides), cannot serve a stale
+    * or under-vouched calibration (epoch + covers() gate it), and runs
+    * zero calibration jobs when the stored calibration covers the
+    * request.
+    */
+  def serve(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      targetRecall: Double = 0.9,
+      topK: Int = 3,
+      refine: Int = 200,
+      tuneRefine: Boolean = true): DataFrame = {
+    val (coded, centroids, codebooks) = loadIndex(spark, path)
+    searchAuto(queries, coded, centroids, codebooks, emb, idCol, vecCol,
+      targetRecall, topK, refine,
+      calibration = loadCalibration(spark, path),
+      tuneRefine = tuneRefine,
+      residual = isResidual(spark, path))
+  }
+
   /** Top-`topK` neighbours per query: probe the `nprobe` nearest coarse
     * lists, ADC-score ONLY the PQ codes inside them (m table lookups per
     * candidate), exact-rescore the `topK·refine` shortlist against the

@@ -295,6 +295,12 @@ class AnnIvfPqSpec extends AnyFunSuite {
     val rawPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_raw_spec"
     AnnIvfPq.saveIndex(codedRaw, centroids, cbRaw, rawPath)
     assert(!AnnIvfPq.isResidual(spark, rawPath))
+    // the one-call serve path composes marker + calibration + index:
+    // identical rows to the explicit residual search at the stored knobs
+    assert(rows(AnnIvfPq.serve(spark, path, queries, emb)) ==
+      rows(AnnIvfPq.search(queries, rcoded, centroids, rcb, emb,
+        nprobe = cal.nprobe, topK = 3, refine = cal.refine, residual = true)),
+      "serve(path) must equal explicit residual search at the stored knobs")
     rcoded.unpersist()
   }
 
