@@ -76,6 +76,28 @@ class AnnLocalSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate inputs: empty index answers empty; unknown query id is a plain query") {
+    val (indexed, centroids) = parts
+    val cb = AnnPq.train(emb, exactMeans = false)
+    val coded = AnnIvfPq.index(indexed, AnnPq.encode(emb, cb))
+    val empty = coded.where(col("vec_id") < 0)
+    val lix0 = AnnLocal.open(empty, centroids, cb, emb.where(col("vec_id") < 0))
+      .getOrElse(fail("empty corpus is under any cap"))
+    assert(lix0.size == 0)
+    assert(lix0.search(new Array[Double](queryVecs.head._2.length), nprobe = 6).isEmpty,
+      "empty index must answer with zero hits, not throw")
+    // an external query vector (id not in the corpus) excludes nothing —
+    // same rows as the distributed path for a foreign query
+    val lix = AnnLocal.open(coded, centroids, cb, emb).get
+    val qv = queryVecs.head._2
+    val foreign = lix.search(qv, nprobe = 6, topK = 3, refine = 10)
+    assert(foreign.length == 3)
+    // with the real id, the self row drops out of candidates
+    val self = lix.search(qv, nprobe = 6, topK = 3, refine = 10,
+      queryId = queryVecs.head._1)
+    assert(!self.map(_.neighborId).contains(queryVecs.head._1))
+  }
+
   test("row cap: open() refuses an over-cap corpus (distributed fallback)") {
     val (indexed, centroids) = parts
     val cb = AnnPq.train(emb, exactMeans = false)
