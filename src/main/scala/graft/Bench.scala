@@ -217,19 +217,40 @@ object Bench {
         }
       }
 
-    // SECTION rerun registry (VERDICT r11 #3): queries got the
-    // self-adjudicating rerun in r10, section keys did not — the r11
-    // driver's grid_build_4m read 3.4× committed with nothing in-artifact
-    // to vouch. Re-runnable sections register a replay thunk per key as
-    // they run; at suite end the keys that diverged >3× from the previous
-    // committed artifact re-run once and both numbers land in a
-    // "section_rerun" map. Scope: the always-on rebuildable sections
-    // (filter_mask_load, grid_build_ladder, incremental_merge) — the
-    // stateful ones (store merges mutate their store; ann_fast holds
-    // persisted intermediates) stay out rather than re-measure a
-    // different thing.
+    // SECTION rerun registry (VERDICT r11 #3, scope widened per r12 #3):
+    // queries got the self-adjudicating rerun in r10, section keys did
+    // not — the r11 driver's grid_build_4m read 3.4× committed with
+    // nothing in-artifact to vouch; r12's unvouched divergence was
+    // store_save_1m (3.8×), OUTSIDE the then-registered scope. Every
+    // rebuildable rung now registers a replay (each rung rebuilds from
+    // scratch off deterministic generators into fresh scratch dirs, so a
+    // replay measures the same thing the first pass did); at suite end
+    // the keys that diverged >3× from the previous committed artifact
+    // re-run and both numbers land in a "section_rerun" map. A rung
+    // replays ONCE no matter how many of its keys diverged (r12 advice:
+    // the per-key thunks used to replay the same rung per key) — all of
+    // a rung's divergent keys read from the single memoized replay.
     val sectionReruns =
       scala.collection.mutable.LinkedHashMap.empty[String, () => Double]
+    val sectionRungOf = scala.collection.mutable.HashMap.empty[String, String]
+    def registerRungReplay(rungId: String, keys: Seq[String])(
+        replay: => Seq[(String, Double, Boolean)]): Unit = {
+      lazy val replayed: Seq[(String, Double, Boolean)] = replay
+      keys.foreach { key =>
+        sectionRungOf(key) = rungId
+        sectionReruns(key) = () =>
+          replayed.collectFirst { case (`key`, v, true) => v }.getOrElse(0.0)
+      }
+    }
+    // run a rung once and register the SAME body as its replay, keyed by
+    // whatever keys the first pass emitted — the uniform shape for rungs
+    // whose key set is data-dependent (ann rungs' local-vs-capped keys)
+    def runAndRegister(rungId: String)(
+        body: => Seq[(String, Double, Boolean)]): Seq[(String, Double, Boolean)] = {
+      val r = body
+      registerRungReplay(rungId, r.map(_._1))(body)
+      r
+    }
 
     // filterMask load-scaling: exact greedy build at three mask selectivities
     // (reference benchmarks/run.ts:491-538 — its only published scaling
@@ -251,7 +272,7 @@ object Bench {
     ).filter { case (name, _) =>
       sectionOn(name, "filter_mask_load")
     }.map { case (name, mask) =>
-      sectionReruns(name) = () => maskBuildSec(mask)
+      registerRungReplay(name, Seq(name))(Seq((name, maskBuildSec(mask), true)))
       val t0 = System.nanoTime()
       val ok = try { maskBuildSec(mask); true } catch { case NonFatal(_) => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
@@ -493,7 +514,7 @@ object Bench {
         }
         gridLadderSizes.map { nPts =>
         val key = s"grid_build_${if (nPts >= 1000000) s"${nPts / 1000000}m" else s"${nPts / 1000}k"}"
-        sectionReruns(key) = () => gridBuildSec(nPts)
+        registerRungReplay(key, Seq(key))(Seq((key, gridBuildSec(nPts), true)))
         val t0 = System.nanoTime()
         val ok = try { gridBuildSec(nPts); true } catch { case NonFatal(_) => false }
         (key, (System.nanoTime() - t0) / 1e9, ok)
@@ -538,16 +559,13 @@ object Bench {
           Seq(base, merged, rebuilt).filter(_ != null).foreach(_.unpersist(): Unit)
           Seq(baseT, mergeT, rebuildT)
         }
-        // per-key replay thunks: a rung is pure (fresh builds off the
-        // deterministic generator), so a divergent key re-runs the whole
-        // rung and reads its own value back out
+        // one replay per RUNG (r12 advice): a rung is pure (fresh builds
+        // off the deterministic generator), so however many of its keys
+        // diverge, the rung replays once and each key reads its value out
         def registerRung(nBase: Long, tag: String): Unit =
-          Seq(s"incr_base_build_$tag", s"incr_merge_10k_$tag", s"incr_rebuild_$tag")
-            .foreach { key =>
-              sectionReruns(key) = () =>
-                rung(nBase, tag).collectFirst { case (`key`, v, true) => v }
-                  .getOrElse(0.0)
-            }
+          registerRungReplay(s"incr_$tag",
+            Seq(s"incr_base_build_$tag", s"incr_merge_10k_$tag", s"incr_rebuild_$tag"))(
+            rung(nBase, tag))
         registerRung(1000000L, "1m")
         // default rung: 1M base. The 4M/10M rungs are OPT-IN
         // (SPARK_GRAFT_BENCH_ONLY must name them) — they are the evidence
@@ -556,10 +574,12 @@ object Bench {
         // scales with it; the committed focused artifact carries the
         // curve, the per-round driver run pays only the 1M rung.
         rung(1000000L, "1m") ++
-          (if (only.exists(_.contains("incremental_merge_4m"))) rung(4000000L, "4m")
-           else Seq.empty) ++
-          (if (only.exists(_.contains("incremental_merge_10m"))) rung(10000000L, "10m")
-           else Seq.empty)
+          (if (only.exists(_.contains("incremental_merge_4m"))) {
+            registerRung(4000000L, "4m"); rung(4000000L, "4m")
+          } else Seq.empty) ++
+          (if (only.exists(_.contains("incremental_merge_10m"))) {
+            registerRung(10000000L, "10m"); rung(10000000L, "10m")
+          } else Seq.empty)
       }
 
     // storage-backed merge (q104's scale claim, measured): same 1M base,
@@ -577,15 +597,14 @@ object Bench {
         import graft.cluster.{ClusterOptions, IncrementalGrid, IndexStore, MortonHierarchy}
         import org.apache.spark.sql.functions.{hash, lit, pmod}
         val opts = ClusterOptions(radius = 75)
-        val nBase = 1000000L
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
-        def t[A](key: String)(f: => A): Option[A] = {
-          val t0 = System.nanoTime()
-          try { val r = f; out += ((key, (System.nanoTime() - t0) / 1e9, true)); Some(r) }
-          catch { case NonFatal(_) =>
-            out += ((key, (System.nanoTime() - t0) / 1e9, false)); None }
-        }
-        def rung(nBase: Long, tag: String): Unit = {
+        def rung(nBase: Long, tag: String): Seq[(String, Double, Boolean)] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
+          def t[A](key: String)(f: => A): Option[A] = {
+            val t0 = System.nanoTime()
+            try { val r = f; out += ((key, (System.nanoTime() - t0) / 1e9, true)); Some(r) }
+            catch { case NonFatal(_) =>
+              out += ((key, (System.nanoTime() - t0) / 1e9, false)); None }
+          }
           val basePts = graft.io.SyntheticPoints.uniform(spark, nBase)
           val newPts = spark.range(nBase, nBase + 10000).select(
             col("id").as("row_id"),
@@ -613,14 +632,22 @@ object Bench {
               IncrementalGrid.merge(ix2, newPts, nBase, opts)).foreach(_.unpersist(): Unit)
             ix2.unpersist(): Unit
           }
+          out.toSeq
         }
+        def registerStoreRung(nBase: Long, tag: String): Unit =
+          registerRungReplay(s"store_$tag",
+            Seq(s"store_base_build_$tag", s"store_save_$tag",
+              s"store_merge_local10k_$tag", s"incr_base_rebuild_$tag",
+              s"incr_merge_local10k_$tag"))(rung(nBase, tag))
         // default rung: 1M. The 10M rung is OPT-IN — it is the datapoint
         // where the in-memory merge hits the 2x-working-set spill (48 s,
         // bench_incr_merge.json) while the store merge only ever touches
         // O(touched buckets) regardless of base size.
-        rung(1000000L, "1m")
-        if (only.exists(_.contains("store_merge_10m"))) rung(10000000L, "10m")
-        out.toSeq
+        registerStoreRung(1000000L, "1m")
+        rung(1000000L, "1m") ++
+          (if (only.exists(_.contains("store_merge_10m"))) {
+            registerStoreRung(10000000L, "10m"); rung(10000000L, "10m")
+          } else Seq.empty)
       }
 
     // store-side serve ladder (VERDICT r9 #5): bbox probes answered
@@ -684,9 +711,9 @@ object Bench {
             reader.close()
             out
           } catch { case NonFatal(_) => Seq((s"store_query_ladder_$tag", 0.0, false)) }
-        rung(1000000L, "1m") ++
+        runAndRegister("storeq_1m")(rung(1000000L, "1m")) ++
           (if (only.exists(_.contains("store_query_ladder_10m")))
-            rung(10000000L, "10m")
+            runAndRegister("storeq_10m")(rung(10000000L, "10m"))
           else Seq.empty)
       }
 
@@ -699,7 +726,7 @@ object Bench {
     // bench_store_chain.json carries the committed curve.
     val storeChain: Seq[(String, Double, Boolean)] =
       if (!only.exists(_.contains("store_merge_chain"))) Seq.empty
-      else try {
+      else runAndRegister("store_chain")(try {
         import graft.cluster.{IndexStore, MortonHierarchy}
         import org.apache.spark.sql.functions.{hash, lit, pmod}
         val opts = ClusterOptions(radius = 75)
@@ -753,7 +780,7 @@ object Bench {
               (s"store_chain_phase_${p}_max_sec", vs.max, true),
               (s"store_chain_slowest_${p}_sec", slowest.getOrElse(p, 0.0), true))
           }
-      } catch { case NonFatal(_) => Seq(("store_merge_chain", 0.0, false)) }
+      } catch { case NonFatal(_) => Seq(("store_merge_chain", 0.0, false)) })
 
     // production-mode ANN kernels: q47/q63's oracle rows deliberately run
     // the decimal-exact replay (cross-engine reproducible, ~dim× heavier);
@@ -1108,7 +1135,7 @@ object Bench {
       } catch { case NonFatal(_) => Seq((prefix, 0.0, false)) }
     val ann1m: Seq[(String, Double, Boolean)] =
       if (!only.exists(_.contains("ann_1m"))) Seq.empty
-      else annRung(1000000L, 50000, "ann1m")
+      else runAndRegister("ann1m")(annRung(1000000L, 50000, "ann1m"))
     // 4M rung (opt-in, same discipline as the grid ladder's 4M step):
     // same knobs, 4× the corpus, 200k clusters to keep ~20 members each —
     // extends the measured build/search/recall curve one rung before the
@@ -1116,14 +1143,14 @@ object Bench {
     // the wall clock.
     val ann4m: Seq[(String, Double, Boolean)] =
       if (!only.exists(_.contains("ann_4m"))) Seq.empty
-      else annRung(4000000L, 200000, "ann4m")
+      else runAndRegister("ann4m")(annRung(4000000L, 200000, "ann4m"))
     // 10M rung (opt-in): the ladder's top step, matching the grid/exact/
     // store paths' 10M rungs — 500k clusters keeps the ~20-member regime.
     // The untimed brute-force truth scans (2 × 10M×20 exact pairs) are
     // the bulk of the wall clock; the timed keys stay minutes-scale.
     val ann10m: Seq[(String, Double, Boolean)] =
       if (!only.exists(_.contains("ann_10m"))) Seq.empty
-      else annRung(10000000L, 500000, "ann10m")
+      else runAndRegister("ann10m")(annRung(10000000L, 500000, "ann10m"))
 
     // Calibrate-once/serve-many AT 10M (VERDICT r10 #3's cited scale:
     // calibration 97.8 s vs 15.8 s search, re-paid per process). No
@@ -1134,7 +1161,7 @@ object Bench {
     // OPT-IN; bench_ann_10m_cal.json carries the committed numbers.
     val ann10mCal: Seq[(String, Double, Boolean)] =
       if (!only.exists(_.contains("ann_10m_cal"))) Seq.empty
-      else try {
+      else runAndRegister("ann10m_cal")(try {
         val gen = graft.io.SyntheticVectors
           .clustered(spark, 10000000L, nClusters = 500000).persist()
         gen.count()
@@ -1171,7 +1198,7 @@ object Bench {
           ("ann10m_cal_save_sec", tSave, true),
           ("ann10m_cal_serve_search_sec", tServe, true),
           ("ann10m_cal_serve_rows", nServed.toDouble, true))
-      } catch { case NonFatal(_) => Seq(("ann_10m_cal", 0.0, false)) }
+      } catch { case NonFatal(_) => Seq(("ann_10m_cal", 0.0, false)) })
 
     // HARD fixtures (VERDICT r10 #2; r11 extends the rung ladder): planted
     // near-dup pairs over overlapping heavy-tailed superclusters
@@ -1258,6 +1285,38 @@ object Bench {
         out += ((s"${tag}_serve_recall_at3", sRecall, true))
         out += ((s"${tag}_serve_matches_auto",
           if (sRes.sorted.sameElements(aRes.sorted)) 1.0 else 0.0, true))
+        // serve() one-call LOCAL fast path (r12 verdict #2): the same API,
+        // now answering from the memoized driver snapshot when the corpus
+        // fits the cap and the stored calibration covers — first call pays
+        // the snapshot open, steady state is the interactive number. The
+        // whole batch round-trips through serve() (query collect + local
+        // arithmetic + result DataFrame), so this is the honest end-to-end
+        // serving latency, not just the kernel. Over-cap rungs (4M/10M) or
+        // a below-target calibration record the documented fallback key.
+        locally {
+          val (firstRes, tFirst) = timedSec {
+            grab(graft.operators.AnnIvfPq.serve(spark, dir, probes, gen))
+          }
+          out += ((s"${tag}_serve_local_first_sec", tFirst, true))
+          if (graft.operators.AnnIvfPq.localSnapshotCached(dir)) {
+            (1 to 3).foreach(_ =>
+              graft.operators.AnnIvfPq.serve(spark, dir, probes, gen)
+                .queryExecution.toRdd.count(): Unit)
+            val runs = (1 to 10).map { _ =>
+              val t0 = System.nanoTime()
+              Bench.blackhole =
+                grab(graft.operators.AnnIvfPq.serve(spark, dir, probes, gen)).length.toLong
+              (System.nanoTime() - t0) / 1e6
+            }.sorted
+            out += ((s"${tag}_serve_local_query_ms", ((runs(4) + runs(5)) / 2.0) / 20.0, true))
+            out += ((s"${tag}_serve_local_matches",
+              if (firstRes.sorted.sameElements(sRes.sorted)) 1.0 else 0.0, true))
+          } else {
+            out += ((s"${tag}_serve_local_fallback", 1.0, true))
+            out += ((s"${tag}_serve_local_matches",
+              if (firstRes.sorted.sameElements(sRes.sorted)) 1.0 else 0.0, true))
+          }
+        }
         enc.unpersist(); coded.unpersist()
         // RESIDUAL arm (r12 verdict #1): same coarse lists, codebooks
         // trained on residuals to the list centroid — the standard IVF-PQ
@@ -1340,7 +1399,7 @@ object Bench {
 
     val ann1mHard: Seq[(String, Double, Boolean)] =
       if (!only.exists(_.contains("ann_1m_hard"))) Seq.empty
-      else annHardRung(1000000L, "ann1m_hard")
+      else runAndRegister("ann1m_hard")(annHardRung(1000000L, "ann1m_hard"))
 
     // the rung where "at scale" stops being a 1M claim: same planted-pair
     // fixture, 4× the corpus (VERDICT r10 carried caveat — the easy 4M/10M
@@ -1348,10 +1407,10 @@ object Bench {
     // recall tradeoff above 1M)
     val ann4mHard: Seq[(String, Double, Boolean)] =
       if (!only.exists(_.contains("ann_4m_hard"))) Seq.empty
-      else annHardRung(4000000L, "ann4m_hard")
+      else runAndRegister("ann4m_hard")(annHardRung(4000000L, "ann4m_hard"))
     val ann10mHard: Seq[(String, Double, Boolean)] =
       if (!only.exists(_.contains("ann_10m_hard"))) Seq.empty
-      else annHardRung(10000000L, "ann10m_hard")
+      else runAndRegister("ann10m_hard")(annHardRung(10000000L, "ann10m_hard"))
 
     // memory: per-stage JVM heap deltas mirroring the reference's
     // measurement discipline (benchmarks/run.ts:185-226 — gc, snapshot,
@@ -1378,16 +1437,20 @@ object Bench {
         } catch { case NonFatal(_) => None }
       else None
 
-    // SECTION self-adjudication (VERDICT r11 #3): any registered section
-    // key reading >3× its value in the previous committed artifact
-    // re-runs once via its replay thunk — both numbers land in the
-    // artifact, so a contaminated section self-documents exactly like a
-    // contaminated query. Full suites only (a focused run IS the
-    // adjudication tool); capped at 3 thunks (a grid/incr rung is
-    // tens of seconds).
-    val sectionRerun: Seq[(String, Double, Double)] =
-      if (only.nonEmpty) Seq.empty
-      else {
+    // SECTION self-adjudication (VERDICT r11 #3, scope widened per r12
+    // #3): any registered section key reading >3× its value in the
+    // previous committed artifact re-runs via its rung's replay — both
+    // numbers land in the artifact, so a contaminated section
+    // self-documents exactly like a contaminated query. Runs in FOCUSED
+    // runs too (r12: the contested store_save_1m lived in an opt-in
+    // section a full-suite-only gate never covered) — point
+    // SPARK_GRAFT_BENCH_BASELINE at the committed focused artifact to arm
+    // it there; the default bench_result.json simply has no ann/store
+    // rung keys, so nothing fires spuriously. Budget: at most 2 DISTINCT
+    // rung replays (a rung replays once for all its divergent keys — the
+    // r12-advice memoization — so the cap bounds wall-clock, not key
+    // count).
+    val sectionRerun: Seq[(String, Double, Double)] = {
         val prevSections: Map[String, Double] =
           try {
             val txt = new String(java.nio.file.Files.readAllBytes(
@@ -1406,19 +1469,27 @@ object Bench {
             }
             leaves(root).toMap
           } catch { case NonFatal(_) => Map.empty[String, Double] }
-        val measured = (maskTimes ++ gridBuildLadder ++ incrMerge)
+        val measured = (maskTimes ++ gridBuildLadder ++ incrMerge ++
+          storeMerge ++ storeLadder ++ storeChain ++ ann1m ++ ann1mHard ++
+          ann4m ++ ann4mHard ++ ann10m ++ ann10mHard ++ ann10mCal)
           .collect { case (k, v, true) => k -> v }.toMap
-        measured.toSeq
+        val divergent = measured.toSeq
           .filter { case (k, v) =>
-            v > 0.5 && prevSections.get(k).exists(p => p > 0.05 && v > 3 * p)
+            v > 0.5 && prevSections.get(k).exists(p => p > 0.05 && v > 3 * p) &&
+              sectionReruns.contains(k)
           }
-          .sortBy(-_._2).take(3)
-          .flatMap { case (k, first) =>
-            sectionReruns.get(k).map { thunk =>
-              val again = try thunk() catch { case NonFatal(_) => 0.0 }
-              (k, first, again)
-            }
+          .sortBy(-_._2)
+        val rungBudget = scala.collection.mutable.LinkedHashSet.empty[String]
+        val chosen = divergent.filter { case (k, _) =>
+          val rung = sectionRungOf.getOrElse(k, k)
+          rungBudget.contains(rung) || {
+            if (rungBudget.size < 2) { rungBudget += rung; true } else false
           }
+        }
+        chosen.map { case (k, first) =>
+          val again = try sectionReruns(k)() catch { case NonFatal(_) => 0.0 }
+          (k, first, again)
+        }
       }
 
     def jmap(xs: Seq[(String, Double, Boolean)]): String =

@@ -6,6 +6,17 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** A manifest-slot claim lost to another writer: a second merge (or a
+  * vacuum) committed this epoch first, or a crashed commit left an
+  * orphan manifest ahead of the store's meta. The failed operation
+  * changed NOTHING the store serves — its appended part files (if any)
+  * are unreferenced orphans, reclaimed by the next [[IndexStore.vacuum]].
+  * Recovery: re-read the store and re-run the merge (the winner's epoch
+  * is now the base); if the conflict came from a CRASHED commit rather
+  * than a live writer, [[IndexStore.recover]] frees the slot.
+  */
+final class StoreCommitConflict(message: String) extends RuntimeException(message)
+
 /** Storage-backed grid index: the deployment shape of
   * [[IncrementalGrid]], where even the in-memory merge's two shuffle-free
   * full-index scans disappear. The index lives as bucketed parquet; an
@@ -79,9 +90,10 @@ object IndexStore {
   /** What a merge did to the store — the locality evidence, plus a
     * per-phase wall-clock split (`delta` = batch checkpoint + id-range
     * validation, `touched` = touched-bucket discovery, `recompute` =
-    * the level fold over touched membership, `write` = the dynamic
-    * partition overwrite, `commit` = meta swap + row-count footer read
-    * + bucket listing) so a slow merge in a long ingest chain
+    * the level fold over touched membership + the replaced-row count,
+    * `write` = the append + bucket-subset assert + manifest commit,
+    * `commit` = meta swap + bucket listing — both O(touched)/O(manifest),
+    * no full-store footer job since r13) so a slow merge in a long chain
     * attributes to a phase — compaction-style tail latency (FS commit,
     * listing growth) separates from compute — instead of reading as an
     * opaque outlier.
@@ -203,7 +215,7 @@ object IndexStore {
     val fs = FileSystem.get(URI.create(path),
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new HPath(s"$path/manifests"), true)
-    writeManifest(fs, path, 0L, listLevelFiles(fs, path))
+    commitManifest(fs, path, 0L, listLevelFiles(fs, path))
     writeMeta(spark, path,
       StoreMeta(totalPoints, opts.minZoom, opts.maxZoom, opts.radius,
         opts.extent, opts.minPoints, bucketZoom,
@@ -213,15 +225,32 @@ object IndexStore {
   // ---------------------------------------------------------------------
   // MVCC manifests (r11 verdict #2 — the designed path, now built).
   // One plain-text file per committed epoch (`manifests/epoch-N.txt`, one
-  // levels-relative data-file path per line, written tmp-then-rename so a
-  // torn manifest can never be read). mergeInto APPENDS new part files
-  // into the touched bucket directories — never deletes — and commits a
-  // new manifest; every read path plans from its epoch's explicit file
-  // list (basePath keeps directory-derived partition pruning), so a
-  // held-open Reader keeps answering bit-identically from ITS epoch's
-  // files while merges land, and [[vacuum]] reclaims files no retained
-  // epoch references. Stores saved before manifests existed fall back to
-  // directory listing and are upgraded in place by their next mergeInto.
+  // levels-relative data-file path per line). mergeInto APPENDS new part
+  // files into the touched bucket directories — never deletes — and
+  // commits a new manifest; every read path plans from its epoch's
+  // explicit file list (basePath keeps directory-derived partition
+  // pruning), so a held-open Reader keeps answering bit-identically from
+  // ITS epoch's files while merges land, and [[vacuum]] reclaims files no
+  // retained epoch references. Stores saved before manifests existed fall
+  // back to directory listing and are upgraded in place by their next
+  // mergeInto; a store WITH manifests never silently directory-scans
+  // (a missing epoch manifest is corruption, not a fallback).
+  //
+  // SINGLE-WRITER ENFORCEMENT (r12 verdict #1): the epoch-N+1 manifest is
+  // the commit point, written CREATE-EXCLUSIVE — the first writer to
+  // create `epoch-N+1.txt` wins the epoch; a second writer that also read
+  // meta at N (a concurrent merge, or a vacuum racing a merge) throws
+  // [[StoreCommitConflict]] instead of silently clobbering the winner's
+  // file list (the old delete-then-rename lost the first commit's rows
+  // wholesale). Nobody READS an epoch's manifest before that epoch's meta
+  // swap lands (readers resolve their epoch from meta, written strictly
+  // after the manifest closes; vacuum retains only epochs ≤ meta's), so
+  // the exclusive-create stream needs no tmp-rename atomicity: a crash
+  // mid-write leaves an ORPHAN manifest ahead of meta that blocks the
+  // slot — [[recover]] frees it. On HDFS/object stores create-no-
+  // overwrite is an atomic primitive; on a raw local FS it is
+  // check-then-create, which still catches every seconds-apart conflict
+  // the single-writer contract is protecting against.
   //
   // SCALE NOTE (the manifest's own 100 TB posture): each commit rewrites
   // the FULL live-file list — O(live files) bytes per merge, ~40 B/file.
@@ -232,7 +261,12 @@ object IndexStore {
   // high salt), the Iceberg-style split — per-bucket manifest files plus
   // a tiny manifest-list — drops commit I/O back to O(touched buckets);
   // the read path (explicit file list per epoch) is unchanged by that
-  // refinement, so it can land without touching readers.
+  // refinement, so it can land without touching readers. The commit's
+  // OTHER former O(live files) term — a footer-count job re-counting the
+  // whole store per merge — is gone since r13: levelsRows is tracked
+  // incrementally (old − touched-bucket rows + rewritten rows, both
+  // O(touched) counts), and [[validate]] still checks the stored value
+  // against the real footer count on load.
   // ---------------------------------------------------------------------
 
   private def manifestFile(path: String, epoch: Long): HPath =
@@ -263,18 +297,55 @@ object IndexStore {
         .map(s => s"$d/${s.getPath.getName}")
     }
 
-  private def writeManifest(
+  /** The commit point: create `epoch-N.txt` EXCLUSIVELY (no overwrite) —
+    * the slot CAS that enforces the single-writer contract. Throws
+    * [[StoreCommitConflict]] when another writer (or a crashed commit's
+    * orphan) already holds the epoch. See the MVCC section above for why
+    * writing content straight through the exclusive stream is safe.
+    */
+  private def commitManifest(
       fs: FileSystem, path: String, epoch: Long, files: Seq[String]): Unit = {
     val dir = new HPath(s"$path/manifests")
     if (!fs.exists(dir)) { fs.mkdirs(dir); () }
-    val tmp = new HPath(s"$path/manifests/.epoch-$epoch.tmp")
-    val out = fs.create(tmp, true)
+    val dest = manifestFile(path, epoch)
+    val out =
+      try fs.create(dest, false)
+      catch {
+        case e: java.io.IOException if fs.exists(dest) =>
+          throw new StoreCommitConflict(
+            s"epoch $epoch at $path is already committed (or a crashed " +
+              "commit left an orphan manifest): another writer won this " +
+              "epoch — the single-writer contract was violated. Nothing " +
+              "was committed here; re-read the store and re-run the " +
+              s"merge, or run IndexStore.recover if no writer is live ($e)")
+      }
     try out.write(files.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    val dest = manifestFile(path, epoch)
-    fs.delete(dest, false)
-    fs.rename(tmp, dest)
-    ()
+  }
+
+  /** Every committed-or-orphan manifest epoch on disk, unsorted. */
+  private def listManifestEpochs(fs: FileSystem, path: String): Seq[Long] = {
+    val dir = new HPath(s"$path/manifests")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toIndexedSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("epoch-") && n.endsWith(".txt") =>
+        n.stripPrefix("epoch-").stripSuffix(".txt").toLong
+      }
+  }
+
+  /** Free manifest slots a CRASHED commit left behind: delete every
+    * manifest AHEAD of the committed meta (a commit that never swapped
+    * meta never happened — its appended files stay as vacuum-able
+    * orphans). Single-writer admin call: run it only when no merge or
+    * vacuum is in flight, or it frees the slot a live writer is about to
+    * take. Returns the number of orphan manifests removed.
+    */
+  def recover(spark: SparkSession, path: String): Long = {
+    val fs = hadoopFs(spark, path)
+    val current = readMeta(spark, path).epoch
+    val orphans = listManifestEpochs(fs, path).filter(_ > current)
+    orphans.foreach(e => fs.delete(manifestFile(path, e), false): Unit)
+    orphans.size.toLong
   }
 
   private def readManifest(
@@ -295,12 +366,18 @@ object IndexStore {
     FileSystem.get(URI.create(path), spark.sparkContext.hadoopConfiguration)
 
   /** The levels table PINNED to `epoch`'s manifest (explicit file list —
-    * the MVCC read path), or the plain directory scan for pre-manifest
-    * stores. `basePath` keeps the `bucket=` partition column and its
-    * pruning exactly as the directory scan had them.
+    * the MVCC read path), or the plain directory scan for PRE-MANIFEST
+    * stores only. A store that HAS manifests but not the requested
+    * epoch's is corrupt (wrongly-deleted manifest, or a reader lagging
+    * past its vacuumed epoch) — it throws rather than falling back to a
+    * directory scan that would silently serve superseded part files as
+    * duplicates next to live ones. `basePath` keeps the `bucket=`
+    * partition column and its pruning exactly as the directory scan had
+    * them.
     */
-  private def levelsDf(spark: SparkSession, path: String, epoch: Long): DataFrame =
-    readManifest(hadoopFs(spark, path), path, epoch) match {
+  private def levelsDf(spark: SparkSession, path: String, epoch: Long): DataFrame = {
+    val fs = hadoopFs(spark, path)
+    readManifest(fs, path, epoch) match {
       case Some(files) if files.nonEmpty =>
         spark.read.schema(StoreSchema)
           .option("basePath", s"$path/levels")
@@ -309,40 +386,68 @@ object IndexStore {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StoreSchema)
       case None =>
+        val committed = listManifestEpochs(fs, path)
+        if (committed.nonEmpty)
+          throw new IllegalStateException(
+            s"store at $path has manifests (epochs ${committed.sorted.mkString(",")}) " +
+              s"but none for epoch $epoch — a manifest was deleted (vacuumed past a " +
+              "lagging reader, or removed by hand). Refusing the directory-scan " +
+              "fallback: it would serve superseded files as duplicate rows.")
         spark.read.schema(StoreSchema).parquet(s"$path/levels")
     }
+  }
 
   /** Delete data files no retained epoch references, plus the manifests
     * of dropped epochs — the GC pass of the MVCC design. Retains the
     * newest `keepEpochs` committed manifests (the current epoch always
-    * survives); also reclaims orphans from crashed merges (files on disk
-    * that NO manifest ever committed). Returns the deleted file count.
-    * Run from the single writer between ingest windows — never
-    * concurrently with a merge (its freshly-appended files look like
-    * orphans until their manifest commits).
+    * survives). Returns the deleted file count.
+    *
+    * FENCED AGAINST IN-FLIGHT MERGES (r12 verdict #1): before deleting
+    * anything, vacuum takes the SAME commit slot a merge would — an
+    * IDENTITY commit of epoch current+1 (same file list, same counts) via
+    * the create-exclusive manifest write. A merge that read meta at
+    * `current` and is still appending can then never commit (its claim of
+    * current+1 throws [[StoreCommitConflict]]), so its fresh appends are
+    * true orphans when this pass reclaims them — the old hazard (vacuum
+    * eats a mid-flight merge's files, the merge then commits a manifest
+    * referencing deleted files) is structurally gone. The deletion
+    * candidate list is snapshotted BEFORE the claim, so a merge starting
+    * AFTER vacuum's commit (from the bumped epoch) appends files this
+    * pass never considers. If the slot is already taken — a live merge
+    * committed first, or a crashed one left an orphan manifest — vacuum
+    * throws [[StoreCommitConflict]] having deleted nothing ([[recover]]
+    * frees a crashed slot).
     */
   def vacuum(spark: SparkSession, path: String, keepEpochs: Int = 2): Long = {
     require(keepEpochs >= 1, "keepEpochs must be >= 1")
     val fs = hadoopFs(spark, path)
-    val current = readMeta(spark, path).epoch
-    if (readManifest(fs, path, current).isEmpty)
-      return 0L // pre-manifest store: nothing to reclaim safely
-    val all = {
-      val dir = new HPath(s"$path/manifests")
-      if (!fs.exists(dir)) Seq.empty[Long]
-      else fs.listStatus(dir).toIndexedSeq.map(_.getPath.getName)
-        .collect { case n if n.startsWith("epoch-") && n.endsWith(".txt") =>
-          n.stripPrefix("epoch-").stripSuffix(".txt").toLong
-        }
+    val meta = readMeta(spark, path)
+    val current = meta.epoch
+    val live = readManifest(fs, path, current) match {
+      case Some(files) => files
+      case None =>
+        if (listManifestEpochs(fs, path).nonEmpty)
+          throw new IllegalStateException(
+            s"store at $path has manifests but none for committed epoch " +
+              s"$current — corrupt; refusing to vacuum")
+        return 0L // pre-manifest store: nothing to reclaim safely
     }
-    // retain the newest keepEpochs manifests NOT AHEAD of the committed
-    // meta (an epoch-N+1 manifest from a merge that crashed before its
-    // meta swap is an orphan commit — dropped, its files reclaimed)
-    val retained = all.filter(_ <= current).sorted.takeRight(keepEpochs).toSet
+    // snapshot BEFORE the fence: files appended after this listing belong
+    // to writers working from the bumped epoch and are never candidates
+    val candidates = listLevelFiles(fs, path)
+    // the fence: identity commit of current+1 (throws on conflict)
+    val fenced = current + 1L
+    commitManifest(fs, path, fenced, live)
+    writeMeta(spark, path, meta.copy(epoch = fenced))
+    // the identity fence epoch rides free: keepEpochs still counts REAL
+    // commits, so "readers may lag keepEpochs-1 epochs" is unchanged
+    val all = listManifestEpochs(fs, path)
+    val retained =
+      (all.filter(_ < fenced).sorted.takeRight(keepEpochs) :+ fenced).toSet
     val referenced = retained.iterator
       .flatMap(e => readManifest(fs, path, e).getOrElse(Seq.empty)).toSet
     var deleted = 0L
-    listLevelFiles(fs, path).foreach { f =>
+    candidates.foreach { f =>
       if (!referenced.contains(f)) {
         if (fs.delete(new HPath(s"$path/levels/$f"), false)) deleted += 1
       }
@@ -640,6 +745,12 @@ object IndexStore {
       phases(name) = (System.nanoTime() - t0) / 1e9
       r
     }
+    // scratch checkpoints release on EVERY exit path — an aborted merge
+    // (a lost commit CAS throwing StoreCommitConflict) must not leak its
+    // delta blocks into a long-lived serving session. unpersist is
+    // idempotent, so the happy path's in-phase release below (attributed
+    // to `commit`) is unaffected.
+    try {
     val nNew = newPoints.count()
     val newTotal = meta.numPoints + nNew
     val addedBase = phase("delta") {
@@ -661,36 +772,63 @@ object IndexStore {
     val wanted = touched :+ -1L
 
     // partition-pruned read of the CURRENT epoch: only the touched
-    // buckets' live files reach the plan (a pre-manifest store falls back
-    // to the directory scan and is upgraded by this merge's commit)
+    // buckets' live files reach the plan (a PRE-MANIFEST store falls back
+    // to the directory scan and is upgraded by this merge's commit; a
+    // manifest-era store with the epoch's manifest missing throws — see
+    // [[levelsDf]])
     val fs = hadoopFs(spark, path)
-    val oldManifest = readManifest(fs, path, meta.epoch)
-      .getOrElse(listLevelFiles(fs, path)) // legacy upgrade-in-place
+    val oldManifest = readManifest(fs, path, meta.epoch).getOrElse {
+      if (listManifestEpochs(fs, path).nonEmpty)
+        throw new IllegalStateException(
+          s"store at $path has manifests but none for committed epoch " +
+            s"${meta.epoch} — corrupt; refusing to merge from a directory scan")
+      listLevelFiles(fs, path) // legacy upgrade-in-place
+    }
     val subset = decodeIds(
       levelsDf(spark, path, meta.epoch)
         .where(col("bucket").isin(wanted.toIndexedSeq.map(Long.box): _*))
         .select(DataCols.map(col): _*),
       newTotal) // decode against the NEW total = the merge id shift, free
 
-    val out = phase("recompute") {
+    // nOldTouched BEFORE the write (a legacy store's fallback scan would
+    // otherwise count this merge's fresh appends): the rows the rewrite
+    // REPLACES — with nOut below, the whole commit's levelsRows update is
+    // two O(touched) counts instead of the old O(live files) footer job
+    val (out, nOldTouched) = phase("recompute") {
+      val nOld = subset.count()
       val (keep, emits) =
         IncrementalGrid.recomputeTouched(subset, addedBase, opts, newTotal, nNew, ckpt)
       // materialize before writing: localCheckpoint also pins the rows
       // against the lazy plan re-reading files mid-write
-      ckpt((keep +: emits).reduce(_ unionByName _))
+      (ckpt((keep +: emits).reduce(_ unionByName _)), nOld)
     }
 
     // MVCC write: APPEND new part files into the touched bucket dirs —
     // never delete — so a Reader pinned to the old manifest keeps
     // answering from its files. The new files are the listing diff of
-    // exactly the wanted buckets (single-writer topology; orphans from a
-    // crashed earlier merge sit in `before` and stay orphaned for vacuum).
+    // exactly the wanted buckets (orphans from a crashed earlier merge
+    // sit in `before` and stay orphaned for vacuum).
     val newEpoch = meta.epoch + 1L
-    phase("write") {
+    val nOut = phase("write") {
       val wantedDirs = wanted.toIndexedSeq.map(b => s"bucket=$b")
       val before = listBucketFiles(fs, path, wantedDirs).toSet
-      encodeIds(out, newTotal)
+      val withBucket = encodeIds(out, newTotal)
         .withColumn("bucket", bucketCol(opts, meta.bucketZoom))
+      // the manifest below is a listing diff of the WANTED dirs only: a
+      // recomputed row bucketing outside them would be written to disk
+      // yet never referenced — invisible, then vacuumed. The dyadic-
+      // nesting invariant says that can't happen; assert it (one distinct
+      // over the checkpointed delta) so a broken invariant is an error,
+      // not silent data loss.
+      val outBuckets = withBucket.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0))
+      val wantedLongs = wanted.toSet
+      val stray = outBuckets.filterNot(b => wantedLongs.contains(b) || b == -1L)
+      require(stray.isEmpty,
+        s"recomputed rows landed in untouched bucket(s) ${stray.mkString(",")} " +
+          "— the consuming-pass nesting invariant is broken; aborting before " +
+          "the manifest would silently drop them")
+      withBucket
         .repartition(col("bucket"))
         .write.mode("append")
         .partitionBy("bucket").parquet(s"$path/levels")
@@ -701,16 +839,29 @@ object IndexStore {
       // wholesale at the row level, so their old files drop out)
       val wantedSet = wantedDirs.toSet
       val kept = oldManifest.filterNot(f => wantedSet(f.takeWhile(_ != '/')))
-      writeManifest(fs, path, newEpoch, kept ++ fresh)
+      testHookBeforeCommit()
+      // the single-writer CAS: first claim of epoch N+1 wins; a loser
+      // throws StoreCommitConflict with nothing committed (its appends
+      // above are unreferenced orphans for vacuum)
+      commitManifest(fs, path, newEpoch, kept ++ fresh)
+      out.count() // localCheckpointed — a metadata count, no recompute
     }
     val totalBuckets = phase("commit") {
       writeMeta(spark, path, meta.copy(numPoints = newTotal,
-        levelsRows = levelsRowCount(spark, path, newEpoch), epoch = newEpoch))
+        levelsRows = meta.levelsRows - nOldTouched + nOut, epoch = newEpoch))
       scratch.foreach(_.unpersist())
       listBuckets(spark, path).length.toLong
     }
     MergeStats(nNew, touched.length + 1L, totalBuckets, phases.toMap)
+    } finally scratch.foreach(_.unpersist(): Unit)
   }
+
+  /** Test-only interleave point: invoked between a merge's data-file
+    * append and its manifest commit — IndexStoreSpec uses it to run a
+    * competing writer (another merge, a vacuum) in the window where the
+    * single-writer CAS must decide. Production code never sets it.
+    */
+  private[graft] var testHookBeforeCommit: () => Unit = () => ()
 
   /** The store's LIVE bucket partitions — the current manifest's distinct
     * buckets (a vacated bucket whose files were all replaced elsewhere

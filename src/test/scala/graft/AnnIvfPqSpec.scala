@@ -69,8 +69,12 @@ class AnnIvfPqSpec extends AnyFunSuite {
     val queries = emb.where(col("vec_id") < 30)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_cal_spec"
     AnnIvfPq.saveIndex(coded, centroids, cb, path)
-    val cal = AnnIvfPq.calibrate(coded, centroids, emb)
-    assert(cal.nprobe >= 1 && cal.refine == 200 && cal.epoch.isEmpty)
+    // the persistable calibration is the END-TO-END one (r12 advice: a
+    // probe-only PQ calibration carries metTarget=false and can never
+    // vouch for covers() reuse — tested in the gating case below)
+    val cal = AnnIvfPq.calibrateEndToEnd(coded, centroids, cb, emb)
+    assert(cal.nprobe >= 1 && cal.refine >= 200 && cal.epoch.isEmpty)
+    assert(cal.metTarget, "sf0.01 end-to-end calibration must reach its target")
     assert(cal.corpusSize == emb.count())
     val stamped = AnnIvfPq.saveCalibration(spark, path, cal)
     assert(stamped.epoch.nonEmpty)
@@ -100,14 +104,20 @@ class AnnIvfPqSpec extends AnyFunSuite {
       dfCal = AnnIvfPq.searchAuto(queries, coded2, cents2, cb2, emb,
         calibration = loaded)
     }
-    assert(calJobs == 0,
-      s"calibrated searchAuto construction fired $calJobs calibration jobs")
+    // ≤ 2: search()'s query-side broadcast guard (r12 verdict #5) fires
+    // one bounded limit-count at construction — O(threshold) regardless
+    // of corpus size, NOT a calibration scan. Zero calibration jobs
+    // means: nothing beyond that guard.
+    assert(calJobs <= 2,
+      s"calibrated searchAuto construction fired $calJobs jobs — more than " +
+        "the bounded broadcast-guard probe means calibration ran")
     // sanity arm: the same construction WITHOUT the stored calibration
     // does fire the sample-scan jobs (guards the probe itself)
     val uncalJobs = groupJobs("ivfpq-cal-fresh") {
       AnnIvfPq.searchAuto(queries, coded2, cents2, cb2, emb): Unit
     }
-    assert(uncalJobs > 0, "probe sanity: uncalibrated searchAuto fired no jobs")
+    assert(uncalJobs > calJobs,
+      "probe sanity: uncalibrated searchAuto must fire the sample-scan jobs")
 
     def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
       df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
@@ -334,12 +344,20 @@ class AnnIvfPqSpec extends AnyFunSuite {
       }
       assert(jobs > 0, "an unmet-target calibration must not be reused")
     }
-    // a calibration measured at topK=3 cannot vouch for topK=10
+    // a probe-only PQ calibration can NEVER vouch (r12 advice): its
+    // sample recall only upper-bounds end-to-end recall, so it ships
+    // metTarget=false regardless of the measurement
     val met = AnnIvfPq.calibrate(coded, centroids, emb)
-    assert(met.topK == 3 && met.metTarget)
+    assert(met.topK == 3 && !met.metTarget,
+      "probe-only PQ calibration must not claim to have met the target")
+    assert(!met.covers(0.9, 3))
+    // a calibration measured at topK=3 cannot vouch for topK=10 — tested
+    // with a MET end-to-end calibration so topK is the only refusal
+    val metE2e = AnnIvfPq.calibrateEndToEnd(coded, centroids, cb, emb)
+    assert(metE2e.metTarget)
     val jobsTopK = groupJobs("ivfpq-gate-topk") {
       AnnIvfPq.searchAuto(queries, coded, centroids, cb, emb,
-        topK = 10, calibration = Some(met)): Unit
+        topK = 10, calibration = Some(metE2e)): Unit
     }
     assert(jobsTopK > 0, "a topK=3 calibration must not be reused for topK=10")
     // tuneRefine=false keeps the cheaper probe-only calibration: same

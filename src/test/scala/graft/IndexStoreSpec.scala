@@ -433,6 +433,132 @@ class IndexStoreSpec extends AnyFunSuite {
       canon(GridHierarchy.build(df(base ++ batch))))
   }
 
+  test("writer fence: two interleaved merges from the same epoch — one commits, one throws, nothing is lost (r12 verdict #1)") {
+    import graft.cluster.StoreCommitConflict
+    val base = pts(700, 201)
+    val batchA = localPts(80, 202, from = 700)   // the winner's batch
+    // the loser reads the SAME epoch (numPoints=700), so its batch claims
+    // the same id range — exactly the both-read-epoch-N scenario
+    val batchB = pts(90, 203, from = 700)
+    val dir = freshDir("fence")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 700L)
+    // deterministic same-epoch interleave, no threads: the LOSER merge
+    // (batch B) reaches its commit point having read meta at epoch 0;
+    // the hook then runs the WINNER merge (batch A) to completion —
+    // also from epoch 0 — so both contend for the epoch-1 manifest slot
+    IndexStore.testHookBeforeCommit = () => {
+      IndexStore.testHookBeforeCommit = () => ()
+      IndexStore.mergeInto(spark, dir, df(batchA)): Unit
+    }
+    val conflict = try {
+      intercept[StoreCommitConflict] {
+        IndexStore.mergeInto(spark, dir, df(batchB))
+      }
+    } finally IndexStore.testHookBeforeCommit = () => ()
+    assert(conflict.getMessage.contains("single-writer"))
+    // the winner's commit is intact and complete — the old delete-then-
+    // rename would have silently clobbered it with the loser's list
+    assert(IndexStore.readMeta(spark, dir).numPoints == 780L)
+    IndexStore.validate(spark, dir)
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(base ++ batchA))))
+    // the loser's appended files are unreferenced orphans — vacuum
+    // reclaims them without touching the live epoch
+    val deleted = IndexStore.vacuum(spark, dir, keepEpochs = 1)
+    assert(deleted > 0, "the aborted merge must leave orphan files to reclaim")
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(base ++ batchA))))
+    // a clean RE-merge of the loser's batch (same coordinates, ids
+    // re-issued to continue the WINNER's id space) lands on epoch 2
+    val batchB2 = pts(90, 203, from = 780)
+    IndexStore.mergeInto(spark, dir, df(batchB2))
+    IndexStore.validate(spark, dir)
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(base ++ batchA ++ batchB2))))
+  }
+
+  test("vacuum fence: a vacuum racing an in-flight merge wins the slot; the merge aborts instead of committing deleted files") {
+    import graft.cluster.StoreCommitConflict
+    val base = pts(800, 211)
+    val batch = localPts(70, 212, from = 800)
+    val dir = freshDir("vacfence")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 800L)
+    // merge 1 creates reclaimable epoch-0 versions so the racing vacuum
+    // has real work to do
+    IndexStore.mergeInto(spark, dir, df(batch))
+    val expectAfterMerge1 = canon(IndexStore.load(spark, dir))
+    // merge 2 is interrupted at its commit point by a vacuum: the vacuum
+    // claims the next epoch FIRST (identity commit), then reclaims — so
+    // merge 2's fresh appends are deleted as orphans AND its commit CAS
+    // fails; the hazard (a committed manifest referencing files the
+    // vacuum deleted) is structurally impossible
+    var vacuumed = -1L
+    IndexStore.testHookBeforeCommit = () => {
+      IndexStore.testHookBeforeCommit = () => ()
+      vacuumed = IndexStore.vacuum(spark, dir, keepEpochs = 1)
+    }
+    try {
+      intercept[StoreCommitConflict] {
+        IndexStore.mergeInto(spark, dir, df(pts(60, 213, from = 870)))
+      }
+    } finally IndexStore.testHookBeforeCommit = () => ()
+    assert(vacuumed > 0, "the racing vacuum must have reclaimed something")
+    // the store is exactly what merge 1 left (vacuum's fence epoch is an
+    // identity commit), fully valid, and accepts the retried merge
+    IndexStore.validate(spark, dir)
+    assert(canon(IndexStore.load(spark, dir)) == expectAfterMerge1)
+    IndexStore.mergeInto(spark, dir, df(pts(60, 213, from = 870)))
+    IndexStore.validate(spark, dir)
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(base ++ batch ++ pts(60, 213, from = 870)))))
+  }
+
+  test("crashed commit: the orphan manifest blocks writers loudly; recover() frees the slot") {
+    import graft.cluster.StoreCommitConflict
+    val base = pts(500, 221)
+    val dir = freshDir("crashed")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 500L)
+    // simulate a merge that died mid-commit: a (torn) manifest ahead of
+    // the committed meta
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/manifests/epoch-1.txt")
+    val out = fs.create(orphan, false)
+    out.write("bucket=0/part-torn.parquet\n".getBytes("UTF-8")); out.close()
+    // both writers refuse the taken slot — nothing silently clobbers it
+    intercept[StoreCommitConflict] {
+      IndexStore.mergeInto(spark, dir, df(pts(50, 222, from = 500)))
+    }
+    intercept[StoreCommitConflict] { IndexStore.vacuum(spark, dir) }
+    // reads are unaffected (the orphan is ahead of meta — nobody plans
+    // from it)
+    assert(canon(IndexStore.load(spark, dir)) == canon(GridHierarchy.build(df(base))))
+    // recover() deletes orphans ahead of meta; writers proceed
+    assert(IndexStore.recover(spark, dir) == 1L)
+    IndexStore.mergeInto(spark, dir, df(pts(50, 222, from = 500)))
+    IndexStore.validate(spark, dir)
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(base ++ pts(50, 222, from = 500)))))
+  }
+
+  test("manifest-era store with a deleted epoch manifest throws instead of directory-scanning duplicates") {
+    val base = pts(600, 231)
+    val dir = freshDir("strict")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 600L)
+    IndexStore.mergeInto(spark, dir, df(pts(80, 232, from = 600)))
+    // kill the CURRENT epoch's manifest (epoch 1), leaving epoch 0's: the
+    // old fallback silently scanned the levels dir — superseded epoch-0
+    // files would read as duplicate rows next to their rewrites
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/manifests/epoch-1.txt"), false)
+    val e = intercept[IllegalStateException] { IndexStore.load(spark, dir).collect() }
+    assert(e.getMessage.contains("manifest"))
+    intercept[IllegalStateException] {
+      IndexStore.mergeInto(spark, dir, df(pts(10, 233, from = 680)))
+    }
+  }
+
   test("empty batch is an identity merge") {
     val base = pts(400, 51)
     val dir = freshDir("empty")
