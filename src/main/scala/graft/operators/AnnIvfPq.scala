@@ -191,25 +191,41 @@ object AnnIvfPq {
       spark.read.parquet(s"$path/centroids"),
       AnnPq.loadCodebooks(spark, s"$path/codebooks"))
 
-  /** Process-wide memo of driver-local serve snapshots, keyed by (index
-    * path, save epoch) — open once per process, serve many (the same
-    * session-cache shape as the clustering serve snapshots,
-    * operators/Spatial.scala). A re-saved index gets a fresh epoch, so a
-    * stale snapshot can never answer for the new files; inserting a new
-    * epoch for a path evicts the old one (at most one live snapshot per
-    * path). `None` memoizes an over-cap corpus, so the cap's count probe
-    * is also paid once.
+  /** Per-(path, save-epoch) serving state: the variant marker, the stored
+    * calibration, and (lazily, double-checked) the driver-local snapshot.
+    * All three are properties of one index SAVE, so a serving process
+    * pays their reads once — the steady-state serve() call runs exactly
+    * two tiny jobs (the epoch freshness read + the query-batch collect)
+    * before pure in-process arithmetic. `Some(None)` memoizes an over-cap
+    * corpus, so the cap's count probe is also paid once.
     */
-  private val localServeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Option[AnnLocalIndex]]()
+  private final class ServeState(
+      val residual: Boolean, val stored: Option[AnnCalibration]) {
+    @volatile private var snap: Option[Option[AnnLocalIndex]] = None
+    def cachedLocal: Option[AnnLocalIndex] = snap.flatten
+    def local(open: => Option[AnnLocalIndex]): Option[AnnLocalIndex] =
+      snap.getOrElse(synchronized {
+        snap.getOrElse { val s = open; snap = Some(s); s }
+      })
+  }
+
+  /** Process-wide memo of [[ServeState]]s, keyed by (index path, save
+    * epoch) — open once per process, serve many (the same session-cache
+    * shape as the clustering serve snapshots, operators/Spatial.scala).
+    * A re-saved index gets a fresh epoch, so a stale snapshot can never
+    * answer for the new files; inserting a new epoch for a path evicts
+    * the old one (at most one live snapshot per path).
+    */
+  private val serveStates =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), ServeState]()
 
   /** Test visibility: is a live local snapshot memoized for `path`? */
   private[graft] def localSnapshotCached(path: String): Boolean = {
-    val it = localServeCache.entrySet().iterator()
+    val it = serveStates.entrySet().iterator()
     var found = false
     while (it.hasNext && !found) {
       val e = it.next()
-      found = e.getKey._1 == path && e.getValue.isDefined
+      found = e.getKey._1 == path && e.getValue.cachedLocal.isDefined
     }
     found
   }
@@ -248,22 +264,26 @@ object AnnIvfPq {
       tuneRefine: Boolean = true,
       localServeCap: Long = 2000000L,
       maxLocalQueries: Int = 4096): DataFrame = {
-    val (coded, centroids, codebooks) = loadIndex(spark, path)
-    val residual = isResidual(spark, path)
-    val stored = loadCalibration(spark, path)
-    val covering = stored.filter(_.covers(targetRecall, topK))
+    // ONE tiny read per call: the save epoch — the freshness anchor (a
+    // re-save mid-process must be seen). Marker + calibration + snapshot
+    // are all per-save state and come from the epoch-keyed memo.
+    val epoch = AnnCalStore.readEpoch(spark, path).getOrElse("")
+    val key = (path, epoch)
+    val st = serveStates.computeIfAbsent(key, _ => {
+      // evict state of older saves at this path — at most one live
+      // snapshot per path holds driver memory
+      serveStates.keySet.removeIf(k => k._1 == path && k != key)
+      new ServeState(isResidual(spark, path), loadCalibration(spark, path))
+    })
+    val covering = st.stored.filter(_.covers(targetRecall, topK))
     val local: Option[DataFrame] =
       if (localServeCap <= 0 || covering.isEmpty) None
       else {
-        val epoch = AnnCalStore.readEpoch(spark, path).getOrElse("")
-        val key = (path, epoch)
-        val lix = localServeCache.computeIfAbsent(key, _ => {
-          // evict snapshots of older saves at this path — at most one
-          // live snapshot per path holds driver memory
-          localServeCache.keySet.removeIf(k => k._1 == path && k != key)
+        val lix = st.local {
+          val (coded, centroids, codebooks) = loadIndex(spark, path)
           AnnLocal.open(coded, centroids, codebooks, emb, idCol, vecCol,
-            maxRows = localServeCap, residual = residual)
-        })
+            maxRows = localServeCap, residual = st.residual)
+        }
         lix.flatMap { ix =>
           val cal = covering.get
           val rf = if (cal.refine > 0) cal.refine else refine
@@ -285,12 +305,14 @@ object AnnIvfPq {
           }
         }
       }
-    local.getOrElse(
+    local.getOrElse {
+      val (coded, centroids, codebooks) = loadIndex(spark, path)
       searchAuto(queries, coded, centroids, codebooks, emb, idCol, vecCol,
         targetRecall, topK, refine,
-        calibration = stored,
+        calibration = st.stored,
         tuneRefine = tuneRefine,
-        residual = residual))
+        residual = st.residual)
+    }
   }
 
   /** Top-`topK` neighbours per query: probe the `nprobe` nearest coarse
@@ -313,6 +335,22 @@ object AnnIvfPq {
     *                    inside a shared list c, so residual ADC estimates
     *                    the same ||q−n||² the raw table does — from codes
     *                    quantizing a much smaller-variance field.
+    *                    COST (r12 verdict #6, measured): the residual
+    *                    branch is NOT slower than raw — the per-list
+    *                    tables and their bigger broadcast ride the probe
+    *                    rows and DELETE the raw branch's second
+    *                    query-side join, so the candidate scan is
+    *                    consistently FASTER at matched knobs
+    *                    (bench_res_profile.json, 10M hard fixture,
+    *                    median-of-3: np8 scan res 7.3-9.6 s vs raw
+    *                    8.5-10.8 s across two sessions; full rf200 19.6
+    *                    vs 19.4 s). The ~15% premium r12's rung timings
+    *                    showed at 10M sits in the SHARED shortlist
+    *                    window + exact-rerank stages — identical code on
+    *                    both branches — and flips sign across sessions
+    *                    (single-shot timings late in a heap-heavy rung);
+    *                    it is environment variance, not residual
+    *                    arithmetic.
     * @param maxBroadcastQueries the QUERY-SIDE broadcast contract (r12
     *                    verdict #5): the per-query ADC tables ride
     *                    broadcasts that are O(queries·m·k) doubles

@@ -106,6 +106,14 @@ object AnnResProfile {
     def forceScan(df: DataFrame): Unit = {
       df.queryExecution.toRdd.count(): Unit
     }
+    // executed-plan dump for offline attribution (AQE final plan — run
+    // the action first so query stages have materialized)
+    def dumpPlan(tag: String, df: DataFrame): Unit = try {
+      df.queryExecution.toRdd.count(): Unit
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"/tmp/res_profile_plan_$tag.txt"),
+        df.queryExecution.executedPlan.toString.getBytes("UTF-8")): Unit
+    } catch { case NonFatal(_) => () }
 
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     try {
@@ -120,6 +128,8 @@ object AnnResProfile {
         AnnIvfPq.search(probes, codedRaw, cents, cbRaw, gen,
           nprobe = 8, topK = 3, refine = 200).queryExecution.toRdd.count(): Unit
       }
+      dumpPlan("raw", AnnIvfPq.search(probes, codedRaw, cents, cbRaw, gen,
+        nprobe = 8, topK = 3, refine = 200))
       codedRaw.unpersist()
       // RESIDUAL arm
       val cbRes = AnnIvfPq.trainResidual(ix, cents, exactMeans = false)
@@ -137,6 +147,8 @@ object AnnResProfile {
           nprobe = 8, topK = 3, refine = 200, residual = true)
           .queryExecution.toRdd.count(): Unit
       }
+      dumpPlan("res", AnnIvfPq.search(probes, codedRes, cents, cbRes, gen,
+        nprobe = 8, topK = 3, refine = 200, residual = true))
       codedRes.unpersist()
     } catch { case NonFatal(e) => out("error") = -1.0; System.err.println(e) }
     ix.unpersist(); gen.unpersist()
