@@ -1316,6 +1316,31 @@ object Bench {
             out += ((s"${tag}_serve_local_matches",
               if (firstRes.sorted.sameElements(sRes.sorted)) 1.0 else 0.0, true))
           }
+          // serveVectors: the zero-Spark-job interactive entry point
+          // (query vectors in hand — the reference's per-frame loop
+          // shape); warm-path latency + parity vs the distributed serve
+          val qv2 = probes
+            .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+            .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+          graft.operators.AnnIvfPq.serveVectors(spark, dir, qv2, gen) match {
+            case Some(first) =>
+              (1 to 3).foreach(_ =>
+                graft.operators.AnnIvfPq.serveVectors(spark, dir, qv2, gen): Unit)
+              val vruns = (1 to 10).map { _ =>
+                val t0 = System.nanoTime()
+                Bench.blackhole = graft.operators.AnnIvfPq
+                  .serveVectors(spark, dir, qv2, gen).map(_.size).getOrElse(0).toLong
+                (System.nanoTime() - t0) / 1e6
+              }.sorted
+              out += ((s"${tag}_serve_vec_query_ms",
+                ((vruns(4) + vruns(5)) / 2.0) / qv2.length, true))
+              val vecPairs = first.flatMap { case (q, hs) =>
+                hs.map(h => (q, h.neighborId)) }.toArray
+              out += ((s"${tag}_serve_vec_matches",
+                if (vecPairs.sorted.sameElements(sRes.sorted)) 1.0 else 0.0, true))
+            case None =>
+              out += ((s"${tag}_serve_vec_fallback", 1.0, true))
+          }
         }
         enc.unpersist(); coded.unpersist()
         // RESIDUAL arm (r12 verdict #1): same coarse lists, codebooks

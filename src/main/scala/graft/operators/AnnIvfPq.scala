@@ -210,14 +210,51 @@ object AnnIvfPq {
   }
 
   /** Process-wide memo of [[ServeState]]s, keyed by (index path, save
-    * epoch) — open once per process, serve many (the same session-cache
-    * shape as the clustering serve snapshots, operators/Spatial.scala).
-    * A re-saved index gets a fresh epoch, so a stale snapshot can never
-    * answer for the new files; inserting a new epoch for a path evicts
-    * the old one (at most one live snapshot per path).
+    * fingerprint) — open once per process, serve many (the same
+    * session-cache shape as the clustering serve snapshots,
+    * operators/Spatial.scala). A re-saved index gets a fresh fingerprint,
+    * so a stale snapshot can never answer for the new files; inserting a
+    * new fingerprint for a path evicts the old one (at most one live
+    * snapshot per path).
     */
   private val serveStates =
     new java.util.concurrent.ConcurrentHashMap[(String, String), ServeState]()
+
+  /** Save-freshness fingerprint: names + mtimes of the files under the
+    * index's per-save metadata dirs — `epoch` (every [[saveIndex]]
+    * writes a fresh UUID-named part file there), `calibration` (a
+    * re-stamp must refresh the memoized state, or a post-re-save
+    * [[saveCalibration]] would be invisible), and `variant`. Pure driver
+    * FS listings — NO Spark job — so the warm serve path's freshness
+    * check costs microseconds locally (three LISTs on an object store),
+    * not a per-call parquet-read job.
+    */
+  private def epochFingerprint(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+    Seq("epoch", "calibration", "variant").map { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+      if (!fs.exists(p)) ""
+      else fs.listStatus(p).map(s => s"${s.getPath.getName}:${s.getModificationTime}")
+        .sorted.mkString(",")
+    }.mkString(";")
+  }
+
+  /** The memoized per-save serving state for `path` (marker +
+    * calibration + lazy snapshot slot), freshness-checked by
+    * [[epochFingerprint]].
+    */
+  private def serveState(
+      spark: org.apache.spark.sql.SparkSession, path: String): ServeState = {
+    val key = (path, epochFingerprint(spark, path))
+    serveStates.computeIfAbsent(key, _ => {
+      // evict state of older saves at this path — at most one live
+      // snapshot per path holds driver memory
+      serveStates.keySet.removeIf(k => k._1 == path && k != key)
+      new ServeState(isResidual(spark, path), loadCalibration(spark, path))
+    })
+  }
 
   /** Test visibility: is a live local snapshot memoized for `path`? */
   private[graft] def localSnapshotCached(path: String): Boolean = {
@@ -264,17 +301,11 @@ object AnnIvfPq {
       tuneRefine: Boolean = true,
       localServeCap: Long = 2000000L,
       maxLocalQueries: Int = 4096): DataFrame = {
-    // ONE tiny read per call: the save epoch — the freshness anchor (a
-    // re-save mid-process must be seen). Marker + calibration + snapshot
-    // are all per-save state and come from the epoch-keyed memo.
-    val epoch = AnnCalStore.readEpoch(spark, path).getOrElse("")
-    val key = (path, epoch)
-    val st = serveStates.computeIfAbsent(key, _ => {
-      // evict state of older saves at this path — at most one live
-      // snapshot per path holds driver memory
-      serveStates.keySet.removeIf(k => k._1 == path && k != key)
-      new ServeState(isResidual(spark, path), loadCalibration(spark, path))
-    })
+    // freshness = one driver FS listing (no Spark job; a re-save
+    // mid-process changes the fingerprint). Marker + calibration +
+    // snapshot are per-save state from the fingerprint-keyed memo, so
+    // the warm local path's ONLY Spark job is the query-batch collect.
+    val st = serveState(spark, path)
     val covering = st.stored.filter(_.covers(targetRecall, topK))
     val local: Option[DataFrame] =
       if (localServeCap <= 0 || covering.isEmpty) None
@@ -312,6 +343,51 @@ object AnnIvfPq {
         calibration = st.stored,
         tuneRefine = tuneRefine,
         residual = st.residual)
+    }
+  }
+
+  /** The interactive serving entry point: query vectors already in hand
+    * — the reference's per-frame probe loop shape
+    * (`benchmarks/run.ts:38-42` measures exactly this). The warm path
+    * runs ZERO Spark jobs: freshness is one driver FS listing
+    * ([[epochFingerprint]]), then pure in-process arithmetic on the
+    * memoized snapshot at the stored calibration's knobs — the same
+    * rows, distances, and ranks [[serve]]/[[search]] return
+    * (ServeLocalSpec pins all three equal).
+    *
+    * Returns None whenever the local path cannot VOUCH for the request
+    * — no stored calibration covering (targetRecall, topK), corpus over
+    * `localServeCap`, or the cap disabled — and the caller falls back
+    * to [[serve]] (which re-tunes or runs distributed as appropriate).
+    * A query id present in the corpus excludes its own row, exactly
+    * like the distributed `query_id =!= neighbor_id` filter; external
+    * vectors should use ids outside the corpus id space.
+    */
+  def serveVectors(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: Seq[(Long, Array[Double])],
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      targetRecall: Double = 0.9,
+      topK: Int = 3,
+      refine: Int = 200,
+      localServeCap: Long = 2000000L): Option[Seq[(Long, Seq[AnnHit])]] = {
+    if (localServeCap <= 0) return None
+    val st = serveState(spark, path)
+    st.stored.filter(_.covers(targetRecall, topK)).flatMap { cal =>
+      val rf = if (cal.refine > 0) cal.refine else refine
+      st.local {
+        val (coded, centroids, codebooks) = loadIndex(spark, path)
+        AnnLocal.open(coded, centroids, codebooks, emb, idCol, vecCol,
+          maxRows = localServeCap, residual = st.residual)
+      }.map { ix =>
+        queries.map { case (qid, qv) =>
+          qid -> ix.search(qv, nprobe = cal.nprobe, topK = topK,
+            refine = rf, queryId = qid).toSeq
+        }
+      }
     }
   }
 

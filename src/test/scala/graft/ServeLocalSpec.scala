@@ -122,6 +122,50 @@ class ServeLocalSpec extends AnyFunSuite {
       s"residual guarded plan still broadcasts, plan:\n$rPlan")
   }
 
+  test("serveVectors: warm path fires ZERO Spark jobs, rows == serve(); re-save invalidates until recalibrated") {
+    val (coded, centroids, cb) = built
+    val d = java.nio.file.Files.createTempDirectory("graft_serve_vec").toString
+    AnnIvfPq.saveIndex(coded, centroids, cb, d)
+    val c = AnnIvfPq.calibrateEndToEnd(coded, centroids, cb, emb)
+    AnnIvfPq.saveCalibration(spark, d, c)
+    assert(c.metTarget)
+    val qvecs = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    // first call builds state + snapshot (jobs allowed); parity vs serve()
+    val viaVec = AnnIvfPq.serveVectors(spark, d, qvecs, emb)
+      .getOrElse(fail("covering calibration + under-cap corpus must serve locally"))
+    val flat = viaVec.flatMap { case (q, hs) => hs.map(h => (q, h.neighborId, h.dist, h.rk)) }
+      .sorted
+    assert(flat == rows(AnnIvfPq.serve(spark, d, queries, emb)),
+      "serveVectors diverged from serve()")
+    // warm path: zero jobs — freshness is a driver FS listing, the rest
+    // is in-process arithmetic on the memoized snapshot
+    val sc = spark.sparkContext
+    sc.setJobGroup("serve-vectors-warm", "zero-job probe")
+    val again = try AnnIvfPq.serveVectors(spark, d, qvecs, emb)
+      finally sc.clearJobGroup()
+    assert(again.isDefined)
+    var ids = sc.statusTracker.getJobIdsForGroup("serve-vectors-warm")
+    val deadline = System.nanoTime() + 1500000000L
+    while (ids.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(150)
+      ids = sc.statusTracker.getJobIdsForGroup("serve-vectors-warm")
+    }
+    assert(ids.isEmpty, s"warm serveVectors fired Spark jobs: ${ids.mkString(",")}")
+    // a RE-SAVE changes the fingerprint; the old calibration can no
+    // longer vouch (epoch mismatch) → the local path refuses
+    AnnIvfPq.saveIndex(coded, centroids, cb, d)
+    assert(AnnIvfPq.serveVectors(spark, d, qvecs, emb).isEmpty,
+      "a re-saved index must not be served from the stale snapshot/calibration")
+    // re-stamping the calibration against the new save restores service
+    AnnIvfPq.saveCalibration(spark, d, c)
+    val restored = AnnIvfPq.serveVectors(spark, d, qvecs, emb)
+      .getOrElse(fail("recalibrated index must serve locally again"))
+    assert(restored.flatMap { case (q, hs) =>
+      hs.map(h => (q, h.neighborId, h.dist, h.rk)) }.sorted == flat)
+  }
+
   test("isResidual: absent marker is legacy-raw; a CORRUPT existing marker throws instead of defaulting (r12 advice)") {
     val (coded, centroids, cb) = built
     val d = java.nio.file.Files.createTempDirectory("graft_serve_marker").toString
