@@ -248,12 +248,13 @@ object AnnIvfPq {
   private def serveState(
       spark: org.apache.spark.sql.SparkSession, path: String): ServeState = {
     val key = (path, epochFingerprint(spark, path))
-    serveStates.computeIfAbsent(key, _ => {
-      // evict state of older saves at this path — at most one live
-      // snapshot per path holds driver memory
-      serveStates.keySet.removeIf(k => k._1 == path && k != key)
-      new ServeState(isResidual(spark, path), loadCalibration(spark, path))
-    })
+    // evict state of older saves at this path BEFORE the compute — at
+    // most one live snapshot per path holds driver memory, and mutating
+    // other keys inside computeIfAbsent's mapping function would violate
+    // ConcurrentHashMap's contract (same-bin removal can deadlock)
+    serveStates.keySet.removeIf(k => k._1 == path && k != key)
+    serveStates.computeIfAbsent(key, _ =>
+      new ServeState(isResidual(spark, path), loadCalibration(spark, path)))
   }
 
   /** Test visibility: is a live local snapshot memoized for `path`? */
