@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DoubleDotProduct, ExactDotProduct, ShingleBandMins}
+import graft.functions.{AnnServe, DoubleDotProduct, ExactDotProduct, ShingleBandMins}
 import graft.io.WkbPointDecode
 
 /** SQL surface for graft's native Catalyst expressions.
@@ -103,7 +103,38 @@ object GraftExtensions {
       { case Seq(id, tp) => ShiftRight(Subtract(id, tp), Literal(5)) }),
     ("graft_is_cluster",
       new ExpressionInfo(graft.ids.ClusterId.getClass.getName, "graft_is_cluster"),
-      { case Seq(id, tp) => GreaterThanOrEqual(id, tp) }))
+      { case Seq(id, tp) => GreaterThanOrEqual(id, tp) }),
+    // calibrated ANN serving tier (r13 verdict #5): 3-arg form uses the
+    // serve() defaults (targetRecall 0.9, topK 3); 5-arg pins both.
+    // Casts at the call boundary stand in for ImplicitCastInputTypes
+    // (sql-private): float embeddings and int ids coerce exactly as the
+    // Scala serve()'s cast("array<double>")/cast("long") do.
+    ("graft_ann_serve",
+      new ExpressionInfo(classOf[AnnServe].getName, "graft_ann_serve"),
+      { args =>
+        import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+        def build(p: Expression, q: Expression, v: Expression,
+            tr: Expression, k: Expression) = {
+          // warm the serving handle DRIVER-SIDE at analysis time: the
+          // open reads parquet (a Spark job), which task-thread eval
+          // cannot do — so the path must be a literal. Non-literal paths
+          // defer to eval, which throws with this exact remedy.
+          if (p.foldable) {
+            val pv = Cast(p, StringType).eval(null)
+            if (pv != null)
+              graft.operators.AnnServeRegistry.warm(pv.toString)
+          }
+          AnnServe(Cast(p, StringType), Cast(q, LongType),
+            Cast(v, ArrayType(DoubleType)), Cast(tr, DoubleType),
+            Cast(k, IntegerType))
+        }
+        args match {
+          case Seq(p, q, v) => build(p, q, v, Literal(0.9), Literal(3))
+          case Seq(p, q, v, tr, k) => build(p, q, v, tr, k)
+          case other => throw new IllegalArgumentException(
+            s"graft_ann_serve takes 3 or 5 arguments, got ${other.size}")
+        }
+      }))
 
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -196,17 +196,50 @@ object AnnIvfPq {
     * All three are properties of one index SAVE, so a serving process
     * pays their reads once — the steady-state serve() call runs exactly
     * two tiny jobs (the epoch freshness read + the query-batch collect)
-    * before pure in-process arithmetic. `Some(None)` memoizes an over-cap
-    * corpus, so the cap's count probe is also paid once.
+    * before pure in-process arithmetic.
+    *
+    * The snapshot memo records WHAT IT WAS OPENED UNDER (r13 advice):
+    * the caps and — for the heap tier, whose rerank vectors come from
+    * the caller's corpus frame — the emb plan's semantic hash. A refused
+    * open (None) is only reused for calls asking no MORE than the
+    * refusing call's caps (a larger-cap caller re-opens instead of
+    * inheriting the refusal), and a heap snapshot answering for a
+    * DIFFERENT emb plan re-opens rather than silently serving the first
+    * caller's vectors. The codes tier reads vectors from the path's own
+    * sidecar, so its snapshot is emb-independent (embKey = None).
     */
+  private final case class ServeSnap(
+      result: Option[AnnLocalIndex],
+      fullCap: Long, codesCap: Long, embKey: Option[Long])
+
   private final class ServeState(
       val residual: Boolean, val stored: Option[AnnCalibration]) {
-    @volatile private var snap: Option[Option[AnnLocalIndex]] = None
-    def cachedLocal: Option[AnnLocalIndex] = snap.flatten
-    def local(open: => Option[AnnLocalIndex]): Option[AnnLocalIndex] =
-      snap.getOrElse(synchronized {
-        snap.getOrElse { val s = open; snap = Some(s); s }
-      })
+    @volatile private var snap: Option[ServeSnap] = None
+    def cachedLocal: Option[AnnLocalIndex] = snap.flatMap(_.result)
+    def local(fullCap: Long, codesCap: Long, embKey: Long)(
+        open: => ServeSnap): Option[AnnLocalIndex] = synchronized {
+      snap match {
+        // live snapshot, same corpus: ADMITTED only when this call's cap
+        // for the snapshot's tier still covers it — a localServeCap=0
+        // caller (the forced-distributed knob) must not be served from a
+        // memoized heap snapshot. An excluded-but-live snapshot is
+        // BYPASSED, not evicted: other callers' caps still admit it.
+        case Some(ServeSnap(Some(ix), _, _, ek)) if ek.forall(_ == embKey) =>
+          val cap = if (ek.isDefined) fullCap else codesCap
+          if (cap >= ix.size) Some(ix) else None
+        // live snapshot for a DIFFERENT corpus frame (r13 advice): the
+        // heap tier's rerank vectors came from the first caller's emb —
+        // re-open for this one rather than silently serving its vectors
+        case Some(ServeSnap(Some(_), _, _, _)) =>
+          val s = open; snap = Some(s); s.result
+        // memoized refusal: final only for calls asking no MORE than the
+        // refusing call's caps; a larger-cap caller re-opens (r13 advice)
+        case Some(ServeSnap(None, fc, cc, _))
+            if fullCap <= fc && codesCap <= cc => None
+        case _ =>
+          val s = open; snap = Some(s); s.result
+      }
+    }
   }
 
   /** Process-wide memo of [[ServeState]]s, keyed by (index path, save
@@ -224,22 +257,32 @@ object AnnIvfPq {
     * index's per-save metadata dirs — `epoch` (every [[saveIndex]]
     * writes a fresh UUID-named part file there), `calibration` (a
     * re-stamp must refresh the memoized state, or a post-re-save
-    * [[saveCalibration]] would be invisible), and `variant`. Pure driver
-    * FS listings — NO Spark job — so the warm serve path's freshness
-    * check costs microseconds locally (three LISTs on an object store),
-    * not a per-call parquet-read job.
+    * [[saveCalibration]] would be invisible), `variant`, and the
+    * vecstore's commit marker (writing the rerank sidecar after a
+    * serve() refusal must refresh the memo, or the codes tier would
+    * stay invisible until re-save). Pure driver FS listings — NO Spark
+    * job — so the warm serve path's freshness check costs microseconds
+    * locally (four LISTs on an object store), not a per-call
+    * parquet-read job.
     */
   private def epochFingerprint(
       spark: org.apache.spark.sql.SparkSession, path: String): String = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
-    Seq("epoch", "calibration", "variant").map { d =>
+    Seq("epoch", "calibration", "variant", "vecstore/meta.txt").map { d =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$d")
       if (!fs.exists(p)) ""
       else fs.listStatus(p).map(s => s"${s.getPath.getName}:${s.getModificationTime}")
         .sorted.mkString(",")
     }.mkString(";")
   }
+
+  /** The save fingerprint, for the SQL tier's freshness checks
+    * ([[AnnServeRegistry]]).
+    */
+  private[operators] def serveFingerprint(
+      spark: org.apache.spark.sql.SparkSession, path: String): String =
+    epochFingerprint(spark, path)
 
   /** The memoized per-save serving state for `path` (marker +
     * calibration + lazy snapshot slot), freshness-checked by
@@ -268,6 +311,97 @@ object AnnIvfPq {
     found
   }
 
+  /** Persist the exact-rerank vector sidecar next to a [[saveIndex]]'d
+    * index — the artifact that unlocks the CODES-RESIDENT local serving
+    * tier ([[AnnLocalCodes]], r13 verdict #3) for corpora above the
+    * in-heap cap. One distributed id-sort + one sequential driver write
+    * (see [[AnnVecStore]]); call it at build time alongside
+    * [[saveCalibration]]. Returns rows written.
+    */
+  def saveVectorStore(
+      emb: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long =
+    AnnVecStore.save(emb, path, idCol, vecCol)
+
+  /** Order-preserving parallel map over a serve batch on a bounded
+    * driver pool (r13 verdict #2: the snapshot is read-only primitive
+    * arrays + thread-safe mmap reads, so a 4096-query batch should use
+    * the driver's cores, not one). `threads ≤ 0` = all available
+    * processors; 1 = the sequential loop. Exceptions propagate unwrapped.
+    */
+  private def parMapOrdered[A, B: scala.reflect.ClassTag](
+      in: IndexedSeq[A], threads: Int)(f: A => B): IndexedSeq[B] = {
+    val n = in.length
+    val t = math.min(
+      if (threads > 0) threads else Runtime.getRuntime.availableProcessors(), n)
+    if (t <= 1) in.map(f)
+    else {
+      val out = new Array[B](n)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(t)
+      try {
+        val futures = (0 until t).map { w =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              var i = w
+              while (i < n) { out(i) = f(in(i)); i += t }
+            }
+          })
+        }
+        futures.foreach { fu =>
+          try fu.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally { pool.shutdown(): Unit }
+      out.toIndexedSeq
+    }
+  }
+
+  /** The local-tier snapshot for one (path, save) — heap tier under
+    * `localServeCap`, codes tier (mmap'd rerank sidecar) under
+    * `codesServeCap` when a vecstore exists — memoized per save with the
+    * caps + emb identity it was opened under. None = no local tier can
+    * vouch; the caller goes distributed.
+    */
+  private def localTier(
+      spark: org.apache.spark.sql.SparkSession,
+      st: ServeState,
+      path: String,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      localServeCap: Long,
+      codesServeCap: Long): Option[AnnLocalIndex] = {
+    if (localServeCap <= 0 && codesServeCap <= 0) return None
+    // the heap tier's rerank vectors come from (emb, idCol, vecCol) — all
+    // three are identity (r13 advice): a different corpus plan OR column
+    // choice re-opens instead of serving the first caller's vectors
+    val embKey = emb.queryExecution.analyzed.semanticHash().toLong * 31L +
+      (idCol, vecCol).hashCode().toLong
+    st.local(localServeCap, codesServeCap, embKey) {
+      val (coded, centroids, codebooks) = loadIndex(spark, path)
+      val heap =
+        if (localServeCap <= 0) None
+        else AnnLocal.open(coded, centroids, codebooks, emb, idCol, vecCol,
+          maxRows = localServeCap, residual = st.residual)
+      heap match {
+        case Some(ix) =>
+          ServeSnap(Some(ix), localServeCap, codesServeCap, Some(embKey))
+        case None =>
+          val viaCodes =
+            if (codesServeCap <= 0) None
+            else AnnLocalCodes.open(spark, path, coded, centroids, codebooks,
+              idCol, maxRows = codesServeCap, residual = st.residual)
+          // codes tier reranks from the path's own sidecar → emb-independent
+          ServeSnap(viaCodes, localServeCap, codesServeCap, None)
+      }
+    }
+  }
+
   /** The one-call serving path: reload EVERYTHING a [[saveIndex]]'d
     * index carries — coded table, centroids, codebooks, the persisted
     * calibration (when present and epoch-valid), and the encoding
@@ -277,17 +411,22 @@ object AnnIvfPq {
     * calibration (epoch + covers() gate it), and runs zero calibration
     * jobs when the stored calibration covers the request.
     *
-    * LOCAL FAST PATH (r12 verdict #2): when a covering calibration
-    * exists AND the corpus fits `localServeCap` AND the query batch is ≤
-    * `maxLocalQueries` rows, the answer comes from a memoized
-    * driver-local snapshot ([[AnnLocal]]) at the calibrated knobs —
-    * measured 2.6-5.1 ms/query at 1M vs the ~2.5-3 s distributed job
-    * floor, row-for-row identical (AnnLocalSpec + ServeLocalSpec pin
-    * it). Everything else — over-cap corpus, big query batch, no
-    * covering calibration (the tuning path needs distributed jobs
-    * anyway), `localServeCap ≤ 0` — takes the distributed [[searchAuto]]
-    * exactly as before. `emb` must be the corpus the index was built on
-    * (it supplies the exact-rerank vectors on both paths).
+    * LOCAL FAST PATH (r12 verdict #2; tiered in r13): when a covering
+    * calibration exists AND the query batch is ≤ `maxLocalQueries` rows,
+    * the answer comes from a memoized driver-local snapshot at the
+    * calibrated knobs — the FULL in-heap tier ([[AnnLocal]]) under
+    * `localServeCap` rows, or past it the CODES-RESIDENT tier
+    * ([[AnnLocalCodes]]: byte-packed codes in heap, exact-rerank vectors
+    * mmap'd from the [[saveVectorStore]] sidecar) under `codesServeCap`
+    * rows — measured ms-scale vs the multi-second distributed job floor,
+    * row-for-row identical on every tier (ServeLocalSpec +
+    * AnnCodesLocalSpec pin it). The batch runs in parallel across driver
+    * cores (`localThreads`; 0 = all). Everything else — over-cap corpus,
+    * big query batch, no covering calibration (the tuning path needs
+    * distributed jobs anyway), both caps ≤ 0 — takes the distributed
+    * [[searchAuto]] exactly as before. `emb` must be the corpus the
+    * index was built on (it supplies the heap tier's and the distributed
+    * path's exact-rerank vectors).
     */
   def serve(
       spark: org.apache.spark.sql.SparkSession,
@@ -301,7 +440,9 @@ object AnnIvfPq {
       refine: Int = 200,
       tuneRefine: Boolean = true,
       localServeCap: Long = 2000000L,
-      maxLocalQueries: Int = 4096): DataFrame = {
+      maxLocalQueries: Int = 4096,
+      codesServeCap: Long = 20000000L,
+      localThreads: Int = 0): DataFrame = {
     // freshness = one driver FS listing (no Spark job; a re-save
     // mid-process changes the fingerprint). Marker + calibration +
     // snapshot are per-save state from the fingerprint-keyed memo, so
@@ -309,32 +450,26 @@ object AnnIvfPq {
     val st = serveState(spark, path)
     val covering = st.stored.filter(_.covers(targetRecall, topK))
     val local: Option[DataFrame] =
-      if (localServeCap <= 0 || covering.isEmpty) None
-      else {
-        val lix = st.local {
-          val (coded, centroids, codebooks) = loadIndex(spark, path)
-          AnnLocal.open(coded, centroids, codebooks, emb, idCol, vecCol,
-            maxRows = localServeCap, residual = st.residual)
-        }
-        lix.flatMap { ix =>
-          val cal = covering.get
-          val rf = if (cal.refine > 0) cal.refine else refine
-          // bounded collect: limit pushes into the scan, so detecting an
-          // oversized batch costs O(maxLocalQueries), not O(batch)
-          val qRows = queries
-            .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-            .limit(maxLocalQueries + 1).collect()
-          if (qRows.length > maxLocalQueries) None
-          else {
-            import spark.implicits._
-            val hits = qRows.toIndexedSeq.flatMap { r =>
-              val qid = r.getLong(0)
-              ix.search(r.getSeq[Double](1).toArray, nprobe = cal.nprobe,
-                topK = topK, refine = rf, queryId = qid)
-                .map(h => (qid, h.neighborId, h.dist, h.rk))
-            }
-            Some(hits.toDF("query_id", "neighbor_id", "dist", "rk"))
-          }
+      if (covering.isEmpty) None
+      else localTier(spark, st, path, emb, idCol, vecCol,
+        localServeCap, codesServeCap).flatMap { ix =>
+        val cal = covering.get
+        val rf = if (cal.refine > 0) cal.refine else refine
+        // bounded collect: limit pushes into the scan, so detecting an
+        // oversized batch costs O(maxLocalQueries), not O(batch)
+        val qRows = queries
+          .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+          .limit(maxLocalQueries + 1).collect()
+        if (qRows.length > maxLocalQueries) None
+        else {
+          import spark.implicits._
+          val hits = parMapOrdered(qRows.toIndexedSeq, localThreads) { r =>
+            val qid = r.getLong(0)
+            ix.search(r.getSeq[Double](1).toArray, nprobe = cal.nprobe,
+              topK = topK, refine = rf, queryId = qid)
+              .map(h => (qid, h.neighborId, h.dist, h.rk))
+          }.flatten
+          Some(hits.toDF("query_id", "neighbor_id", "dist", "rk"))
         }
       }
     local.getOrElse {
@@ -358,8 +493,11 @@ object AnnIvfPq {
     *
     * Returns None whenever the local path cannot VOUCH for the request
     * — no stored calibration covering (targetRecall, topK), corpus over
-    * `localServeCap`, or the cap disabled — and the caller falls back
-    * to [[serve]] (which re-tunes or runs distributed as appropriate).
+    * both tiers' caps (`localServeCap` in-heap; `codesServeCap` with a
+    * [[saveVectorStore]] sidecar), or the caps disabled — and the caller
+    * falls back to [[serve]] (which re-tunes or runs distributed as
+    * appropriate). The batch runs in parallel across driver cores
+    * (`localThreads`; 0 = all, 1 = sequential).
     * A query id present in the corpus excludes its own row, exactly
     * like the distributed `query_id =!= neighbor_id` filter; external
     * vectors should use ids outside the corpus id space.
@@ -374,17 +512,16 @@ object AnnIvfPq {
       targetRecall: Double = 0.9,
       topK: Int = 3,
       refine: Int = 200,
-      localServeCap: Long = 2000000L): Option[Seq[(Long, Seq[AnnHit])]] = {
-    if (localServeCap <= 0) return None
+      localServeCap: Long = 2000000L,
+      codesServeCap: Long = 20000000L,
+      localThreads: Int = 0): Option[Seq[(Long, Seq[AnnHit])]] = {
+    if (localServeCap <= 0 && codesServeCap <= 0) return None
     val st = serveState(spark, path)
     st.stored.filter(_.covers(targetRecall, topK)).flatMap { cal =>
       val rf = if (cal.refine > 0) cal.refine else refine
-      st.local {
-        val (coded, centroids, codebooks) = loadIndex(spark, path)
-        AnnLocal.open(coded, centroids, codebooks, emb, idCol, vecCol,
-          maxRows = localServeCap, residual = st.residual)
-      }.map { ix =>
-        queries.map { case (qid, qv) =>
+      localTier(spark, st, path, emb, idCol, vecCol,
+        localServeCap, codesServeCap).map { ix =>
+        parMapOrdered(queries.toIndexedSeq, localThreads) { case (qid, qv) =>
           qid -> ix.search(qv, nprobe = cal.nprobe, topK = topK,
             refine = rf, queryId = qid).toSeq
         }
@@ -663,9 +800,14 @@ object AnnIvfPq {
     val margin = math.sqrt(targetRecall * (1.0 - targetRecall) / total)
     val goal = math.min(1.0, targetRecall + margin)
     def recallAt(rf: Int): Double = {
+      // maxBroadcastQueries = 0: the probe batch is ≤ sampleSize rows BY
+      // CONSTRUCTION (an isin over the truth sample's ids), so the guard's
+      // limit-count job would re-prove a known-small frame once per refine
+      // doubling (r13 advice — sweep callers with known-small batches use
+      // the documented bypass instead of paying the probe per plan)
       val byQ = search(sampleQ, coded, centroids, codebooks, emb,
         idCol, vecCol, nprobe = np, topK = topK, refine = rf,
-        residual = residual)
+        residual = residual, maxBroadcastQueries = 0)
         .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }

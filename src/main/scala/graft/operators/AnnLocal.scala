@@ -9,6 +9,34 @@ import org.apache.spark.sql.functions._
   */
 final case class AnnHit(neighborId: Long, dist: Double, rk: Long)
 
+/** Where [[AnnLocalIndex]]'s exact re-rank reads its vectors from: the
+  * in-heap snapshot ([[HeapVectors]] — the full-local tier) or the
+  * mmap-backed [[StoreVectors]] sidecar (the codes-resident tier, r13
+  * verdict #3). Both compute the identical left-to-right (q−v)² fold on
+  * the identical doubles, so the tier choice can never change a result.
+  */
+private[operators] trait VectorSource {
+  def dist(id: Long, q: Array[Double]): Double
+}
+
+private[operators] final class HeapVectors(
+    ids: Array[Long], vecs: Array[Double], dim: Int) extends VectorSource {
+  // id → row position (built once: only the re-rank needs it)
+  private val posById: java.util.HashMap[java.lang.Long, Integer] = {
+    val h = new java.util.HashMap[java.lang.Long, Integer](ids.length * 2)
+    var p = 0
+    while (p < ids.length) { h.put(ids(p), p); p += 1 }
+    h
+  }
+  override def dist(id: Long, q: Array[Double]): Double = {
+    val base = posById.get(id).intValue() * dim
+    var d = 0.0
+    var i = 0
+    while (i < dim) { val x = q(i) - vecs(base + i); d += x * x; i += 1 }
+    d
+  }
+}
+
 /** Driver-local IVF+PQ serving — the ANN analogue of the clustering
   * side's `getClustersLocal` (r11 verdict #4): the distributed
   * [[AnnIvfPq.search]] answers a 60-row probe batch in ~6 s at 10M
@@ -37,15 +65,18 @@ final case class AnnHit(neighborId: Long, dist: Double, rk: Long)
   * THE CAP IS THE CONTRACT (same shape as the clustering serve
   * snapshot): [[AnnLocal.open]] refuses corpora above `maxRows` —
   * vectors dominate the snapshot (n·dim doubles; 1M rows at dim 16 ≈
-  * 128 MB + 32 MB codes), so the distributed path remains the scale
-  * answer and the local path is the interactive one below the cap.
+  * 128 MB + 8 MB byte-packed codes). ABOVE this cap the next tier is
+  * [[AnnLocalCodes.open]] — codes resident, vectors mmap'd from the
+  * [[AnnVecStore]] sidecar (r13 verdict #3) — and only past THAT cap is
+  * the distributed path the answer.
   */
 object AnnLocal {
 
   /** Snapshot the composed index into driver arrays, or None when the
-    * corpus exceeds `maxRows` (the caller falls back to the distributed
-    * [[AnnIvfPq.search]] — cap-checked BEFORE any collect so an
-    * over-cap open never materializes driver memory).
+    * corpus exceeds `maxRows` (the caller falls back to
+    * [[AnnLocalCodes]] or the distributed [[AnnIvfPq.search]] —
+    * cap-checked BEFORE any collect so an over-cap open never
+    * materializes driver memory).
     *
     * @param residual `coded` carries residual codes ([[AnnIvfPq
     *   .encodeResidual]]) — searches build per-probed-list ADC tables on
@@ -62,11 +93,9 @@ object AnnLocal {
       residual: Boolean = false): Option[AnnLocalIndex] = {
     val n = coded.count()
     if (n > maxRows) return None
-    val cents = centroids
-      .select(col("_c").cast("int"), col("_cv").cast("array<double>"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    val cents = collectCentroids(centroids)
+    val m = codebooks.length
+    requireByteCodes(codebooks)
     // one collect: (id, list, codes, vector) — float vectors widen to
     // double exactly as the distributed casts do
     val rows = coded
@@ -75,7 +104,6 @@ object AnnLocal {
       .join(emb.select(col(idCol).cast("long").as("_id"),
         col(vecCol).cast("array<double>").as("_v")), Seq("_id"))
       .collect()
-    val m = codebooks.length
     val dim = if (rows.isEmpty) 0 else rows.head.getSeq[Double](3).length
     // group by list: contiguous id/code/vector arrays per list
     val byList = rows.groupBy(_.getInt(1))
@@ -86,7 +114,7 @@ object AnnLocal {
       offsets(i + 1) = offsets(i) + byList(l).length
     }
     val ids = new Array[Long](rows.length)
-    val codes = new Array[Int](rows.length * m)
+    val codes = new Array[Byte](rows.length * m)
     val vecs = new Array[Double](rows.length * dim)
     listIds.zipWithIndex.foreach { case (l, li) =>
       var p = offsets(li)
@@ -94,28 +122,137 @@ object AnnLocal {
         ids(p) = r.getLong(0)
         val cs = r.getSeq[Int](2)
         var j = 0
-        while (j < m) { codes(p * m + j) = cs(j); j += 1 }
+        while (j < m) { codes(p * m + j) = cs(j).toByte; j += 1 }
         val v = r.getSeq[Double](3)
         var i = 0
         while (i < dim) { vecs(p * dim + i) = v(i); i += 1 }
         p += 1
       }
     }
+    Some(new AnnLocalIndex(cents, listIndex, offsets, ids, codes,
+      new HeapVectors(ids, vecs, dim), codebooks, residual, dim, m))
+  }
+
+  private[operators] def collectCentroids(
+      centroids: DataFrame): Array[(Int, Array[Double])] =
+    centroids
+      .select(col("_c").cast("int"), col("_cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  private[operators] def requireByteCodes(
+      codebooks: Array[Array[Array[Double]]]): Unit =
+    require(codebooks(0).length <= 256,
+      s"local serving packs PQ codes as bytes: k=${codebooks(0).length} > 256")
+}
+
+/** The codes-resident local tier (r13 verdict #3): snapshot ONLY the
+  * centroids + byte-packed PQ codes + ids (≈ (8+m) B/row — 10M rows at
+  * m=8 ≈ 160 MB driver memory), answer the ADC shortlist in-process, and
+  * exact-rerank from the memory-mapped [[AnnVecStore]] sidecar (the
+  * shortlist is ≤ topK·refine random row reads — page-cache-warm
+  * microseconds). Row-for-row equal to [[AnnLocal]] and the distributed
+  * search at the same knobs: the search loop IS [[AnnLocalIndex]], only
+  * the rerank's [[VectorSource]] differs, and both sources read the
+  * identical doubles. This is what keeps INTERACTIVE serving alive at
+  * 10M+ rows, where the full-vector snapshot would blow the heap and
+  * every query otherwise pays the ~14 s distributed-job floor.
+  */
+object AnnLocalCodes {
+
+  /** Open the codes tier over a [[AnnIvfPq.saveIndex]]'d index whose
+    * path also carries an [[AnnVecStore.save]]'d sidecar. None when the
+    * corpus exceeds `maxRows` or no committed vecstore exists.
+    * The codes collect is PACKED per partition (primitive arrays, not
+    * Row objects), so the driver transient is ~the final footprint.
+    */
+  def open(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      coded: DataFrame,
+      centroids: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id",
+      maxRows: Long = 20000000L,
+      residual: Boolean = false): Option[AnnLocalIndex] = {
+    val n = coded.count()
+    if (n > maxRows) return None
+    val vecs = AnnVecStore.open(spark, path).getOrElse { return None }
+    val cents = AnnLocal.collectCentroids(centroids)
+    val m = codebooks.length
+    AnnLocal.requireByteCodes(codebooks)
+    import spark.implicits._
+    // compact collect: one (ids, lists, codes) triple per partition
+    val packed: Array[(Array[Long], Array[Int], Array[Byte])] = coded
+      .select(col(idCol).cast("long"), col("_centroid").cast("int"),
+        col("codes").cast("array<int>"))
+      .as[(Long, Int, Array[Int])]
+      .mapPartitions { it =>
+        val idsB = Array.newBuilder[Long]
+        val listsB = Array.newBuilder[Int]
+        val codesB = Array.newBuilder[Byte]
+        it.foreach { case (id, l, cs) =>
+          idsB += id
+          listsB += l
+          var j = 0
+          while (j < cs.length) { codesB += cs(j).toByte; j += 1 }
+        }
+        Iterator.single((idsB.result(), listsB.result(), codesB.result()))
+      }
+      .collect()
+    val total = packed.iterator.map(_._1.length).sum
+    // counting sort by list id → contiguous per-list layout
+    val counts = new java.util.HashMap[Integer, Integer]()
+    packed.foreach { case (_, lists, _) =>
+      var i = 0
+      while (i < lists.length) {
+        counts.merge(lists(i), 1, (a, b) => a + b); i += 1
+      }
+    }
+    val listIds = {
+      val arr = new Array[Int](counts.size)
+      val it = counts.keySet().iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(arr)
+      arr
+    }
+    val listIndex = listIds.zipWithIndex.toMap
+    val offsets = new Array[Int](listIds.length + 1)
+    listIds.zipWithIndex.foreach { case (l, i) =>
+      offsets(i + 1) = offsets(i) + counts.get(l)
+    }
+    val cursor = offsets.clone()
+    val ids = new Array[Long](total)
+    val codes = new Array[Byte](total * m)
+    packed.foreach { case (pIds, pLists, pCodes) =>
+      var i = 0
+      while (i < pIds.length) {
+        val li = listIndex(pLists(i))
+        val p = cursor(li)
+        cursor(li) = p + 1
+        ids(p) = pIds(i)
+        System.arraycopy(pCodes, i * m, codes, p * m, m)
+        i += 1
+      }
+    }
     Some(new AnnLocalIndex(cents, listIndex, offsets, ids, codes, vecs,
-      codebooks, residual, dim, m))
+      codebooks, residual, vecs.dim, m))
   }
 }
 
-/** The in-process index [[AnnLocal.open]] builds — immutable primitive
-  * arrays, safe for concurrent queries from many threads.
+/** The in-process index the local tiers build — immutable primitive
+  * arrays plus a [[VectorSource]] for the exact re-rank; safe for
+  * concurrent queries from many threads.
   */
 final class AnnLocalIndex private[operators] (
     cents: Array[(Int, Array[Double])],
     listIndex: Map[Int, Int],
     offsets: Array[Int],
     ids: Array[Long],
-    codes: Array[Int],
-    vecs: Array[Double],
+    codes: Array[Byte],
+    vsrc: VectorSource,
     codebooks: Array[Array[Array[Double]]],
     val residual: Boolean,
     val dim: Int,
@@ -216,7 +353,7 @@ final class AnnLocalIndex private[operators] (
             var acc = 0.0
             var j = 0
             val base = p * m
-            while (j < m) { acc += tab(j)(codes(base + j)); j += 1 }
+            while (j < m) { acc += tab(j)(codes(base + j) & 0xFF); j += 1 }
             if (heap.size < cap) heap.add((acc, id))
             else {
               val top = heap.peek()
@@ -232,15 +369,9 @@ final class AnnLocalIndex private[operators] (
     }
 
     // exact re-rank of the shortlist: AnnPq.sqDist on the original
-    // vectors, ordered (dist, id)
+    // vectors (heap or mmap'd — identical doubles), ordered (dist, id)
     val short = heap.toArray(new Array[(Double, Long)](heap.size))
-    val rescored = short.map { case (_, id) =>
-      // binary-search-free: ids are grouped by list, not globally sorted —
-      // carry the row position instead (heap stores id; find via the
-      // per-list layout would need a map; a global id→pos map costs one
-      // array — built lazily below)
-      (id, exactDist(id, query))
-    }
+    val rescored = short.map { case (_, id) => (id, vsrc.dist(id, query)) }
     java.util.Arrays.sort(rescored, (a: (Long, Double), b: (Long, Double)) => {
       val c = SQLOrderingUtil.compareDoubles(a._2, b._2)
       if (c != 0) c else java.lang.Long.compare(a._1, b._1)
@@ -248,22 +379,5 @@ final class AnnLocalIndex private[operators] (
     rescored.take(topK).zipWithIndex.map { case ((id, d), r) =>
       AnnHit(id, d, (r + 1).toLong)
     }
-  }
-
-  // id → row position (built once, lazily: only the re-rank needs it)
-  private lazy val posById: java.util.HashMap[java.lang.Long, Integer] = {
-    val h = new java.util.HashMap[java.lang.Long, Integer](ids.length * 2)
-    var p = 0
-    while (p < ids.length) { h.put(ids(p), p); p += 1 }
-    h
-  }
-
-  private def exactDist(id: Long, q: Array[Double]): Double = {
-    val p = posById.get(id).intValue()
-    val base = p * dim
-    var d = 0.0
-    var i = 0
-    while (i < dim) { val x = q(i) - vecs(base + i); d += x * x; i += 1 }
-    d
   }
 }
