@@ -782,6 +782,87 @@ object Bench {
           }
       } catch { case NonFatal(_) => Seq(("store_merge_chain", 0.0, false)) })
 
+    // DEEP-LAYOUT chain soak (r13 verdict #4): the per-bucket manifest
+    // split's claim is commit I/O O(touched buckets) — this proves it at
+    // a ≥50k-FILE layout (785 buckets × saltFiles=64), where the old
+    // whole-list rewrite would pay ~50k lines (~2 MB) per commit. Merge 1
+    // pays the one-time flat→bucket-list upgrade (its manifest file/byte
+    // keys are reported separately); the steady-state tail's
+    // manifest-files mean should sit at touched-buckets+1 (single-digit)
+    // with KB-scale bytes, and the commit phase stays flat. OPT-IN
+    // (SPARK_GRAFT_BENCH_ONLY must name store_chain_deep).
+    val storeChainDeep: Seq[(String, Double, Boolean)] =
+      if (!only.exists(_.contains("store_chain_deep"))) Seq.empty
+      else runAndRegister("store_chain_deep")(try {
+        import graft.cluster.{IndexStore, MortonHierarchy}
+        import org.apache.spark.sql.functions.{hash, lit, pmod}
+        val opts = ClusterOptions(radius = 75)
+        val nBase = 1000000L
+        val nMerges = 10
+        val batch = 10000L
+        val dir = graft.io.Scratch.dir("graft_bench_storechaindeep")
+        val idx = MortonHierarchy.build(
+          graft.io.SyntheticPoints.uniform(spark, nBase), opts)
+        val (_, tSave) = {
+          val t0 = System.nanoTime()
+          IndexStore.save(idx, dir, nBase, opts, saltFiles = 64)
+          ((), (System.nanoTime() - t0) / 1e9)
+        }
+        idx.unpersist()
+        val nFiles = {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(
+            dir.stripPrefix("file:"), "levels")
+          java.nio.file.Files.walk(root).iterator().asScala
+            .count(p => java.nio.file.Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet")).toDouble
+        }
+        val merges = (0 until nMerges).map { i =>
+          val from = nBase + i * batch
+          val newPts = spark.range(from, from + batch).select(
+            col("id").as("row_id"),
+            (lit(12.0) + pmod(hash(col("id")), lit(100000)).cast("double") / 200000.0).as("lng"),
+            (lit(47.0) + pmod(hash(col("id") * 7), lit(100000)).cast("double") / 200000.0).as("lat"))
+          val t0 = System.nanoTime()
+          val st = graft.cluster.IndexStore.mergeInto(spark, dir, newPts)
+          ((System.nanoTime() - t0) / 1e9, st)
+        }
+        val times = merges.map(_._1)
+        val steady = merges.drop(1).map(_._2) // merge 1 = upgrade, reported apart
+        val (nVacuumed, tVacuum) = {
+          val t0 = System.nanoTime()
+          val n = IndexStore.vacuum(spark, dir, keepEpochs = 1)
+          (n.toDouble, (System.nanoTime() - t0) / 1e9)
+        }
+        def mean(xs: Seq[Double]): Double = xs.sum / xs.size
+        Seq(
+          ("store_deep_save_sec", tSave, true),
+          ("store_deep_files", nFiles, true),
+          ("store_deep_buckets", merges.head._2.totalBuckets.toDouble, true),
+          ("store_deep_merges", nMerges.toDouble, true),
+          ("store_deep_total_sec", times.sum, true),
+          ("store_deep_first_merge_sec", times.head, true),
+          ("store_deep_last5_avg_sec", times.takeRight(5).sum / 5, true),
+          ("store_deep_upgrade_manifest_files",
+            merges.head._2.manifestFiles.toDouble, true),
+          ("store_deep_upgrade_manifest_kb",
+            merges.head._2.manifestBytes / 1024.0, true),
+          ("store_deep_steady_manifest_files_mean",
+            mean(steady.map(_.manifestFiles.toDouble)), true),
+          ("store_deep_steady_manifest_files_max",
+            steady.map(_.manifestFiles.toDouble).max, true),
+          ("store_deep_steady_manifest_kb_mean",
+            mean(steady.map(_.manifestBytes / 1024.0)), true),
+          ("store_deep_steady_touched_mean",
+            mean(steady.map(_.rewrittenBuckets.toDouble)), true),
+          ("store_deep_phase_commit_mean_sec",
+            mean(steady.map(_.phaseSec.getOrElse("commit", 0.0))), true),
+          ("store_deep_phase_write_mean_sec",
+            mean(steady.map(_.phaseSec.getOrElse("write", 0.0))), true),
+          ("store_deep_vacuum_sec", tVacuum, true),
+          ("store_deep_vacuum_deleted_files", nVacuumed, true))
+      } catch { case NonFatal(_) => Seq(("store_chain_deep", 0.0, false)) })
+
     // production-mode ANN kernels: q47/q63's oracle rows deliberately run
     // the decimal-exact replay (cross-engine reproducible, ~dim× heavier);
     // these entries time the fast double kernels shipping callers run
@@ -1343,6 +1424,71 @@ object Bench {
           }
         }
         enc.unpersist(); coded.unpersist()
+        // CODES-RESIDENT local tier (r13 verdict #3): persist the rerank
+        // sidecar (one id-sort + sequential driver write, timed), then
+        // serve with the heap tier forced off (localServeCap=1) so the
+        // snapshot is byte-packed codes in memory + mmap'd vectors —
+        // the tier that keeps INTERACTIVE serving alive at 4M/10M where
+        // the heap tier records fallback=1.0 above. Parity + recall vs
+        // the distributed calibrated search ride alongside, plus the
+        // batch thread-scaling keys (r13 verdict #2: the serve batch
+        // used one driver core; qps_1t vs qps carries the scaling).
+        locally {
+          val qv3 = probes
+            .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+            .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+          val (_, tVecSave) = timedSec {
+            graft.operators.AnnIvfPq.saveVectorStore(gen, dir)
+          }
+          out += ((s"${tag}_vecstore_save_sec", tVecSave, true))
+          val (firstCodes, tFirstCodes) = timedSec {
+            graft.operators.AnnIvfPq.serveVectors(spark, dir, qv3, gen,
+              localServeCap = 1)
+          }
+          firstCodes match {
+            case Some(first) =>
+              out += ((s"${tag}_codes_first_sec", tFirstCodes, true))
+              (1 to 3).foreach(_ => graft.operators.AnnIvfPq
+                .serveVectors(spark, dir, qv3, gen, localServeCap = 1): Unit)
+              val cruns = (1 to 10).map { _ =>
+                val t0 = System.nanoTime()
+                Bench.blackhole = graft.operators.AnnIvfPq
+                  .serveVectors(spark, dir, qv3, gen, localServeCap = 1)
+                  .map(_.size).getOrElse(0).toLong
+                (System.nanoTime() - t0) / 1e6
+              }.sorted
+              out += ((s"${tag}_codes_query_ms",
+                ((cruns(4) + cruns(5)) / 2.0) / qv3.length, true))
+              val codePairs = first.flatMap { case (q, hs) =>
+                hs.map(h => (q, h.neighborId)) }.toArray
+              out += ((s"${tag}_codes_matches",
+                if (codePairs.sorted.sameElements(sRes.sorted)) 1.0 else 0.0, true))
+              out += ((s"${tag}_codes_recall_at3",
+                recallVs(truthL2, codePairs), true))
+              // batch thread scaling on the codes snapshot: 512 queries,
+              // sequential vs all-cores (median of 3 passes each)
+              val bigQ = gen.where(col("vec_id") < 512)
+                .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+                .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+              def batchSec(threads: Int): Double = {
+                val runs = (1 to 3).map { _ =>
+                  val t0 = System.nanoTime()
+                  Bench.blackhole = graft.operators.AnnIvfPq
+                    .serveVectors(spark, dir, bigQ, gen,
+                      localServeCap = 1, localThreads = threads)
+                    .map(_.size).getOrElse(0).toLong
+                  (System.nanoTime() - t0) / 1e9
+                }.sorted
+                runs(1)
+              }
+              val t1t = batchSec(1)
+              val tPar = batchSec(0)
+              out += ((s"${tag}_serve_batch_qps_1t", bigQ.length / t1t, true))
+              out += ((s"${tag}_serve_batch_qps", bigQ.length / tPar, true))
+            case None =>
+              out += ((s"${tag}_codes_fallback", 1.0, true))
+          }
+        }
         // RESIDUAL arm (r12 verdict #1): same coarse lists, codebooks
         // trained on residuals to the list centroid — the standard IVF-PQ
         // recipe. The raw arm above measured the ADC ceiling this exists
@@ -1418,6 +1564,47 @@ object Bench {
           case None =>
             out += ((s"${tag}_res_local_capped", 1.0, true))
         }
+        // codes tier on the RESIDUAL encoding — the composition the 10M
+        // rung actually wants: the encoding that wins the recall/cost
+        // curve, served interactively past the heap cap (r13 verdict #3's
+        // "done" shape: sub-second per-query at the calibrated knobs with
+        // measured recall, vs the ~14 s distributed floor)
+        locally {
+          val dirR = graft.io.Scratch.dir(s"graft_bench_${tag}_res_codes")
+          graft.operators.AnnIvfPq.saveIndex(rcoded, cents, rcb, dirR,
+            residual = true)
+          graft.operators.AnnIvfPq.saveCalibration(spark, dirR, rcal): Unit
+          val (_, tVecSave) = timedSec {
+            graft.operators.AnnIvfPq.saveVectorStore(gen, dirR)
+          }
+          out += ((s"${tag}_res_vecstore_save_sec", tVecSave, true))
+          val qv4 = probes
+            .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+            .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+          graft.operators.AnnIvfPq.serveVectors(spark, dirR, qv4, gen,
+              localServeCap = 1) match {
+            case Some(first) =>
+              (1 to 3).foreach(_ => graft.operators.AnnIvfPq
+                .serveVectors(spark, dirR, qv4, gen, localServeCap = 1): Unit)
+              val rruns = (1 to 10).map { _ =>
+                val t0 = System.nanoTime()
+                Bench.blackhole = graft.operators.AnnIvfPq
+                  .serveVectors(spark, dirR, qv4, gen, localServeCap = 1)
+                  .map(_.size).getOrElse(0).toLong
+                (System.nanoTime() - t0) / 1e6
+              }.sorted
+              out += ((s"${tag}_res_codes_query_ms",
+                ((rruns(4) + rruns(5)) / 2.0) / qv4.length, true))
+              val rPairs = first.flatMap { case (q, hs) =>
+                hs.map(h => (q, h.neighborId)) }.toArray
+              out += ((s"${tag}_res_codes_matches",
+                if (rPairs.sorted.sameElements(rARes.sorted)) 1.0 else 0.0, true))
+              out += ((s"${tag}_res_codes_recall_at3",
+                recallVs(truthL2, rPairs), true))
+            case None =>
+              out += ((s"${tag}_res_codes_fallback", 1.0, true))
+          }
+        }
         rcoded.unpersist(); ix.unpersist(); gen.unpersist()
         out.toSeq
       } catch { case NonFatal(_) => Seq((tag, 0.0, false)) }
@@ -1436,6 +1623,122 @@ object Bench {
     val ann10mHard: Seq[(String, Double, Boolean)] =
       if (!only.exists(_.contains("ann_10m_hard"))) Seq.empty
       else runAndRegister("ann10m_hard")(annHardRung(10000000L, "ann10m_hard"))
+
+    // ALWAYS-ON serve rung (r13 verdict #6): every serving-tier key used
+    // to ride opt-in ANN rungs, so a driver-vs-committed serving
+    // divergence had nothing in-artifact to vouch for it. A seeded 100k
+    // corpus keeps this rung seconds-scale: build + save + calibrate once
+    // (its own key), then the heap tier's warm per-query latency, the
+    // codes tier's (vecstore sidecar, heap tier forced off), SQL-tier
+    // parity, and the batch thread-scaling pair (r13 verdict #2) — all
+    // registered for section_rerun self-adjudication like every rung.
+    val serve100k: Seq[(String, Double, Boolean)] =
+      if (!sectionOn("serve_100k")) Seq.empty
+      else runAndRegister("serve_100k")(try {
+        val gen = graft.io.SyntheticVectors
+          .clustered(spark, 100000L, nClusters = 5000).persist()
+        gen.count()
+        val probes = gen.where(col("vec_id") < 20)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
+        val ((dirHeap, dirCodes, cal), tBuild) = timedSec {
+          val (ix0, cents) = AnnIvf.buildIndex(gen)
+          val ix = ix0.persist(); ix.count()
+          val cb = AnnPq.train(gen, m = 8, k = 16, iters = 2, exactMeans = false)
+          val coded = AnnIvfPq.index(ix, AnnPq.encode(gen, cb)).persist()
+          coded.count()
+          ix.unpersist()
+          val d1 = graft.io.Scratch.dir("graft_bench_serve100k")
+          val d2 = graft.io.Scratch.dir("graft_bench_serve100k_codes")
+          graft.operators.AnnIvfPq.saveIndex(coded, cents, cb, d1)
+          graft.operators.AnnIvfPq.saveIndex(coded, cents, cb, d2)
+          graft.operators.AnnIvfPq.saveVectorStore(gen, d2)
+          val c = AnnIvfPq.calibrateEndToEnd(coded, cents, cb, gen)
+          graft.operators.AnnIvfPq.saveCalibration(spark, d1, c)
+          graft.operators.AnnIvfPq.saveCalibration(spark, d2, c)
+          coded.unpersist()
+          (d1, d2, c)
+        }
+        out += (("serve_100k_build_sec", tBuild, true))
+        out += (("serve_100k_cal_met_target", if (cal.metTarget) 1.0 else 0.0, true))
+        val qv = probes
+          .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        def medianQueryMs(dir: String, cap: Long): Option[(Double, Seq[(Long, Long)])] =
+          graft.operators.AnnIvfPq
+            .serveVectors(spark, dir, qv, gen, localServeCap = cap).map { first =>
+            (1 to 3).foreach(_ => graft.operators.AnnIvfPq
+              .serveVectors(spark, dir, qv, gen, localServeCap = cap): Unit)
+            val runs = (1 to 10).map { _ =>
+              val t0 = System.nanoTime()
+              Bench.blackhole = graft.operators.AnnIvfPq
+                .serveVectors(spark, dir, qv, gen, localServeCap = cap)
+                .map(_.size).getOrElse(0).toLong
+              (System.nanoTime() - t0) / 1e6
+            }.sorted
+            (((runs(4) + runs(5)) / 2.0) / qv.length,
+              first.flatMap { case (q, hs) => hs.map(h => (q, h.neighborId)) })
+          }
+        val heapPairs = medianQueryMs(dirHeap, 2000000L) match {
+          case Some((ms, pairs)) =>
+            out += (("serve_100k_local_query_ms", ms, true))
+            out += (("serve_100k_recall_at3",
+              recallVs(exactTop3(gen, byCosine = false), pairs.toArray), true))
+            pairs
+          case None =>
+            out += (("serve_100k_local_fallback", 1.0, true)); Seq.empty
+        }
+        // codes tier: heap tier forced off; parity vs the heap tier
+        medianQueryMs(dirCodes, 1L) match {
+          case Some((ms, pairs)) =>
+            out += (("serve_100k_codes_query_ms", ms, true))
+            out += (("serve_100k_codes_matches_local",
+              if (pairs.sorted == heapPairs.sorted) 1.0 else 0.0, true))
+          case None => out += (("serve_100k_codes_fallback", 1.0, true))
+        }
+        // batch thread scaling (r13 verdict #2): 1024 queries through the
+        // heap snapshot, sequential vs all-cores, median of 3
+        if (cal.metTarget) {
+        val bigQ = gen.where(col("vec_id") < 1024)
+          .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        def batchSec(threads: Int): Double = {
+          val runs = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            Bench.blackhole = graft.operators.AnnIvfPq
+              .serveVectors(spark, dirHeap, bigQ, gen, localThreads = threads)
+              .map(_.size).getOrElse(0).toLong
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          runs(1)
+        }
+        val t1t = batchSec(1)
+        val tPar = batchSec(0)
+        out += (("serve_100k_batch_qps_1t", bigQ.length / t1t, true))
+        out += (("serve_100k_batch_qps", bigQ.length / tPar, true))
+        }
+        // SQL tier parity (r13 verdict #5): graft_ann_serve over the same
+        // probes — rows must match the Scala heap tier bit-for-bit. Gated
+        // on a covering calibration (the SQL tier throws loudly without
+        // one — correct behavior, but it must not read as a rung failure)
+        if (cal.metTarget) {
+          GraftExtensions.register(spark)
+          graft.operators.AnnServeRegistry.reset()
+          val (sqlPairs, tSql) = timedSec {
+            probes.createOrReplaceTempView("bench_serve_probes")
+            spark.sql(
+              s"""SELECT query_id, h.neighbor_id AS neighbor_id
+                 |FROM (SELECT vec_id AS query_id,
+                 |             explode(graft_ann_serve('$dirCodes', vec_id, embedding)) AS h
+                 |      FROM bench_serve_probes)""".stripMargin)
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          }
+          out += (("serve_100k_sql_sec", tSql, true))
+          out += (("serve_100k_sql_matches",
+            if (sqlPairs.sorted == heapPairs.sorted) 1.0 else 0.0, true))
+        }
+        gen.unpersist()
+        out.toSeq
+      } catch { case NonFatal(_) => Seq(("serve_100k", 0.0, false)) })
 
     // memory: per-stage JVM heap deltas mirroring the reference's
     // measurement discipline (benchmarks/run.ts:185-226 — gc, snapshot,
@@ -1497,7 +1800,7 @@ object Bench {
         val measured = (maskTimes ++ gridBuildLadder ++ incrMerge ++
           storeMerge ++ storeLadder ++ storeChain ++ ann1m ++ ann1mHard ++
           ann4m ++ ann4mHard ++ ann10m ++ ann10mHard ++ ann10mCal ++
-          annFast ++ bpeKernel)
+          annFast ++ bpeKernel ++ serve100k ++ storeChainDeep)
           .collect { case (k, v, true) => k -> v }.toMap
         // divergence is a TIMING concept: evidence keys riding the same
         // rungs (recall, chosen nprobe/refine, bucket/row counts, parity
@@ -1531,7 +1834,7 @@ object Bench {
     // sfDir/outPath must not break the "guaranteed parseable last line"
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val errors = (results ++ maskTimes ++ annFast ++ bpeKernel ++ ann1m ++ ann1mHard ++ ann4m ++ ann4mHard ++ ann10m ++ ann10mHard ++ ann10mCal ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ ivfBuild ++ pqBuild ++ residualBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
+    val errors = (results ++ maskTimes ++ annFast ++ bpeKernel ++ ann1m ++ ann1mHard ++ ann4m ++ ann4mHard ++ ann10m ++ ann10mHard ++ ann10mCal ++ serve100k ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ storeChainDeep ++ ivfBuild ++ pqBuild ++ residualBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -1579,6 +1882,9 @@ object Bench {
     val storeChainJson =
       if (storeChain.isEmpty) ""
       else s""","store_merge_chain":${jmap(storeChain)}"""
+    val storeChainDeepJson =
+      if (storeChainDeep.isEmpty) ""
+      else s""","store_chain_deep":${jmap(storeChainDeep)}"""
     val ann1mJson =
       if (ann1m.isEmpty) "" else s""","ann_1m":${jmap(ann1m)}"""
     val ann1mHardJson =
@@ -1593,6 +1899,8 @@ object Bench {
       if (ann10m.isEmpty) "" else s""","ann_10m":${jmap(ann10m)}"""
     val ann10mCalJson =
       if (ann10mCal.isEmpty) "" else s""","ann_10m_cal":${jmap(ann10mCal)}"""
+    val serve100kJson =
+      if (serve100k.isEmpty) "" else s""","serve_100k":${jmap(serve100k)}"""
     val totalCold = resultsCold.map(_._2).sum
     val calibrationEnd = calibrationSec()
     val profileJson = calibrationProfile
@@ -1633,7 +1941,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpusJson,"queries":${jmap(results)},""" +
         s""""queries_cold":${jmap(resultsCold)},"total_cold":$totalCold,""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$bpeKernelJson$ann1mJson$ann1mHardJson$ann4mJson$ann4mHardJson$ann10mJson$ann10mHardJson$ann10mCalJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson$rerunJson$sectionRerunJson,"sf":"${jstr(sfDir)}"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$bpeKernelJson$ann1mJson$ann1mHardJson$ann4mJson$ann4mHardJson$ann10mJson$ann10mHardJson$ann10mCalJson$serve100kJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$storeChainDeepJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson$rerunJson$sectionRerunJson,"sf":"${jstr(sfDir)}"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(
