@@ -784,8 +784,10 @@ object Bench {
 
     // DEEP-LAYOUT chain soak (r13 verdict #4): the per-bucket manifest
     // split's claim is commit I/O O(touched buckets) — this proves it at
-    // a ≥50k-FILE layout (785 buckets × saltFiles=64), where the old
-    // whole-list rewrite would pay ~50k lines (~2 MB) per commit. Merge 1
+    // a ≥50k-FILE layout (785 buckets × saltFiles=72; salt groups with
+    // no rows don't materialize a file, so 72 lands ~55k actual files),
+    // where the old whole-list rewrite would pay ~55k lines (~3 MB) per
+    // commit. Merge 1
     // pays the one-time flat→bucket-list upgrade (its manifest file/byte
     // keys are reported separately); the steady-state tail's
     // manifest-files mean should sit at touched-buckets+1 (single-digit)
@@ -805,7 +807,7 @@ object Bench {
           graft.io.SyntheticPoints.uniform(spark, nBase), opts)
         val (_, tSave) = {
           val t0 = System.nanoTime()
-          IndexStore.save(idx, dir, nBase, opts, saltFiles = 64)
+          IndexStore.save(idx, dir, nBase, opts, saltFiles = 72)
           ((), (System.nanoTime() - t0) / 1e9)
         }
         idx.unpersist()

@@ -19,7 +19,9 @@ import graft.io.WkbPointDecode
   * Registered functions: `graft_exact_dot`, `graft_dot`,
   * `graft_minhash_bands`, `graft_wkb_point`, `graft_mercator_x/y`,
   * `graft_mercator_lng/lat`, `graft_fround`,
-  * `graft_cluster_origin_level/origin_index`, `graft_is_cluster`.
+  * `graft_cluster_origin_level/origin_index`, `graft_is_cluster`,
+  * `graft_ann_serve` (the calibrated ANN serving tier — see
+  * [[graft.functions.AnnServe]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
