@@ -1283,6 +1283,77 @@ object Bench {
           ("ann10m_cal_serve_rows", nServed.toDouble, true))
       } catch { case NonFatal(_) => Seq(("ann_10m_cal", 0.0, false)) })
 
+    // Incremental ANN maintenance + distributed sidecar save (r14 verdict
+    // #3/#4) — OPT-IN (SPARK_GRAFT_BENCH_ONLY must name ann_append_1m /
+    // _4m / _10m). Per base size n: the single-segment sidecar save (the
+    // r14 single-writer shape) vs the DISTRIBUTED segmented save (the ≥5×
+    // claim), an appendVectors of a 10k batch (the flat-in-base-size
+    // claim), and the no-append alternative — frozen assign+encode of the
+    // union + coded rewrite + sidecar re-save — so the artifact carries
+    // the append-vs-rebuild ratio at each rung.
+    def appendRung(n: Long, prefix: String): Seq[(String, Double, Boolean)] =
+      try {
+        val gen = graft.io.SyntheticVectors
+          .clustered(spark, n + 10000L, nClusters = math.max((n / 200L).toInt, 16))
+          .persist()
+        gen.count()
+        val base = gen.where(col("vec_id") < n).persist()
+        base.count()
+        val batch = gen.where(col("vec_id") >= n)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
+        val ((coded, cents, cb), tBuild) = timedSec {
+          val (ix0, c) = AnnIvf.buildIndex(base)
+          val ix = ix0.persist(); ix.count()
+          val b = AnnPq.train(base, m = 8, k = 16, iters = 2, exactMeans = false)
+          val cd = AnnIvfPq.index(ix, AnnPq.encode(base, b)).persist()
+          cd.count(); ix.unpersist()
+          (cd, c, b)
+        }
+        out += ((s"${prefix}_build_sec", tBuild, true))
+        val dir = graft.io.Scratch.dir(s"graft_bench_append_$prefix")
+        AnnIvfPq.saveIndex(coded, cents, cb, dir)
+        // single-segment save first (the serial r14 shape), then the
+        // segmented distributed save OVERWRITES it and is the store the
+        // append below runs against
+        val (_, tSave1) = timedSec {
+          graft.operators.AnnVecStore.save(base, dir,
+            targetSegmentBytes = Long.MaxValue)
+        }
+        out += ((s"${prefix}_sidecar_save_1seg_sec", tSave1, true))
+        val (_, tSaveN) = timedSec {
+          graft.operators.AnnVecStore.save(base, dir,
+            targetSegmentBytes = 32L << 20)
+        }
+        out += ((s"${prefix}_sidecar_save_sec", tSaveN, true))
+        out += ((s"${prefix}_sidecar_save_speedup", tSave1 / tSaveN, true))
+        val (stats, tApp) = timedSec {
+          AnnIvfPq.appendVectors(spark, dir, batch)
+        }
+        out += ((s"${prefix}_append_10k_sec", tApp, true))
+        out += ((s"${prefix}_append_drift_ratio", stats.driftRatio, true))
+        // the no-append alternative at this base size: re-encode the
+        // union under the same frozen structures + rewrite both artifacts
+        val dir2 = graft.io.Scratch.dir(s"graft_bench_append_${prefix}_rb")
+        val (_, tRebuild) = timedSec {
+          val codedAll = AnnIvfPq.index(
+            AnnIvf.assignFrozen(gen, cents), AnnPq.encode(gen, cb))
+          AnnIvfPq.saveIndex(codedAll, cents, cb, dir2)
+          graft.operators.AnnVecStore.save(gen, dir2,
+            targetSegmentBytes = 32L << 20): Unit
+        }
+        out += ((s"${prefix}_rebuild_sec", tRebuild, true))
+        out += ((s"${prefix}_append_vs_rebuild", tRebuild / math.max(tApp, 1e-9), true))
+        coded.unpersist(); base.unpersist(); gen.unpersist()
+        out.toSeq
+      } catch { case NonFatal(_) => Seq((s"${prefix}_rung", 0.0, false)) }
+    val annAppend: Seq[(String, Double, Boolean)] =
+      (if (!only.exists(_.contains("ann_append_1m"))) Seq.empty
+       else runAndRegister("ann_append_1m")(appendRung(1000000L, "append_1m"))) ++
+        (if (!only.exists(_.contains("ann_append_4m"))) Seq.empty
+         else runAndRegister("ann_append_4m")(appendRung(4000000L, "append_4m"))) ++
+        (if (!only.exists(_.contains("ann_append_10m"))) Seq.empty
+         else runAndRegister("ann_append_10m")(appendRung(10000000L, "append_10m")))
+
     // HARD fixtures (VERDICT r10 #2; r11 extends the rung ladder): planted
     // near-dup pairs over overlapping heavy-tailed superclusters
     // (SyntheticVectors.hardClustered) — the corpus where probe depth and
@@ -1689,12 +1760,17 @@ object Bench {
           case None =>
             out += (("serve_100k_local_fallback", 1.0, true)); Seq.empty
         }
-        // codes tier: heap tier forced off; parity vs the heap tier
+        // codes tier: heap tier forced off; parity vs the heap tier —
+        // only when the heap baseline actually served (r14 advice: an
+        // empty baseline read as parity 0.0 instead of "not applicable")
         medianQueryMs(dirCodes, 1L) match {
           case Some((ms, pairs)) =>
             out += (("serve_100k_codes_query_ms", ms, true))
-            out += (("serve_100k_codes_matches_local",
-              if (pairs.sorted == heapPairs.sorted) 1.0 else 0.0, true))
+            if (heapPairs.nonEmpty)
+              out += (("serve_100k_codes_matches_local",
+                if (pairs.sorted == heapPairs.sorted) 1.0 else 0.0, true))
+            else
+              out += (("serve_100k_codes_matches_skipped", 1.0, true))
           case None => out += (("serve_100k_codes_fallback", 1.0, true))
         }
         // batch thread scaling (r13 verdict #2): 1024 queries through the
@@ -1735,8 +1811,11 @@ object Bench {
               .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
           }
           out += (("serve_100k_sql_sec", tSql, true))
-          out += (("serve_100k_sql_matches",
-            if (sqlPairs.sorted == heapPairs.sorted) 1.0 else 0.0, true))
+          if (heapPairs.nonEmpty)
+            out += (("serve_100k_sql_matches",
+              if (sqlPairs.sorted == heapPairs.sorted) 1.0 else 0.0, true))
+          else
+            out += (("serve_100k_sql_matches_skipped", 1.0, true))
         }
         gen.unpersist()
         out.toSeq
@@ -1903,6 +1982,8 @@ object Bench {
       if (ann10mCal.isEmpty) "" else s""","ann_10m_cal":${jmap(ann10mCal)}"""
     val serve100kJson =
       if (serve100k.isEmpty) "" else s""","serve_100k":${jmap(serve100k)}"""
+    val annAppendJson =
+      if (annAppend.isEmpty) "" else s""","ann_append":${jmap(annAppend)}"""
     val totalCold = resultsCold.map(_._2).sum
     val calibrationEnd = calibrationSec()
     val profileJson = calibrationProfile
@@ -1921,6 +2002,22 @@ object Bench {
       else sectionRerun.map { case (n, first, again) =>
         s""""$n":{"first":$first,"rerun":$again}"""
       }.mkString(""","section_rerun":{""", ",", "}")
+    // suite-level self-adjudication (r14 verdict #5): one ratio over the
+    // WHOLE rerun set — Σ rerun / Σ first-pass across query and section
+    // reruns. A clean run sits near 1.0; an ambient-contaminated first
+    // pass reads well under it, and the artifact labels ITSELF
+    // (suite_contaminated) instead of needing a human to read the
+    // per-key rerun map against the committed baseline.
+    val rerunPairs = rerun.map(r => (r._2, r._3)) ++
+      sectionRerun.map(s => (s._2, s._3))
+    val adjudicationJson =
+      if (rerunPairs.isEmpty) ""
+      else {
+        val firstSum = rerunPairs.map(_._1).sum
+        val againSum = rerunPairs.map(_._2).sum
+        val ratio = if (firstSum > 0.0) againSum / firstSum else 1.0
+        s""","rerun_total_ratio":$ratio,"suite_contaminated":${ratio < 0.5}"""
+      }
     val ivfBuildJson =
       (if (ivfBuild.isEmpty) "" else s""","ivf_exact_build_sec":${ivfBuild.head._2}""") +
         (if (incrBuild.isEmpty) "" else s""","incr_merge_build_sec":${incrBuild.head._2}""") +
@@ -1943,7 +2040,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpusJson,"queries":${jmap(results)},""" +
         s""""queries_cold":${jmap(resultsCold)},"total_cold":$totalCold,""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$bpeKernelJson$ann1mJson$ann1mHardJson$ann4mJson$ann4mHardJson$ann10mJson$ann10mHardJson$ann10mCalJson$serve100kJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$storeChainDeepJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson$rerunJson$sectionRerunJson,"sf":"${jstr(sfDir)}"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$bpeKernelJson$ann1mJson$ann1mHardJson$ann4mJson$ann4mHardJson$ann10mJson$ann10mHardJson$ann10mCalJson$serve100kJson$annAppendJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$storeChainDeepJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson$rerunJson$sectionRerunJson$adjudicationJson,"sf":"${jstr(sfDir)}"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(

@@ -120,15 +120,23 @@ object GraftExtensions {
           // warm the serving handle DRIVER-SIDE at analysis time: the
           // open reads parquet (a Spark job), which task-thread eval
           // cannot do — so the path must be a literal. Non-literal paths
-          // defer to eval, which throws with this exact remedy.
-          if (p.foldable) {
-            val pv = Cast(p, StringType).eval(null)
-            if (pv != null)
-              graft.operators.AnnServeRegistry.warm(pv.toString)
-          }
+          // defer to eval, which throws with this exact remedy. The
+          // warmed GENERATION is pinned into the expression, so every
+          // row of this query answers from this one save even when a
+          // concurrent query's warm() refreshes the handle (r14 advice).
+          val gen: Long =
+            if (!p.foldable) -1L
+            else {
+              val pv = Cast(p, StringType).eval(null)
+              if (pv == null) -1L
+              else {
+                graft.operators.AnnServeRegistry.warm(pv.toString)
+                graft.operators.AnnServeRegistry.pin(pv.toString)
+              }
+            }
           AnnServe(Cast(p, StringType), Cast(q, LongType),
             Cast(v, ArrayType(DoubleType)), Cast(tr, DoubleType),
-            Cast(k, IntegerType))
+            Cast(k, IntegerType), gen)
         }
         args match {
           case Seq(p, q, v) => build(p, q, v, Literal(0.9), Literal(3))

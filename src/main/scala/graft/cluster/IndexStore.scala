@@ -103,11 +103,16 @@ object IndexStore {
     *   per-bucket split, except the one-time legacy upgrade
     * @param manifestBytes their total bytes — the commit-I/O curve the
     *   chain soak publishes
+    * @param plannedFiles data files handed to the touched-subset read's
+    *   plan — O(touched buckets) since the r15 subset resolution (the
+    *   read-planning analogue of manifestFiles; the deep-layout soak
+    *   publishes the curve)
     */
   final case class MergeStats(
       ingested: Long, rewrittenBuckets: Long, totalBuckets: Long,
       phaseSec: Map[String, Double] = Map.empty,
-      manifestFiles: Long = 0L, manifestBytes: Long = 0L)
+      manifestFiles: Long = 0L, manifestBytes: Long = 0L,
+      plannedFiles: Long = 0L)
 
   private val DataCols = Seq(
     "zoom", "mx", "my", "id", "parent_id", "point_count", "is_cluster",
@@ -531,6 +536,67 @@ object IndexStore {
       }
     }
 
+  /** The epoch's live files restricted to the `wantedDirs` bucket
+    * directories — the O(touched buckets) read-planning path (r14
+    * verdict #1: commit I/O became O(touched) with per-bucket manifests,
+    * but merge/probe READS still resolved the whole epoch, a wall that
+    * grew linearly in live files while touching 2 buckets). A
+    * bucket-list (v2) manifest reads ONLY the wanted buckets' per-bucket
+    * manifests; a flat (v1) manifest prefix-filters its one list (legacy
+    * — upgraded to v2 by its next merge). None = pre-manifest store.
+    */
+  private def readManifestSubset(
+      fs: FileSystem, path: String, epoch: Long,
+      wantedDirs: Set[String]): Option[Seq[String]] =
+    readManifestLines(fs, path, epoch).map { lines =>
+      bucketEntriesOf(lines) match {
+        case Some(entries) =>
+          entries.filter(e => wantedDirs(e._1))
+            .flatMap { case (_, bm) => readBucketManifest(fs, path, bm) }
+        case None =>
+          lines.filterNot(_.startsWith("#"))
+            .filter(f => wantedDirs(f.takeWhile(_ != '/')))
+      }
+    }
+
+  private def emptyLevels(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StoreSchema)
+
+  /** The levels table restricted to `wantedDirs` buckets at `epoch`,
+    * planned from an O(touched)-resolved explicit file list (see
+    * [[readManifestSubset]]); pre-manifest stores list only the wanted
+    * directories. Returns the scan plus the number of files handed to
+    * it — the O(touched) evidence [[MergeStats.plannedFiles]] carries.
+    * Same corruption rule as [[levelsDf]]: a manifest-era store missing
+    * the requested epoch's manifest throws rather than directory-scan.
+    */
+  private def levelsDfSubset(
+      spark: SparkSession, path: String, epoch: Long,
+      wantedDirs: Set[String]): (DataFrame, Long) = {
+    val fs = hadoopFs(spark, path)
+    readManifestSubset(fs, path, epoch, wantedDirs) match {
+      case Some(files) if files.nonEmpty =>
+        (spark.read.schema(StoreSchema)
+          .option("basePath", s"$path/levels")
+          .parquet(files.map(f => s"$path/levels/$f"): _*), files.length.toLong)
+      case Some(_) => (emptyLevels(spark), 0L)
+      case None =>
+        val committed = listManifestEpochs(fs, path)
+        if (committed.nonEmpty)
+          throw new IllegalStateException(
+            s"store at $path has manifests (epochs ${committed.sorted.mkString(",")}) " +
+              s"but none for epoch $epoch — a manifest was deleted (vacuumed past a " +
+              "lagging reader, or removed by hand). Refusing the directory-scan " +
+              "fallback: it would serve superseded files as duplicate rows.")
+        val files = listBucketFiles(fs, path, wantedDirs.toSeq.sorted)
+        if (files.isEmpty) (emptyLevels(spark), 0L)
+        else (spark.read.schema(StoreSchema)
+          .option("basePath", s"$path/levels")
+          .parquet(files.map(f => s"$path/levels/$f"): _*), files.length.toLong)
+    }
+  }
+
   /** Every FileSystem handle in this object comes through here, so the
     * spec can substitute a wrapped FS (e.g. one whose create(path, false)
     * is DELIBERATELY non-atomic, simulating legacy-S3A HEAD-then-PUT) and
@@ -757,8 +823,19 @@ object IndexStore {
       zoom: Int,
       maxPruneBuckets: Int = 4096): DataFrame = {
     val meta = readMeta(spark, path)
-    getClustersOn(
-      levelsDf(spark, path, meta.epoch), meta, bbox, zoom, maxPruneBuckets)
+    // O(touched) cold-probe planning (r14 verdict #1): when the bbox
+    // prunes to an explicit candidate set, resolve ONLY those buckets'
+    // manifests — a map-tile probe against a 100k-file store plans from
+    // a handful of files, not the whole epoch list. The unpruned case
+    // (whole world / over-wide bbox) genuinely needs every bucket.
+    val plan = planBbox(meta, bbox, zoom, maxPruneBuckets)
+    val base = plan.candidates match {
+      case Some(c) =>
+        levelsDfSubset(spark, path, meta.epoch,
+          c.map(b => s"bucket=$b").toSet)._1
+      case None => levelsDf(spark, path, meta.epoch)
+    }
+    applyBbox(base, meta, plan)
   }
 
   /** A held-open store: the partition listing (one FS walk over the
@@ -843,12 +920,19 @@ object IndexStore {
     new Reader(levelsDf(spark, path, meta.epoch), meta, path, coarseCacheRowCap)
   }
 
-  private def getClustersOn(
-      base: DataFrame,
+  /** A bbox probe's resolved plan: clamped zoom, Mercator x ranges
+    * (two for an antimeridian crossing, none for whole-world), y range,
+    * and the candidate bucket ids (None = unpruned scan).
+    */
+  private final case class BboxPlan(
+      z: Int, xRanges: Seq[(Double, Double)], minY: Double, maxY: Double,
+      candidates: Option[Seq[Long]])
+
+  private def planBbox(
       meta: StoreMeta,
       bbox: (Double, Double, Double, Double),
       zoom: Int,
-      maxPruneBuckets: Int): DataFrame = {
+      maxPruneBuckets: Int): BboxPlan = {
     val opts = meta.opts
     // P10/P11 normalization — the same arithmetic as ClusterIndex
     val (minLng0, minLat, maxLng0, maxLat) = bbox
@@ -893,18 +977,36 @@ object IndexStore {
           by <- byLo to byHi
         } yield (bx << 20) | by).distinct)
       }
-    val prunedScan = candidates.fold(base)(c =>
+    BboxPlan(z, xRanges, minY, maxY, candidates)
+  }
+
+  /** Apply a [[BboxPlan]]'s filters over a levels scan. The `bucket`
+    * isin is partition pruning on a full-epoch scan (the Reader's
+    * held-open shape) and a no-op safety predicate on an
+    * already-subset scan (the cold [[getClusters]] shape).
+    */
+  private def applyBbox(
+      base: DataFrame, meta: StoreMeta, plan: BboxPlan): DataFrame = {
+    val prunedScan = plan.candidates.fold(base)(c =>
       base.where(col("bucket").isin(c.map(Long.box): _*)))
-    val inY = col("my") >= minY && col("my") <= maxY
-    val inX = xRanges.map { case (lo, hi) => col("mx") >= lo && col("mx") <= hi }
+    val inY = col("my") >= plan.minY && col("my") <= plan.maxY
+    val inX = plan.xRanges.map { case (lo, hi) => col("mx") >= lo && col("mx") <= hi }
       .reduceOption(_ || _).getOrElse(lit(true))
     decodeIds(
-      prunedScan.where(col("zoom") === z && inX && inY)
+      prunedScan.where(col("zoom") === plan.z && inX && inY)
         .select(DataCols.map(col): _*),
       meta.numPoints)
       .select(col("id"), col("lng"), col("lat"), col("point_count"),
         col("is_cluster"), col("mx"), col("my"))
   }
+
+  private def getClustersOn(
+      base: DataFrame,
+      meta: StoreMeta,
+      bbox: (Double, Double, Double, Double),
+      zoom: Int,
+      maxPruneBuckets: Int): DataFrame =
+    applyBbox(base, meta, planBbox(meta, bbox, zoom, maxPruneBuckets))
 
   /** The full query surface over a (possibly merged) store — bbox scans,
     * children, paginated leaves, expansion zoom, navigation — i.e. the
@@ -998,10 +1100,14 @@ object IndexStore {
       case Some(lines) => lines.filterNot(_.startsWith("#"))
       case None => listLevelFiles(fs, path) // legacy upgrade-in-place
     }
+    // O(touched) read-planning (r14 verdict #1): resolve ONLY the wanted
+    // buckets' manifests into the explicit file list — the full epoch is
+    // never flattened on the merge path, so planning cost follows the
+    // TOUCHED file count, not the live one (plannedFiles publishes it)
+    val (subsetScan, plannedFiles) = levelsDfSubset(
+      spark, path, meta.epoch, wanted.map(b => s"bucket=$b").toSet)
     val subset = decodeIds(
-      levelsDf(spark, path, meta.epoch)
-        .where(col("bucket").isin(wanted.toIndexedSeq.map(Long.box): _*))
-        .select(DataCols.map(col): _*),
+      subsetScan.select(DataCols.map(col): _*),
       newTotal) // decode against the NEW total = the merge id shift, free
 
     // nOldTouched BEFORE the write (a legacy store's fallback scan would
@@ -1089,7 +1195,7 @@ object IndexStore {
       listBuckets(spark, path).length.toLong
     }
     MergeStats(nNew, touched.length + 1L, totalBuckets, phases.toMap,
-      manifestFilesWritten, manifestBytesWritten)
+      manifestFilesWritten, manifestBytesWritten, plannedFiles)
     } finally scratch.foreach(_.unpersist(): Unit)
   }
 

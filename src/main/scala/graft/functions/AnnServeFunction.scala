@@ -34,12 +34,19 @@ import graft.operators.AnnServeRegistry
   * should pre-ship the index artifacts and open per executor via the
   * Scala API; this function's home turf is the SQL-first serving node.
   */
+/** @param pinnedGen the serving generation captured at ANALYSIS time
+  *   (right after the builder's warm) — every row of this query answers
+  *   from that one index save even if a concurrent query's warm()
+  *   refreshes the handle mid-flight (the consistent-read contract).
+  *   -1 when the path was not a foldable literal.
+  */
 case class AnnServe(
     path: Expression,
     queryId: Expression,
     queryVec: Expression,
     targetRecall: Expression,
-    topK: Expression)
+    topK: Expression,
+    pinnedGen: Long = -1L)
   extends Expression with CodegenFallback {
 
   // input coercion happens at registration (GraftExtensions wraps the
@@ -62,13 +69,16 @@ case class AnnServe(
     val q = queryId.eval(input)
     val v = queryVec.eval(input)
     if (p == null || q == null || v == null) return null
-    val tr = targetRecall.eval(input).asInstanceOf[Double]
-    val k = topK.eval(input).asInstanceOf[Int]
+    // NULL target_recall/topk propagate like the other args (r14 advice:
+    // an unchecked unbox NPE'd here instead)
+    val trv = targetRecall.eval(input)
+    val kv = topK.eval(input)
+    if (trv == null || kv == null) return null
     val hits = AnnServeRegistry.search(
       p.asInstanceOf[UTF8String].toString,
       q.asInstanceOf[Long],
       v.asInstanceOf[ArrayData].toDoubleArray(),
-      tr, k)
+      trv.asInstanceOf[Double], kv.asInstanceOf[Int], pinnedGen)
     new GenericArrayData(hits.map(h =>
       InternalRow(h.neighborId, h.dist, h.rk): Any))
   }

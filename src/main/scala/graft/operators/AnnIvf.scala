@@ -182,6 +182,21 @@ object AnnIvf {
     (spark.read.parquet(s"$path/assignments"),
       spark.read.parquet(s"$path/centroids"))
 
+  /** Assign vectors to an EXISTING (frozen) centroid table — the
+    * incremental-maintenance entry point ([[AnnIvfPq.appendVectors]]
+    * assigns its batch through here, and q108's rebuild-equivalence
+    * oracle replays it): the same pure-map argmax kernel
+    * [[buildIndex]]'s final pass runs, so frozen-assigning a union is
+    * row-for-row the union of frozen assignments.
+    */
+  def assignFrozen(
+      emb: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      exactScores: Boolean = false): DataFrame =
+    assign(emb, centroids, idCol, vecCol, exactScores)
+
   /** Nearest-centroid assignment as a PURE MAP: the k centroids are tiny,
     * so they ship as literal arrays inside the projection — k fused native
     * dots per row, argmax via array_position, no join, no window, no
@@ -189,7 +204,7 @@ object AnnIvf {
     * formulation would shuffle the whole corpus per Lloyd step.
     * Ties pick the smallest centroid id (first max occurrence).
     */
-  private def assign(
+  private[operators] def assign(
       emb: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
       exactScores: Boolean = false): DataFrame = {
     val cents = centroids.collect()

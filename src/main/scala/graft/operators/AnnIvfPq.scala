@@ -4,6 +4,27 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** What one [[AnnIvfPq.appendVectors]] did, plus its quantization-drift
+  * evidence: the FROZEN codebooks were trained on the base corpus, so a
+  * distribution-shifted batch quantizes worse — the ratio is the signal
+  * a pipeline alarms on ("time to retrain") long before recall visibly
+  * sags.
+  *
+  * @param appended      batch rows folded in
+  * @param batchQuantMse mean squared ADC reconstruction error of the
+  *   batch under the frozen codebooks (residual-space in residual mode)
+  * @param baseQuantMse  the same metric over a deterministic base-corpus
+  *   sample (read back from the vecstore sidecar) — the train-time
+  *   baseline; NaN when the index has no sidecar
+  * @param driftRatio    batchQuantMse / baseQuantMse (NaN when the
+  *   baseline is unavailable); ~1 = same distribution, >> 1 = drift
+  */
+final case class AnnAppendStats(
+    appended: Long,
+    batchQuantMse: Double,
+    baseQuantMse: Double,
+    driftRatio: Double)
+
 /** IVF+PQ — the composed top rung of the ANN ladder (brute-force → LSH →
   * IVF lists → PQ codes → IVF lists OF PQ codes), and the structure
   * billion-scale ANN systems actually deploy: IVF alone prunes the scan
@@ -214,30 +235,44 @@ object AnnIvfPq {
 
   private final class ServeState(
       val residual: Boolean, val stored: Option[AnnCalibration]) {
-    @volatile private var snap: Option[ServeSnap] = None
-    def cachedLocal: Option[AnnLocalIndex] = snap.flatMap(_.result)
+    // at most one LIVE snapshot per tier (heap: embKey defined; codes:
+    // embKey None) plus at most one memoized REFUSAL — r14 advice: a
+    // caller whose caps exclude the live snapshot's tier must fall
+    // through to opening under ITS caps (the old single-slot memo sent
+    // it straight to the distributed path), while the live snapshot
+    // stays admitted for the callers whose caps cover it.
+    private var snaps: List[ServeSnap] = Nil
+    def cachedLocal: Option[AnnLocalIndex] =
+      snaps.collectFirst { case ServeSnap(Some(ix), _, _, _) => ix }
     def local(fullCap: Long, codesCap: Long, embKey: Long)(
         open: => ServeSnap): Option[AnnLocalIndex] = synchronized {
-      snap match {
-        // live snapshot, same corpus: ADMITTED only when this call's cap
-        // for the snapshot's tier still covers it — a localServeCap=0
-        // caller (the forced-distributed knob) must not be served from a
-        // memoized heap snapshot. An excluded-but-live snapshot is
-        // BYPASSED, not evicted: other callers' caps still admit it.
-        case Some(ServeSnap(Some(ix), _, _, ek)) if ek.forall(_ == embKey) =>
-          val cap = if (ek.isDefined) fullCap else codesCap
-          if (cap >= ix.size) Some(ix) else None
-        // live snapshot for a DIFFERENT corpus frame (r13 advice): the
-        // heap tier's rerank vectors came from the first caller's emb —
-        // re-open for this one rather than silently serving its vectors
-        case Some(ServeSnap(Some(_), _, _, _)) =>
-          val s = open; snap = Some(s); s.result
+      // a live snapshot this call's caps admit: heap tier only for the
+      // SAME corpus frame (its rerank vectors came from the opener's emb
+      // — r13 advice); codes tier is emb-independent (path's own sidecar)
+      val admitted = snaps.collectFirst {
+        case ServeSnap(Some(ix), _, _, Some(ek))
+            if ek == embKey && fullCap >= ix.size => ix
+        case ServeSnap(Some(ix), _, _, None) if codesCap >= ix.size => ix
+      }
+      admitted.map(Some(_)).getOrElse {
         // memoized refusal: final only for calls asking no MORE than the
         // refusing call's caps; a larger-cap caller re-opens (r13 advice)
-        case Some(ServeSnap(None, fc, cc, _))
-            if fullCap <= fc && codesCap <= cc => None
-        case _ =>
-          val s = open; snap = Some(s); s.result
+        val refused = snaps.exists {
+          case ServeSnap(None, fc, cc, _) => fullCap <= fc && codesCap <= cc
+          case _ => false
+        }
+        if (refused) None
+        else {
+          val s = open
+          // replace the same-tier live entry (one per tier) or, for a
+          // refusal, every previous (now weaker-cap) refusal
+          snaps = s +: snaps.filterNot {
+            case ServeSnap(Some(_), _, _, ek) =>
+              s.result.isDefined && ek.isDefined == s.embKey.isDefined
+            case ServeSnap(None, _, _, _) => s.result.isEmpty
+          }
+          s.result
+        }
       }
     }
   }
@@ -266,10 +301,14 @@ object AnnIvfPq {
     * parquet-read job.
     */
   private def epochFingerprint(
-      spark: org.apache.spark.sql.SparkSession, path: String): String = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
-    Seq("epoch", "calibration", "variant", "vecstore/meta.txt").map { d =>
+      spark: org.apache.spark.sql.SparkSession, path: String): String =
+    fingerprintConf(spark.sparkContext.hadoopConfiguration, path)
+
+  private def fingerprintConf(
+      conf: org.apache.hadoop.conf.Configuration, path: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(path), conf)
+    Seq("epoch", "calibration", "variant", "vecstore/meta.txt",
+      "servepack/meta.txt", "appends").map { d =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$d")
       if (!fs.exists(p)) ""
       else fs.listStatus(p).map(s => s"${s.getPath.getName}:${s.getModificationTime}")
@@ -278,11 +317,16 @@ object AnnIvfPq {
   }
 
   /** The save fingerprint, for the SQL tier's freshness checks
-    * ([[AnnServeRegistry]]).
+    * ([[AnnServeRegistry]]). The Configuration overload is the
+    * session-free path (executor JVMs, standalone serving).
     */
   private[operators] def serveFingerprint(
       spark: org.apache.spark.sql.SparkSession, path: String): String =
     epochFingerprint(spark, path)
+
+  private[operators] def serveFingerprint(
+      conf: org.apache.hadoop.conf.Configuration, path: String): String =
+    fingerprintConf(conf, path)
 
   /** The memoized per-save serving state for `path` (marker +
     * calibration + lazy snapshot slot), freshness-checked by
@@ -324,6 +368,168 @@ object AnnIvfPq {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Long =
     AnnVecStore.save(emb, path, idCol, vecCol)
+
+  /** The per-vector m×k ADC table as a Column — table(j)(c) =
+    * AnnPq.sqDist(subvec(v, j), cb(j)(c)), the identical fold
+    * [[search]]'s local tableOf builds (shared here for the drift
+    * report's batch-side expression).
+    */
+  private[operators] def adcTableCol(
+      v: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(element_at(cbLit, j + 1), c =>
+        AnnPq.sqDist(AnnPq.subvec(v, j, dsub), c)))
+  }
+
+  /** Fold a NEW-vector batch into a [[saveIndex]]'d index under its
+    * FROZEN structures (r14 verdict #3 — the ANN side's incremental
+    * maintenance, the analogue of the clustering store's
+    * [[graft.cluster.IndexStore.mergeInto]]): assign the batch to the
+    * frozen coarse centroids with the SAME argmax kernel the build's
+    * final pass ran, PQ-encode it with the frozen codebooks (residual
+    * branch per the saved variant marker), and append — coded rows to
+    * the coded table (one job-atomic parquet append), one
+    * [[AnnVecStore]] segment when a sidecar exists (O(batch), never a
+    * sidecar rewrite), one [[AnnServePack]] delta when a pack exists —
+    * then touch the append marker so every serve tier's save
+    * fingerprint refreshes. The stored CALIBRATION stays valid by
+    * design: it is a property of the frozen structure, and the drift
+    * report below is the honest signal for when that stops holding.
+    *
+    * Search on the appended index is BIT-IDENTICAL to a rebuild that
+    * assigns + encodes the union under the same frozen structures (the
+    * q108 oracle replays it in DuckDB): frozen assignment and frozen
+    * encode are pure per-row maps, so union-then-map ≡ map-then-union.
+    *
+    * Batch ids must be NEW (the sidecar append enforces it against the
+    * stored id index when a sidecar exists; updates/deletes are a
+    * rebuild). The writes are not atomic as a GROUP: a crash mid-append
+    * leaves artifacts one step apart — the sidecar-first order makes
+    * every partial state loud or harmless (extra unreferenced vectors),
+    * and the remedy is re-running the build-time saves.
+    *
+    * @param exactScores assign with the decimal-exact cosine (the
+    *   oracle mode) — must match how the index was BUILT
+    * @return the drift report ([[AnnAppendStats]])
+    */
+  def appendVectors(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      exactScores: Boolean = false,
+      driftSampleSize: Int = 256): AnnAppendStats = {
+    val (codedBase, centroids, codebooks) = loadIndex(spark, path)
+    val residual = isResidual(spark, path)
+    val assigned = AnnIvf.assign(batch, centroids, idCol, vecCol, exactScores)
+      .persist()
+    try {
+      val nBatch = assigned.count()
+      if (nBatch == 0L)
+        return AnnAppendStats(0L, Double.NaN, Double.NaN, Double.NaN)
+      val codedBatch = (
+        if (residual) encodeResidual(assigned, centroids, codebooks, idCol, vecCol)
+        else assigned.select(col(idCol), col("_centroid"),
+          AnnPq.pqCodesCol(col(vecCol).cast("array<double>"), codebooks)
+            .as("codes"))
+      ).persist()
+      try {
+        // drift: batch ADC reconstruction error under the frozen
+        // codebooks (residual-space in residual mode) vs the base sample
+        val batchX =
+          if (residual) residuals(assigned, centroids, idCol, vecCol)
+            .select(col(idCol), col("_rv").as("_x"))
+          else assigned
+            .select(col(idCol), col(vecCol).cast("array<double>").as("_x"))
+        val batchQuantMse = codedBatch.select(col(idCol), col("codes"))
+          .join(batchX, Seq(idCol))
+          .select(avg(AnnPq.adcDistCol(col("codes").cast("array<int>"),
+            adcTableCol(col("_x"), codebooks))).as("_e"))
+          .collect()(0).getDouble(0)
+        val baseQuantMse = baseSampleQuantMse(
+          spark, path, codedBase, centroids, codebooks, idCol, residual,
+          driftSampleSize)
+        // sidecar FIRST (a crash after it leaves only harmless
+        // unreferenced vectors), then the job-atomic coded append, then
+        // the pack delta, then the fingerprint marker
+        if (AnnVecStore.exists(spark, path))
+          AnnVecStore.appendSegment(spark, path, batch, idCol, vecCol): Unit
+        codedBatch.select(col(idCol), col("_centroid"), col("codes"))
+          .write.mode("append").parquet(s"$path/coded")
+        val conf = spark.sparkContext.hadoopConfiguration
+        if (AnnServePack.exists(conf, path))
+          AnnServePack.appendDelta(spark, path, codedBatch, idCol): Unit
+        touchAppendMarker(spark, path, nBatch)
+        AnnAppendStats(nBatch, batchQuantMse, baseQuantMse,
+          batchQuantMse / baseQuantMse)
+      } finally codedBatch.unpersist(): Unit
+    } finally assigned.unpersist(): Unit
+  }
+
+  /** Mean squared ADC reconstruction error over a deterministic sample
+    * of the BASE corpus — vectors read back from the vecstore sidecar
+    * (NaN without one), the same left-to-right fold as the batch-side
+    * expression.
+    */
+  private def baseSampleQuantMse(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      codedBase: DataFrame,
+      centroids: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      idCol: String,
+      residual: Boolean,
+      sampleSize: Int): Double = {
+    val vecs = AnnVecStore.open(spark, path).getOrElse(return Double.NaN)
+    val sample = codedBase.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(idCol).cast("long"), col("_centroid").cast("int"),
+        col("codes").cast("array<int>"))
+      .collect()
+    if (sample.isEmpty) return Double.NaN
+    val cents = AnnLocal.collectCentroids(centroids).toMap
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    var sum = 0.0
+    sample.foreach { r =>
+      val v = vecs.vector(r.getLong(0))
+      val x =
+        if (!residual) v
+        else {
+          val cv = cents(r.getInt(1))
+          Array.tabulate(v.length)(i => v(i) - cv(i))
+        }
+      val cs = r.getSeq[Int](2)
+      var j = 0
+      while (j < m) {
+        val cv = codebooks(j)(cs(j))
+        var i = 0
+        while (i < dsub) { val d = x(j * dsub + i) - cv(i); sum += d * d; i += 1 }
+        j += 1
+      }
+    }
+    sum / sample.length
+  }
+
+  /** One marker file per append under `<path>/appends/` — the save
+    * fingerprint lists the directory, so every serve tier (Scala memo,
+    * SQL registry) re-opens past its freshness window and sees the
+    * appended rows.
+    */
+  private def touchAppendMarker(
+      spark: org.apache.spark.sql.SparkSession, path: String, n: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/appends")
+    if (!fs.exists(dir)) { fs.mkdirs(dir); () }
+    val o = fs.create(new org.apache.hadoop.fs.Path(dir,
+      s"append-${java.util.UUID.randomUUID()}.txt"), true)
+    try o.write(s"$n\n".getBytes("UTF-8"))
+    finally o.close()
+  }
 
   /** Order-preserving parallel map over a serve batch on a bounded
     * driver pool (r13 verdict #2: the snapshot is read-only primitive

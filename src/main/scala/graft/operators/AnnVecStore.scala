@@ -4,6 +4,7 @@ import java.net.URI
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,28 +19,45 @@ import org.apache.spark.sql.functions._
   * cache absorbs, and interactive serving survives corpora whose vectors
   * would never fit the heap.
   *
-  * Layout under `<indexPath>/vecstore/`:
-  *  - `ids.bin` — n longs, STRICTLY ascending (big-endian, as
-  *    DataOutputStream writes them)
-  *  - `vectors.bin` — n·dim doubles, row-major, same order as ids.bin
-  *  - `meta.txt` — `GRAFTVS1 <n> <dim>`, written LAST (the commit
-  *    marker: a crashed save leaves no meta and [[open]] returns None)
+  * SEGMENTED since r15 (r14 verdict #4): the store is a list of
+  * independent (ids, vectors) SEGMENT file pairs under
+  * `<indexPath>/vecstore/`, committed by `meta.txt` (written last, via
+  * write-new-then-rename — the commit marker; a crashed save/append
+  * leaves either no meta or the previous one):
+  *  - `GRAFTVS2 <n> <dim> <nSegs>` header, then one
+  *    `<idsFile> <vecFile> <rows>` line per segment
+  *  - each segment: `rows` big-endian longs (STRICTLY ascending within
+  *    the segment) + `rows`·dim big-endian doubles, row-major
+  *  - v1 stores (`GRAFTVS1`, single `ids.bin`/`vectors.bin` pair) open
+  *    unchanged as a one-segment store
   *
-  * The store is written by one driver pass over the id-sorted corpus
-  * (`toLocalIterator` — one partition of rows in memory at a time, no
-  * collect), so save cost is one sort shuffle + a sequential write.
+  * Why segments: (1) the SAVE becomes distributed — executors write
+  * per-range sorted segments in parallel instead of one driver thread
+  * streaming the whole corpus (16.7 s at 10M was hours at 1B); (2) an
+  * APPEND ([[appendSegment]]) writes one new segment + a meta swap
+  * instead of rewriting the n-row sidecar for a 10k batch — the ANN
+  * analogue of the clustering store's touched-bucket merge; (3) no
+  * single array/file needs to span the corpus, so the open survives past
+  * Int.MaxValue TOTAL rows (each segment stays ≤ Int.MaxValue — the
+  * per-segment binary-search index is one heap long array).
+  *
   * Doubles are stored exactly as the distributed path's
   * `cast("array<double>")` produces them, so a re-rank distance computed
   * from the mapped file is bit-identical to one computed from the heap
   * snapshot or the distributed join (AnnCodesLocalSpec pins it).
   *
-  * Reading: ids load into one heap array (8 B/row — the binary-search
-  * index); vectors are mapped in ≤1 GiB segments aligned to row
-  * boundaries. `MappedByteBuffer` absolute reads are thread-safe, so one
-  * open store serves a parallel query batch. Non-local filesystems
-  * (hdfs/s3a) are first copied to a process-local temp file — the mmap
-  * contract needs a local path; at 100 TB that copy is the standard
-  * "ship the serving artifact to the serving node" step.
+  * Reading: per-segment ids load into heap arrays (8 B/row — the
+  * binary-search index); vectors are mapped in ≤1 GiB segments aligned
+  * to row boundaries. `MappedByteBuffer` absolute reads are thread-safe,
+  * so one open store serves a parallel query batch. Non-local
+  * filesystems (hdfs/s3a) are first copied to a process-local temp file
+  * — the mmap contract needs a local path; at 100 TB that copy is the
+  * standard "ship the serving artifact to the serving node" step.
+  *
+  * [[openStandalone]] opens the store WITHOUT a SparkSession (plain
+  * Hadoop FS on a default Configuration — local files, or any scheme on
+  * the classpath): the serving-process shape, usable from executor JVMs
+  * and standalone servers (r14 verdict #2).
   */
 object AnnVecStore {
 
@@ -48,49 +66,92 @@ object AnnVecStore {
 
   private def dirOf(path: String) = new HPath(s"$path/vecstore")
 
+  /** One committed segment: file names are vecstore-relative. */
+  private final case class SegMeta(idsFile: String, vecFile: String, rows: Long)
+
+  private final case class StoreMeta(n: Long, dim: Int, segs: Seq[SegMeta])
+
   /** Does a COMMITTED vector store exist under `path`? (meta.txt is the
     * commit marker — a half-written store reads as absent.)
     */
   def exists(spark: SparkSession, path: String): Boolean =
     fsFor(spark, path).exists(new HPath(s"$path/vecstore/meta.txt"))
 
-  /** Write the corpus vectors as the mmap-able rerank sidecar. One
-    * distributed sort on the id, then a single sequential driver write.
-    * Ids must be unique (strictly-ascending check while streaming).
-    * Returns the row count written.
+  private def readMeta(fs: FileSystem, path: String): Option[StoreMeta] = {
+    val metaPath = new HPath(dirOf(path), "meta.txt")
+    if (!fs.exists(metaPath)) return None
+    val in = fs.open(metaPath)
+    val txt =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    val lines = txt.split('\n').toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+    val head = lines.head.split("\\s+")
+    head(0) match {
+      case "GRAFTVS1" =>
+        require(head.length == 3, s"unrecognized vecstore meta at $path: '${lines.head}'")
+        val n = head(1).toLong
+        Some(StoreMeta(n, head(2).toInt,
+          if (n == 0) Seq.empty else Seq(SegMeta("ids.bin", "vectors.bin", n))))
+      case "GRAFTVS2" =>
+        require(head.length == 4, s"unrecognized vecstore meta at $path: '${lines.head}'")
+        val segs = lines.tail.map { l =>
+          val p = l.split("\\s+")
+          require(p.length == 3, s"malformed vecstore segment line at $path: '$l'")
+          SegMeta(p(0), p(1), p(2).toLong)
+        }
+        require(segs.length == head(3).toInt && segs.map(_.rows).sum == head(1).toLong,
+          s"vecstore meta at $path is inconsistent with its segment lines")
+        Some(StoreMeta(head(1).toLong, head(2).toInt, segs))
+      case _ =>
+        throw new IllegalArgumentException(
+          s"unrecognized vecstore meta at $path: '${lines.head}'")
+    }
+  }
+
+  /** Commit: write meta_new.txt, rename over meta.txt (atomic on HDFS
+    * and local FS — readers see the old complete meta or the new one).
     */
-  def save(
-      emb: DataFrame,
-      path: String,
-      idCol: String = "vec_id",
-      vecCol: String = "embedding"): Long = {
-    val spark = emb.sparkSession
-    val fs = fsFor(spark, path)
+  private def writeMeta(fs: FileSystem, path: String, m: StoreMeta): Unit = {
     val dir = dirOf(path)
-    fs.delete(dir, true)
-    fs.mkdirs(dir)
-    val sorted = emb
-      .select(col(idCol).cast("long").as("_id"),
-        col(vecCol).cast("array<double>").as("_v"))
-      .sort(col("_id"))
+    val tmp = new HPath(dir, "meta_new.txt")
+    val dest = new HPath(dir, "meta.txt")
+    val body = (s"GRAFTVS2 ${m.n} ${m.dim} ${m.segs.length}" +:
+      m.segs.map(s => s"${s.idsFile} ${s.vecFile} ${s.rows}"))
+      .mkString("", "\n", "\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(dest, false)
+    require(fs.rename(tmp, dest), s"vecstore meta commit rename failed at $path")
+  }
+
+  /** One segment writer: streams (id, vec) rows to `<stem>.ids.bin` /
+    * `<stem>.vec.bin`, enforcing strictly-ascending ids and a uniform
+    * dimension. Returns (rows, dim, minId, maxId).
+    */
+  private def writeSegment(
+      fs: FileSystem, dir: HPath, stem: String,
+      rows: Iterator[(Long, scala.collection.Seq[Double])],
+      dimHint: Int): (Long, Int, Long, Long) = {
     val idsOut = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      fs.create(new HPath(dir, "ids.bin"), true), 1 << 20))
+      fs.create(new HPath(dir, s"$stem.ids.bin"), true), 1 << 20))
     val vecOut = new java.io.BufferedOutputStream(
-      fs.create(new HPath(dir, "vectors.bin"), true), 1 << 20)
+      fs.create(new HPath(dir, s"$stem.vec.bin"), true), 1 << 20)
     var n = 0L
-    var dim = -1
+    var dim = dimHint
     var prev = Long.MinValue
+    var minId = Long.MaxValue
     var rowBuf: Array[Byte] = null
     var rowBB: java.nio.ByteBuffer = null
     try {
-      sorted.toLocalIterator().asScala.foreach { r =>
-        val id = r.getLong(0)
+      rows.foreach { case (id, v) =>
         require(id > prev,
           s"vecstore ids must be unique and sortable: saw $id after $prev")
         prev = id
-        val v = r.getSeq[Double](1)
-        if (dim < 0) {
-          dim = v.length
+        if (n == 0L) minId = id
+        if (dim < 0) dim = v.length
+        if (rowBuf == null) {
           rowBuf = new Array[Byte](8 * dim)
           rowBB = java.nio.ByteBuffer.wrap(rowBuf)
         }
@@ -104,95 +165,211 @@ object AnnVecStore {
         n += 1
       }
     } finally { idsOut.close(); vecOut.close() }
-    // commit marker LAST: a crash above leaves no meta → open() → None
-    val metaOut = fs.create(new HPath(dir, "meta.txt"), true)
-    try metaOut.write(s"GRAFTVS1 $n ${math.max(dim, 0)}\n".getBytes("UTF-8"))
-    finally metaOut.close()
+    (n, math.max(dim, 0), minId, prev)
+  }
+
+  /** Write the corpus vectors as the mmap-able rerank sidecar —
+    * DISTRIBUTED since r15: one range-sort on the id, then every
+    * partition writes its own sorted segment from the executor that
+    * holds it (deterministic file names from the partition index, so a
+    * task RETRY overwrites its own files — run with speculation off, as
+    * any direct-filesystem writer requires), and the driver commits
+    * meta.txt last, after verifying the segments chain in strict id
+    * order. Ids must be unique (strictly-ascending check while
+    * streaming, cross-segment check at commit). Returns rows written.
+    *
+    * @param targetSegmentBytes split the corpus so each segment's vector
+    *   file stays near this size (default 1 GiB) — bounds both the write
+    *   task's output and the open's per-segment id array
+    */
+  def save(
+      emb: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      targetSegmentBytes: Long = 1L << 30): Long = {
+    val spark = emb.sparkSession
+    val fs = fsFor(spark, path)
+    val dir = dirOf(path)
+    fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val prepared = emb
+      .select(col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+    val n = prepared.count()
+    if (n == 0L) { writeMeta(fs, path, StoreMeta(0L, 0, Seq.empty)); return 0L }
+    val dim = prepared.select(size(col("_v"))).limit(1).collect()(0).getInt(0)
+    val rowBytes = math.max(8L * dim, 8L)
+    val nSegs = math.max(1L,
+      math.min((n * rowBytes + targetSegmentBytes - 1) / targetSegmentBytes,
+        1L << 16)).toInt
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val pathStr = path
+    import spark.implicits._
+    val segStats: Array[(Int, Long, Int, Long, Long)] = prepared
+      .repartitionByRange(nSegs, col("_id"))
+      .sortWithinPartitions(col("_id"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val part = org.apache.spark.TaskContext.getPartitionId()
+          val taskFs = FileSystem.get(URI.create(pathStr), confSer.value)
+          val (rows, d, lo, hi) = writeSegment(
+            taskFs, new HPath(s"$pathStr/vecstore"), f"seg-p$part%05d",
+            it.map { case (id, v) => (id, v: scala.collection.Seq[Double]) }, -1)
+          Iterator.single((part, rows, d, lo, hi))
+        }
+      }
+      .collect()
+    val ordered = segStats.sortBy(_._1)
+    // cross-segment discipline: range partitions are contiguous in id,
+    // so the chain must ascend strictly — a violation means duplicate ids
+    ordered.sliding(2).foreach {
+      case Array(a, b) =>
+        require(a._5 < b._4,
+          s"vecstore segments overlap in id space (${a._5} >= ${b._4}) — ids not unique")
+      case _ =>
+    }
+    val dims = ordered.map(_._3).distinct
+    require(dims.length == 1 && dims(0) == dim,
+      s"ragged embedding dims across segments: ${dims.mkString(",")}")
+    writeMeta(fs, path, StoreMeta(n, dim,
+      ordered.toIndexedSeq.map(s =>
+        SegMeta(f"seg-p${s._1}%05d.ids.bin", f"seg-p${s._1}%05d.vec.bin", s._2))))
     n
   }
 
-  /** Open the store: ids into one heap array, vectors memory-mapped.
-    * None when no committed store exists at `path`.
+  /** Fold an embedding BATCH into a committed store as ONE new segment —
+    * the incremental-maintenance write (r14 verdict #3): a 10k append
+    * writes 10k rows + a meta swap, never rewriting the n-row sidecar.
+    * The batch streams through the driver (batch-scale, not
+    * corpus-scale), sorted by id, and every batch id is REQUIRED absent
+    * from the existing store (checked against the opened id index while
+    * streaming — ~µs binary searches). Readers holding the previous open
+    * keep serving their snapshot (old segments are immutable; the meta
+    * swap is the only mutation). Returns rows appended.
     */
-  def open(spark: SparkSession, path: String): Option[StoreVectors] = {
+  def appendSegment(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
     val fs = fsFor(spark, path)
+    val meta = readMeta(fs, path).getOrElse(throw new IllegalStateException(
+      s"no committed vecstore at $path to append to — run saveVectorStore first"))
+    val existing = openWith(fs, path).getOrElse(throw new IllegalStateException(
+      s"vecstore at $path failed to open for the append's id-uniqueness check"))
+    val sorted = batch
+      .select(col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .sort(col("_id"))
+    val stem = s"seg-${java.util.UUID.randomUUID()}"
     val dir = dirOf(path)
-    val metaPath = new HPath(dir, "meta.txt")
-    if (!fs.exists(metaPath)) return None
-    val meta = {
-      val in = fs.open(metaPath)
-      try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
-      finally in.close()
+    val (rows, dim, _, _) = writeSegment(fs, dir, stem,
+      sorted.toLocalIterator().asScala.map { r =>
+        val id = r.getLong(0)
+        require(!existing.contains(id),
+          s"vecstore append: id $id already exists in the store at $path — " +
+            "appended ids must be new (updates/deletes are a rebuild)")
+        (id, r.getSeq[Double](1))
+      }, if (meta.n == 0) -1 else meta.dim)
+    if (rows == 0L) {
+      fs.delete(new HPath(dir, s"$stem.ids.bin"), false)
+      fs.delete(new HPath(dir, s"$stem.vec.bin"), false)
+      return 0L
     }
-    val parts = meta.split("\\s+")
-    require(parts.length == 3 && parts(0) == "GRAFTVS1",
-      s"unrecognized vecstore meta at $path: '$meta'")
-    val n = parts(1).toLong
-    val dim = parts(2).toInt
-    require(n <= Int.MaxValue, s"vecstore row count $n exceeds the open limit")
-    // ids: one sequential read into the binary-search index
-    val ids = new Array[Long](n.toInt)
-    locally {
-      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-        fs.open(new HPath(dir, "ids.bin")), 1 << 20))
-      try {
-        var i = 0
-        while (i < ids.length) { ids(i) = in.readLong(); i += 1 }
-      } finally in.close()
-    }
-    // vectors: mmap a LOCAL file (direct for file://; remote stores are
-    // copied to a process temp first — the artifact-shipping step)
-    val vecPath = new HPath(dir, "vectors.bin")
-    val localFile: java.io.File =
-      if (fs.getScheme == "file")
-        new java.io.File(fs.makeQualified(vecPath).toUri.getPath)
-      else {
-        val tmp = java.io.File.createTempFile("graft_vecstore", ".bin")
-        tmp.deleteOnExit()
-        fs.copyToLocalFile(false, vecPath,
-          new HPath(tmp.getAbsolutePath), true)
-        tmp
+    require(meta.n == 0 || dim == meta.dim,
+      s"append dim $dim != store dim ${meta.dim} at $path")
+    writeMeta(fs, path, StoreMeta(meta.n + rows,
+      if (meta.n == 0) dim else meta.dim,
+      meta.segs :+ SegMeta(s"$stem.ids.bin", s"$stem.vec.bin", rows)))
+    rows
+  }
+
+  /** Open the store: per-segment ids into heap arrays, vectors
+    * memory-mapped. None when no committed store exists at `path`.
+    */
+  def open(spark: SparkSession, path: String): Option[StoreVectors] =
+    openWith(fsFor(spark, path), path)
+
+  /** [[open]] with NO SparkSession — a default-Configuration Hadoop
+    * filesystem (local paths and any scheme on the classpath): the
+    * executor-JVM / standalone-serving-process entry point (r14 verdict
+    * #2). The mmap + binary-search index is identical to the
+    * Spark-session open's.
+    */
+  def openStandalone(
+      path: String,
+      conf: Configuration = new Configuration()): Option[StoreVectors] =
+    openWith(FileSystem.get(URI.create(path), conf), path)
+
+  private def openWith(fs: FileSystem, path: String): Option[StoreVectors] = {
+    val meta = readMeta(fs, path).getOrElse(return None)
+    val dir = dirOf(path)
+    val segs = meta.segs.map { s =>
+      require(s.rows <= Int.MaxValue,
+        s"vecstore segment ${s.idsFile} holds ${s.rows} rows — above the " +
+          "per-segment open limit; re-save with a smaller targetSegmentBytes")
+      val ids = new Array[Long](s.rows.toInt)
+      locally {
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          fs.open(new HPath(dir, s.idsFile)), 1 << 20))
+        try {
+          var i = 0
+          while (i < ids.length) { ids(i) = in.readLong(); i += 1 }
+        } finally in.close()
       }
-    val rowBytes = math.max(8L * dim, 8L)
-    // ≤1 GiB segments, aligned to row boundaries so no record straddles
-    val rowsPerChunk = math.max(1L, (1L << 30) / rowBytes)
-    val ch = java.nio.channels.FileChannel.open(
-      localFile.toPath, java.nio.file.StandardOpenOption.READ)
-    val chunks =
-      try {
-        val total = n
-        (0L until total by rowsPerChunk).map { start =>
-          val rows = math.min(rowsPerChunk, total - start)
-          ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
-            start * rowBytes, rows * rowBytes)
-        }.toArray
-      } finally ch.close()
-    Some(new StoreVectors(ids, chunks, rowsPerChunk.toInt, dim))
+      // vectors: mmap a LOCAL file (direct for file://; remote stores are
+      // copied to a process temp first — the artifact-shipping step)
+      val vecPath = new HPath(dir, s.vecFile)
+      val localFile: java.io.File =
+        if (fs.getScheme == "file")
+          new java.io.File(fs.makeQualified(vecPath).toUri.getPath)
+        else {
+          val tmp = java.io.File.createTempFile("graft_vecstore", ".bin")
+          tmp.deleteOnExit()
+          fs.copyToLocalFile(false, vecPath,
+            new HPath(tmp.getAbsolutePath), true)
+          tmp
+        }
+      val rowBytes = math.max(8L * meta.dim, 8L)
+      // ≤1 GiB map windows, aligned to row boundaries so no record straddles
+      val rowsPerChunk = math.max(1L, (1L << 30) / rowBytes)
+      val ch = java.nio.channels.FileChannel.open(
+        localFile.toPath, java.nio.file.StandardOpenOption.READ)
+      val chunks =
+        try {
+          (0L until s.rows by rowsPerChunk).map { start =>
+            val rows = math.min(rowsPerChunk, s.rows - start)
+            ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
+              start * rowBytes, rows * rowBytes)
+          }.toArray
+        } finally ch.close()
+      new VecSegment(ids, chunks, rowsPerChunk.toInt)
+    }
+    Some(new StoreVectors(segs.toArray, meta.dim, meta.n))
   }
 }
 
-/** Mmap-backed exact-rerank vectors: binary-search the id, absolute-read
-  * the row. Thread-safe (immutable index + absolute buffer reads).
+/** One mmap-backed segment: a sorted id index plus row-aligned map
+  * windows over the vector file.
   */
-final class StoreVectors private[operators] (
-    ids: Array[Long],
+private[operators] final class VecSegment(
+    val ids: Array[Long],
     chunks: Array[java.nio.MappedByteBuffer],
-    rowsPerChunk: Int,
-    val dim: Int) extends graft.operators.VectorSource {
-
-  def size: Int = ids.length
-
-  /** Exact squared L2 to the stored vector for `id` — the identical
-    * left-to-right (q−v)² fold as [[AnnPq.sqDist]] and the heap
-    * snapshot's rerank, on the identical doubles.
-    */
-  override def dist(id: Long, q: Array[Double]): Double = {
-    val idx = java.util.Arrays.binarySearch(ids, id)
-    if (idx < 0)
-      throw new IllegalStateException(
-        s"vecstore does not contain id $id — the store was built from a " +
-          "different corpus than the index")
+    rowsPerChunk: Int) {
+  def minId: Long = if (ids.isEmpty) Long.MaxValue else ids(0)
+  def maxId: Long = if (ids.isEmpty) Long.MinValue else ids(ids.length - 1)
+  /** Row position of `id` in this segment, or -1. */
+  def find(id: Long): Int = {
+    if (ids.isEmpty || id < ids(0) || id > ids(ids.length - 1)) return -1
+    val i = java.util.Arrays.binarySearch(ids, id)
+    if (i < 0) -1 else i
+  }
+  def sqDistAt(idx: Int, q: Array[Double], dim: Int): Double = {
     val buf = chunks(idx / rowsPerChunk)
     val base = (idx % rowsPerChunk).toLong * 8L * dim
     var d = 0.0
@@ -203,5 +380,68 @@ final class StoreVectors private[operators] (
       i += 1
     }
     d
+  }
+  def vectorAt(idx: Int, dim: Int): Array[Double] = {
+    val buf = chunks(idx / rowsPerChunk)
+    val base = (idx % rowsPerChunk).toLong * 8L * dim
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { out(i) = buf.getDouble((base + 8L * i).toInt); i += 1 }
+    out
+  }
+}
+
+/** Mmap-backed exact-rerank vectors over the committed segments:
+  * binary-search the id (min/max range check skips non-overlapping
+  * segments — base segments are id-disjoint by construction, appends
+  * add at most a few more probes), absolute-read the row. Thread-safe
+  * (immutable index + absolute buffer reads).
+  */
+final class StoreVectors private[operators] (
+    segs: Array[VecSegment],
+    val dim: Int,
+    val rowCount: Long) extends graft.operators.VectorSource {
+
+  def size: Long = rowCount
+
+  /** Is `id` present in the store? (the append path's uniqueness check) */
+  def contains(id: Long): Boolean = {
+    var s = 0
+    while (s < segs.length) {
+      if (segs(s).find(id) >= 0) return true
+      s += 1
+    }
+    false
+  }
+
+  /** The stored doubles for `id` (the drift report's base-sample read).
+    * Throws on a foreign id, like [[dist]].
+    */
+  def vector(id: Long): Array[Double] = {
+    var s = 0
+    while (s < segs.length) {
+      val idx = segs(s).find(id)
+      if (idx >= 0) return segs(s).vectorAt(idx, dim)
+      s += 1
+    }
+    throw new IllegalStateException(
+      s"vecstore does not contain id $id — the store was built from a " +
+        "different corpus than the index")
+  }
+
+  /** Exact squared L2 to the stored vector for `id` — the identical
+    * left-to-right (q−v)² fold as [[AnnPq.sqDist]] and the heap
+    * snapshot's rerank, on the identical doubles.
+    */
+  override def dist(id: Long, q: Array[Double]): Double = {
+    var s = 0
+    while (s < segs.length) {
+      val idx = segs(s).find(id)
+      if (idx >= 0) return segs(s).sqDistAt(idx, q, dim)
+      s += 1
+    }
+    throw new IllegalStateException(
+      s"vecstore does not contain id $id — the store was built from a " +
+        "different corpus than the index")
   }
 }

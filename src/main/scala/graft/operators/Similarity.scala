@@ -19,7 +19,7 @@ object Similarity {
   def all: Seq[GraftQuery] = Seq(
     knnBruteForce, embeddingNearDup, annLsh, annIvf, embeddingQuantize, annPq,
     semDedup, embeddingOutliers, hardNegatives, annIndexRoundtrip, annIvfPq,
-    annIvfPqResidual)
+    annIvfPqResidual, annAppend)
 
   /** Embedding-space outlier pruning: distance of every vector to its
     * label centroid, flagging the top ceil(5%) per label — the
@@ -349,6 +349,40 @@ object Similarity {
     val (cb, coded) = residualExactIndex(spark, dir)
     AnnIvfPq.search(
       emb.where(col("vec_id") < 20), coded, centroids, cb, emb,
+      nprobe = 6, topK = 3, refine = 10, exactScores = true, residual = true)
+      .orderBy("query_id", "rk")
+  }
+
+  /** Incremental ANN maintenance ([[AnnIvfPq.appendVectors]], r14 verdict
+    * #3): build the residual IVF+PQ index on a BASE corpus (7/8 of the
+    * vectors), APPEND the remaining 1/8 under the FROZEN structures —
+    * frozen coarse assignment, frozen codebooks, codes appended to the
+    * saved index — and search the appended index. The oracle replays the
+    * equivalent REBUILD-WITH-FROZEN-STRUCTURES in DuckDB: coarse Lloyd +
+    * PQ Lloyd trained on the base only, assignment and encoding evaluated
+    * over the FULL corpus (frozen maps are pure per-row functions, so
+    * union-then-map ≡ map-then-union — the identity that makes appends
+    * exact, not approximate). Same knobs as q107, so any divergence is
+    * the append path itself. At 100 TB this is the operator that turns
+    * "every embedding-ingest window re-encodes the corpus" into an
+    * O(batch) fold, exactly as [[graft.cluster.IndexStore.mergeInto]]
+    * does for the clustering index.
+    */
+  val annAppend: GraftQuery = GraftQuery.sql(
+    "q108_ann_append", annIvfPqAppendOracleSql) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.where(col("vec_id") % 8 =!= 0)
+    val batch = emb.where(col("vec_id") % 8 === 0)
+    val (indexedB, centroidsB) = AnnIvf.buildIndex(base, exactScores = true)
+    val cb = AnnIvfPq.trainResidual(indexedB, centroidsB,
+      m = 8, k = 16, iters = 2, exactMeans = true)
+    val codedB = AnnIvfPq.encodeResidual(indexedB, centroidsB, cb)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_append_q108"
+    AnnIvfPq.saveIndex(codedB, centroidsB, cb, path, residual = true)
+    AnnIvfPq.appendVectors(spark, path, batch, exactScores = true): Unit
+    val (coded2, cents2, cb2) = AnnIvfPq.loadIndex(spark, path)
+    AnnIvfPq.search(
+      emb.where(col("vec_id") < 20), coded2, cents2, cb2, emb,
       nprobe = 6, topK = 3, refine = 10, exactScores = true, residual = true)
       .orderBy("query_id", "rk")
   }
@@ -686,6 +720,164 @@ object Similarity {
        |),
        |${lloydPq("cb0", "ra1", "rg1", "ru1", "rv1", "cb1")},
        |${lloydPq("cb1", "ra2", "rg2", "ru2", "rv2", "cb2")},
+       |encr AS (
+       |  SELECT s.id, s._j, c._c,
+       |    ROW_NUMBER() OVER (PARTITION BY s.id, s._j
+       |      ORDER BY ${sq("s.sv", "c.cv")}, c._c) AS rk
+       |  FROM sub s JOIN cb2 c ON c._j = s._j
+       |), enc AS (SELECT id, _j, _c AS code FROM encr WHERE rk = 1),
+       |pr AS (
+       |  SELECT e.vec_id AS query_id, s._c,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${cosGuardedSql("e.embedding", "s.cv", "e.nsq", "s.cnsq")} DESC, s._c) AS prk
+       |  FROM e CROSS JOIN c2n s WHERE e.vec_id < 20
+       |),
+       |probed AS (SELECT query_id, _c FROM pr WHERE prk <= 6),
+       |qsub AS (
+       |  SELECT p.query_id, p._c, CAST(j._j AS INT) AS _j,
+       |    list_transform(range(1, pp.dsub + 1),
+       |      i -> CAST(e.embedding[CAST(j._j AS INT) * pp.dsub + i] AS DOUBLE)
+       |         - c.cv[CAST(j._j AS INT) * pp.dsub + i]) AS sv
+       |  FROM probed p
+       |  JOIN e ON e.vec_id = p.query_id
+       |  JOIN c2n c ON c._c = p._c, pp, UNNEST(range(0, 8)) AS j(_j)
+       |),
+       |candp AS (
+       |  SELECT pb.query_id, a.vec_id AS neighbor_id, pb._c
+       |  FROM probed pb JOIN asg2 a ON a._c = pb._c
+       |  WHERE pb.query_id <> a.vec_id
+       |),
+       |adc AS (
+       |  SELECT cp.query_id, cp.neighbor_id,
+       |    list_aggregate(list(${sq("q.sv", "c.cv")} ORDER BY q._j), 'sum') AS approx_dist
+       |  FROM candp cp
+       |  JOIN qsub q ON q.query_id = cp.query_id AND q._c = cp._c
+       |  JOIN enc n ON n.id = cp.neighbor_id AND n._j = q._j
+       |  JOIN cb2 c ON c._j = n._j AND c._c = n.code
+       |  GROUP BY cp.query_id, cp.neighbor_id
+       |),
+       |sl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY approx_dist, neighbor_id) AS ark
+       |    FROM adc) WHERE ark <= 30
+       |),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${sq("qe.embedding", "ne.embedding")} AS dist
+       |  FROM sl s
+       |  JOIN embeddings qe ON qe.vec_id = s.query_id
+       |  JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY dist, neighbor_id) AS BIGINT) AS rk
+       |  FROM rr
+       |)
+       |SELECT query_id, neighbor_id, dist, rk FROM ranked WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** DuckDB replay of q108's REBUILD-WITH-FROZEN-STRUCTURES equivalent:
+    * the residual IVF+PQ chain with every TRAINING step (coarse seeds,
+    * coarse Lloyd, PQ seeds, PQ Lloyd) restricted to the BASE corpus
+    * (vec_id % 8 <> 0) and every FROZEN-MAP step (final coarse
+    * assignment, residual subtraction, PQ encode) evaluated over the
+    * FULL corpus — exactly what appendVectors produces, because frozen
+    * assignment/encode are pure per-row functions. Search CTEs are
+    * q107's verbatim.
+    */
+  private def annIvfPqAppendOracleSql: String = {
+    def sq(a: String, b: String): String =
+      s"""list_aggregate(list_transform(range(1, len($a) + 1),
+         |    i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |       * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+         |  'sum')""".stripMargin
+    // coarse Lloyd step over a TRAINING assignment (same decimal means
+    // as ivfChainSql's)
+    def lloyd(asg: String, m: String, c: String, cn: String): String =
+      s"""$m AS (
+         |  SELECT _c, i,
+         |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+         |      / COUNT(*) AS mv
+         |  FROM $asg, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+         |  GROUP BY _c, i
+         |), $c AS (
+         |  SELECT _c, list(mv ORDER BY i) AS cv FROM $m GROUP BY _c
+         |), $cn AS (
+         |  SELECT _c, cv, CAST(${dotSql("cv", "cv")} AS DOUBLE) AS cnsq FROM $c
+         |)""".stripMargin
+    // nearest-centroid assignment of SOURCE `src` against centroids `cn`
+    def assignStep(src: String, cn: String, a: String, asg: String): String =
+      s"""$a AS (
+         |  SELECT e0.vec_id, e0.embedding, e0.nsq, s._c,
+         |    ROW_NUMBER() OVER (PARTITION BY e0.vec_id ORDER BY
+         |      ${cosGuardedSql("e0.embedding", "s.cv", "e0.nsq", "s.cnsq")} DESC, s._c) AS crk
+         |  FROM $src e0 CROSS JOIN $cn s
+         |), $asg AS (SELECT vec_id, embedding, nsq, _c FROM $a WHERE crk = 1)""".stripMargin
+    // PQ Lloyd step over TRAINING subvectors `src`
+    def lloydPq(src: String, prev: String, a: String, g: String, u: String,
+        v: String, next: String): String =
+      s"""$a AS (
+         |  SELECT s.id, s._j, s.sv, c._c,
+         |    ROW_NUMBER() OVER (PARTITION BY s.id, s._j
+         |      ORDER BY ${sq("s.sv", "c.cv")}, c._c) AS rk
+         |  FROM $src s JOIN $prev c ON c._j = s._j
+         |), $g AS (SELECT id, _j, sv, _c FROM $a WHERE rk = 1),
+         |$u AS (
+         |  SELECT _j, _c, i,
+         |    CAST(SUM(CAST(sv[i] AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS mv
+         |  FROM $g, pp, UNNEST(range(1, pp.dsub + 1)) AS t(i)
+         |  GROUP BY _j, _c, i
+         |), $v AS (SELECT _j, _c, list(mv ORDER BY i) AS cv FROM $u GROUP BY _j, _c),
+         |$next AS (
+         |  SELECT c._j, c._c, COALESCE(w.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN $v w ON w._j = c._j AND w._c = c._c
+         |)""".stripMargin
+    s"""WITH p AS (SELECT GREATEST(COUNT(*) // 16, 1) AS stride
+       |  FROM embeddings WHERE vec_id % 8 <> 0),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(${dotSql("embedding", "embedding")} AS DOUBLE) AS nsq
+       |  FROM embeddings
+       |),
+       |eb AS (SELECT * FROM e WHERE vec_id % 8 <> 0),
+       |seeds AS (
+       |  SELECT CAST(vec_id // stride AS INT) AS _c,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+       |    nsq AS cnsq
+       |  FROM eb, p WHERE vec_id % stride = 0 AND vec_id // stride < 16
+       |),
+       |${assignStep("eb", "seeds", "a0", "asg0")},
+       |${lloyd("asg0", "m0", "c1", "c1n")},
+       |${assignStep("eb", "c1n", "a1", "asg1")},
+       |${lloyd("asg1", "m1", "c2", "c2n")},
+       |${assignStep("e", "c2n", "a2", "asg2")},
+       |pp AS (SELECT len(embedding) // 8 AS dsub FROM embeddings LIMIT 1),
+       |res AS (
+       |  SELECT a.vec_id AS id, a._c,
+       |    list_transform(range(1, len(a.embedding) + 1),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) - c.cv[i]) AS rv
+       |  FROM asg2 a JOIN c2n c USING (_c)
+       |),
+       |sub AS (
+       |  SELECT r.id, CAST(j._j AS INT) AS _j,
+       |    list_transform(range(1, pp.dsub + 1),
+       |      i -> r.rv[CAST(j._j AS INT) * pp.dsub + i]) AS sv
+       |  FROM res r, pp, UNNEST(range(0, 8)) AS j(_j)
+       |),
+       |subb AS (SELECT * FROM sub WHERE id % 8 <> 0),
+       |sid AS (SELECT vec_id FROM embeddings WHERE vec_id % 8 <> 0
+       |  ORDER BY vec_id LIMIT 16),
+       |cb0 AS (
+       |  SELECT _j, CAST(ROW_NUMBER() OVER (PARTITION BY _j ORDER BY id) - 1 AS INT) AS _c,
+       |    sv AS cv
+       |  FROM subb WHERE id IN (SELECT vec_id FROM sid)
+       |),
+       |${lloydPq("subb", "cb0", "ra1", "rg1", "ru1", "rv1", "cb1")},
+       |${lloydPq("subb", "cb1", "ra2", "rg2", "ru2", "rv2", "cb2")},
        |encr AS (
        |  SELECT s.id, s._j, c._c,
        |    ROW_NUMBER() OVER (PARTITION BY s.id, s._j

@@ -667,6 +667,18 @@ class IndexStoreSpec extends AnyFunSuite {
         s"against ${s2.totalBuckets} buckets")
     assert(s2.manifestBytes < s1.manifestBytes,
       "steady-state commit bytes should be far below the one-time upgrade's")
+    // r15 (r14 verdict #1): the merge's subset READ plans from an
+    // O(touched)-resolved file list — only the touched buckets' manifests
+    // are read, never the flattened epoch. Every live bucket holds >= 1
+    // file, so totalBuckets lower-bounds the live file census the old
+    // path handed to the planner.
+    assert(s2.plannedFiles <= s2.rewrittenBuckets * 3,
+      s"subset read planned ${s2.plannedFiles} files for " +
+        s"${s2.rewrittenBuckets} touched buckets — not O(touched)")
+    assert(s2.plannedFiles * 4 < s2.totalBuckets,
+      s"subset read planned ${s2.plannedFiles} files against " +
+        s"${s2.totalBuckets} live buckets — the full epoch leaked into " +
+        "merge planning")
     // the resolved read is bit-equal to a fresh rebuild of the union
     assert(canon(IndexStore.load(spark, dir)) ==
       canon(GridHierarchy.build(df(base ++ b1 ++ b2))))
