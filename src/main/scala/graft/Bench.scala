@@ -114,6 +114,11 @@ object Bench {
     val residualBuild = timedBuild("residual_exact_build", Seq("q107")) {
       graft.operators.Similarity.warmResidualExactIndex(spark, sfDir)
     }
+    // q108's base build + save + appendVectors chain (one-time cost, own
+    // key) — the suite's q108 number then measures the recurring search
+    val appendBuild = timedBuild("append_exact_build", Seq("q108")) {
+      graft.operators.Similarity.warmAppendExactIndex(spark, sfDir)
+    }
     // q103's base build + incremental merge, same discipline
     val incrBuild = timedBuild("incr_merge_build", Seq("q103")) {
       graft.operators.Spatial.warmIncrementalMergeIndex(spark, sfDir)
@@ -857,10 +862,14 @@ object Bench {
             mean(steady.map(_.manifestBytes / 1024.0)), true),
           ("store_deep_steady_touched_mean",
             mean(steady.map(_.rewrittenBuckets.toDouble)), true),
+          ("store_deep_steady_planned_files_mean",
+            mean(steady.map(_.plannedFiles.toDouble)), true),
           ("store_deep_phase_commit_mean_sec",
             mean(steady.map(_.phaseSec.getOrElse("commit", 0.0))), true),
           ("store_deep_phase_write_mean_sec",
             mean(steady.map(_.phaseSec.getOrElse("write", 0.0))), true),
+          ("store_deep_phase_recompute_mean_sec",
+            mean(steady.map(_.phaseSec.getOrElse("recompute", 0.0))), true),
           ("store_deep_vacuum_sec", tVacuum, true),
           ("store_deep_vacuum_deleted_files", nVacuumed, true))
       } catch { case NonFatal(_) => Seq(("store_chain_deep", 0.0, false)) })
@@ -2021,6 +2030,7 @@ object Bench {
     val ivfBuildJson =
       (if (ivfBuild.isEmpty) "" else s""","ivf_exact_build_sec":${ivfBuild.head._2}""") +
         (if (incrBuild.isEmpty) "" else s""","incr_merge_build_sec":${incrBuild.head._2}""") +
+        (if (appendBuild.isEmpty) "" else s""","append_exact_build_sec":${appendBuild.head._2}""") +
         (if (storeBuild.isEmpty) "" else s""","store_merge_build_sec":${storeBuild.head._2}""") +
         (if (pqBuild.isEmpty) "" else s""","pq_exact_build_sec":${pqBuild.head._2}""") +
         (if (residualBuild.isEmpty) "" else s""","residual_exact_build_sec":${residualBuild.head._2}""")

@@ -143,8 +143,18 @@ object AnnServeRegistry {
       if (cached != null) {
         retired.keySet.removeIf(_._1 == path)
         retired.put((path, cached.gen), cached)
-        pinAlias.entrySet.removeIf(e =>
-          e.getKey._1 == path && e.getValue.longValue() != cached.gen)
+        // drop aliases that no longer resolve — EXCEPT recent IDENTITY
+        // markers (key gen == value, written by pin()): they record
+        // "this JVM minted the pin", which search needs to tell a
+        // superseded same-JVM pin (loud failure) from a foreign JVM's
+        // pin (alias to current). The 64-generation recency window
+        // bounds the map for long-lived serving processes.
+        pinAlias.entrySet.removeIf { e =>
+          e.getKey._1 == path && {
+            val v = e.getValue.longValue()
+            v != cached.gen && !(e.getKey._2 == v && v > cached.gen - 64L)
+          }
+        }
         ()
       }
       cache.put(path, open(path, fp, now))

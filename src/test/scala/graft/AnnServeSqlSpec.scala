@@ -91,6 +91,45 @@ class AnnServeSqlSpec extends AnyFunSuite {
       s"expected a loud no-covering-calibration error, got $e")
   }
 
+  test("generation pinning (r14 advice): one re-save keeps the pinned snapshot; two fail loudly; a foreign pin aliases to the local snapshot") {
+    AnnServeRegistry.reset()
+    val savedFreshness = AnnServeRegistry.freshnessMs
+    AnnServeRegistry.freshnessMs = 0L
+    try {
+      AnnServeRegistry.warm(dir)
+      val g1 = AnnServeRegistry.pin(dir)
+      assert(g1 >= 0L)
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect()(0).getSeq[Double](0).toArray
+      val r1 = AnnServeRegistry.search(dir, 0L, qv, 0.9, 3, g1).toSeq
+      // re-save #1 (a calibration re-stamp changes the save fingerprint):
+      // warm retires g1 — a query pinned to it still answers identically
+      val cal = AnnIvfPq.loadCalibration(spark, dir).get
+      AnnIvfPq.saveCalibration(spark, dir, cal)
+      AnnServeRegistry.warm(dir)
+      val g2 = AnnServeRegistry.pin(dir)
+      assert(g2 != g1, "a fingerprint change must mint a new generation")
+      assert(AnnServeRegistry.search(dir, 0L, qv, 0.9, 3, g1).toSeq == r1,
+        "a query pinned across ONE re-save must keep its snapshot")
+      // re-save #2: g1's snapshot is gone — the same-JVM pin fails LOUDLY
+      // instead of silently mixing saves
+      AnnIvfPq.saveCalibration(spark, dir, cal)
+      AnnServeRegistry.warm(dir)
+      val e = intercept[IllegalStateException] {
+        AnnServeRegistry.search(dir, 0L, qv, 0.9, 3, g1)
+      }
+      assert(e.getMessage.contains("superseded"), s"got: ${e.getMessage}")
+      // a FOREIGN pin (minted in another JVM — never pin()'d here)
+      // aliases to this JVM's snapshot and serves consistently
+      val g3 = AnnServeRegistry.pin(dir)
+      val foreign = 987654321L
+      val rF = AnnServeRegistry.search(dir, 0L, qv, 0.9, 3, foreign).toSeq
+      assert(rF == AnnServeRegistry.search(dir, 0L, qv, 0.9, 3, g3).toSeq,
+        "a foreign pin must serve the locally-warmed snapshot")
+    } finally AnnServeRegistry.freshnessMs = savedFreshness
+  }
+
   test("graft_ann_serve: a save without the vecstore sidecar throws with the remedy") {
     val (coded, centroids, cb) = built
     val bare = java.nio.file.Files.createTempDirectory("graft_sql_bare").toString
