@@ -1741,6 +1741,12 @@ object Bench {
           (d1, d2, c)
         }
         out += (("serve_100k_build_sec", tBuild, true))
+        // session-free serving artifact (r15): the SQL tier below then
+        // opens through the pack — the multi-JVM path, measured always-on
+        val (_, tPack) = timedSec {
+          graft.operators.AnnServePack.save(spark, dirCodes)
+        }
+        out += (("serve_100k_pack_save_sec", tPack, true))
         out += (("serve_100k_cal_met_target", if (cal.metTarget) 1.0 else 0.0, true))
         val qv = probes
           .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))

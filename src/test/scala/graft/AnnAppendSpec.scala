@@ -94,6 +94,31 @@ class AnnAppendSpec extends AnyFunSuite {
     }
   }
 
+  test("vecstore commit discipline: stray uncommitted files are invisible; a corrupt meta is loud, and the previous meta survives a torn append") {
+    val d = java.nio.file.Files.createTempDirectory("graft_vs_commit").toString
+    AnnVecStore.save(base, d)
+    val st0 = AnnVecStore.open(spark, d).getOrElse(fail("store must open"))
+    val n0 = st0.size
+    // a crashed append leaves segment files but no meta swap: invisible
+    val vs = new java.io.File(d, "vecstore")
+    val strayIds = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(new java.io.File(vs, "seg-stray.ids.bin")))
+    strayIds.writeLong(999999999L); strayIds.close()
+    val strayVec = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(new java.io.File(vs, "seg-stray.vec.bin")))
+    (0 until 16).foreach(_ => strayVec.writeDouble(0.0)); strayVec.close()
+    val st1 = AnnVecStore.open(spark, d).getOrElse(fail("store must reopen"))
+    assert(st1.size == n0, "uncommitted segment files must be invisible")
+    assert(!st1.contains(999999999L))
+    // a corrupt meta fails loudly, never a silent partial read
+    val meta = new java.io.File(vs, "meta.txt")
+    val good = java.nio.file.Files.readAllBytes(meta.toPath)
+    java.nio.file.Files.write(meta.toPath, "GARBAGE 1 2\n".getBytes("UTF-8"))
+    intercept[Exception] { AnnVecStore.open(spark, d) }
+    java.nio.file.Files.write(meta.toPath, good)
+    assert(AnnVecStore.open(spark, d).exists(_.size == n0))
+  }
+
   // ------------------------------------------------------------ appendVectors
 
   /** append ≡ rebuild-with-frozen-structures, both encodings. */
@@ -223,6 +248,29 @@ class AnnAppendSpec extends AnyFunSuite {
         assert(got == expected, s"SQL pack serving diverged for query $qid")
       }
     } finally { assert(hidden.renameTo(codedDir)); () }
+
+    // NON-LITERAL path: the builder cannot warm at analysis time, so the
+    // FIRST row's eval on a task thread performs the session-free pack
+    // open — the executor-JVM shape. The registry's task-thread guard
+    // forbids the parquet fallback, so this passing PROVES the open came
+    // from the pack, not a nested Spark read.
+    graft.operators.AnnServeRegistry.reset()
+    import spark.implicits._
+    qs.take(3).toSeq.map { case (qid, _) => (d, qid) }
+      .toDF("p", "qid").createOrReplaceTempView("pack_lazy_probe")
+    base.createOrReplaceTempView("pack_lazy_emb")
+    val lazyRows = spark.sql(
+      """SELECT qid AS query_id, h.neighbor_id AS neighbor_id
+        |FROM (
+        |  SELECT t.qid, explode(graft_ann_serve(t.p, t.qid, e.embedding)) AS h
+        |  FROM pack_lazy_probe t JOIN pack_lazy_emb e ON e.vec_id = t.qid)
+        |""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expectedLazy = qs.take(3).toSeq.flatMap { case (qid, _) =>
+      served.find(_._1 == qid).get._2.map(h => (qid, h.neighborId))
+    }.sorted
+    assert(lazyRows == expectedLazy,
+      "non-literal-path (task-thread lazy open) serving diverged")
 
     // delta append: appendVectors folds the batch into the pack; the
     // session-free open now answers over the appended corpus
