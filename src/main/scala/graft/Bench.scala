@@ -1321,7 +1321,43 @@ object Bench {
         out += ((s"${prefix}_build_sec", tBuild, true))
         val dir = graft.io.Scratch.dir(s"graft_bench_append_$prefix")
         AnnIvfPq.saveIndex(coded, cents, cb, dir)
-        // single-segment save first (the serial r14 shape), then the
+        // the r14 save shape — one distributed id-sort streamed through a
+        // SINGLE DRIVER THREAD — replicated here as the in-artifact
+        // baseline the distributed save's speedup claim compares against
+        val dirOld = graft.io.Scratch.dir(s"graft_bench_append_${prefix}_drv")
+        val (_, tSaveDrv) = timedSec {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            java.net.URI.create(dirOld), spark.sparkContext.hadoopConfiguration)
+          val sorted = base
+            .select(col("vec_id").cast("long").as("_id"),
+              col("embedding").cast("array<double>").as("_v"))
+            .sort(col("_id"))
+          val idsOut = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+            fs.create(new org.apache.hadoop.fs.Path(s"$dirOld/ids.bin"), true), 1 << 20))
+          val vecOut = new java.io.BufferedOutputStream(
+            fs.create(new org.apache.hadoop.fs.Path(s"$dirOld/vectors.bin"), true), 1 << 20)
+          var dim = -1
+          var rowBuf: Array[Byte] = null
+          var rowBB: java.nio.ByteBuffer = null
+          try {
+            import scala.jdk.CollectionConverters._
+            sorted.toLocalIterator().asScala.foreach { r =>
+              val v = r.getSeq[Double](1)
+              if (dim < 0) {
+                dim = v.length
+                rowBuf = new Array[Byte](8 * dim)
+                rowBB = java.nio.ByteBuffer.wrap(rowBuf)
+              }
+              idsOut.writeLong(r.getLong(0))
+              rowBB.clear()
+              var i = 0
+              while (i < dim) { rowBB.putDouble(v(i)); i += 1 }
+              vecOut.write(rowBuf)
+            }
+          } finally { idsOut.close(); vecOut.close() }
+        }
+        out += ((s"${prefix}_sidecar_save_driver_sec", tSaveDrv, true))
+        // single-segment save (serial write, but executor-side), then the
         // segmented distributed save OVERWRITES it and is the store the
         // append below runs against
         val (_, tSave1) = timedSec {
@@ -1334,7 +1370,8 @@ object Bench {
             targetSegmentBytes = 32L << 20)
         }
         out += ((s"${prefix}_sidecar_save_sec", tSaveN, true))
-        out += ((s"${prefix}_sidecar_save_speedup", tSave1 / tSaveN, true))
+        out += ((s"${prefix}_sidecar_save_speedup", tSaveDrv / tSaveN, true))
+        out += ((s"${prefix}_sidecar_save_speedup_1seg", tSave1 / tSaveN, true))
         val (stats, tApp) = timedSec {
           AnnIvfPq.appendVectors(spark, dir, batch)
         }
