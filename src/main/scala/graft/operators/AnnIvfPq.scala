@@ -514,6 +514,43 @@ object AnnIvfPq {
     sum / sample.length
   }
 
+  /** Compact the serving artifacts after an append chain (the ANN
+    * analogue of [[graft.cluster.IndexStore.vacuum]]'s housekeeping
+    * role): every [[appendVectors]] adds one vecstore segment, one
+    * servepack delta, and one marker file — all O(batch) to write, but
+    * a LONG chain degrades the open/rerank paths (a rerank id probes
+    * each segment's range; the pack open replays every delta). This
+    * re-saves the sidecar as fresh per-range segments (distributed),
+    * re-builds the pack from the current coded table (deltas fold into
+    * the base arrays), and clears the append markers — one compaction
+    * after every N appends keeps both paths at their fresh-save shape.
+    * `emb` must be the FULL current corpus (base + all appended
+    * batches), exactly as a fresh [[saveVectorStore]] would get.
+    * The stored calibration is untouched (frozen-structure property,
+    * same argument as appendVectors'). Run it in the ingest maintenance
+    * window: a serve OPEN during the rewrite may briefly see no sidecar
+    * and fall back distributed (already-open snapshots are unaffected —
+    * their mmaps survive the unlink). Returns sidecar rows written.
+    */
+  def compactServingArtifacts(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hadVecstore = AnnVecStore.exists(spark, path)
+    val hadPack = AnnServePack.exists(conf, path)
+    val n = if (hadVecstore) AnnVecStore.save(emb, path, idCol, vecCol) else 0L
+    if (hadPack) AnnServePack.save(spark, path): Unit
+    // markers served their purpose (fingerprint churn per append); the
+    // compaction itself re-touches the fingerprint via the meta swaps
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path), conf)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/appends"), true)
+    n
+  }
+
   /** One marker file per append under `<path>/appends/` — the save
     * fingerprint lists the directory, so every serve tier (Scala memo,
     * SQL registry) re-opens past its freshness window and sees the

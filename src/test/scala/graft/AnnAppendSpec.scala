@@ -291,5 +291,25 @@ class AnnAppendSpec extends AnyFunSuite {
     val directForQs = directRows.filter(p => qs.exists(_._1 == p._1))
     assert(packRows == directForQs,
       "pack+delta serving diverged from the distributed search on the appended index")
+
+    // compaction: re-saves the sidecar + pack at their fresh-save shape
+    // (no delta lines, fresh segments, markers cleared) with identical
+    // serving rows
+    AnnIvfPq.compactServingArtifacts(spark, d, emb)
+    def metaLines(sub: String): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(d, sub, "meta.txt")), "UTF-8")
+        .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    assert(!metaLines("servepack").exists(_.startsWith("delta ")),
+      "compaction must fold pack deltas into the base arrays")
+    assert(!new java.io.File(d, "appends").exists(),
+      "compaction must clear the append markers")
+    val (ix3, _) = AnnServePack.open(d).getOrElse(fail("compacted pack must open"))
+    assert(ix3.size == emb.count())
+    val compactRows = qs.flatMap { case (qid, qv) =>
+      ix3.search(qv, nprobe = cal.nprobe, topK = 3,
+        refine = cal.refine, queryId = qid).map(h => (qid, h.neighborId))
+    }.sorted.toSeq
+    assert(compactRows == packRows, "compaction changed serving answers")
   }
 }
