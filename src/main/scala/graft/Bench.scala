@@ -1400,6 +1400,420 @@ object Bench {
         (if (!only.exists(_.contains("ann_append_10m"))) Seq.empty
          else runAndRegister("ann_append_10m")(appendRung(10000000L, "append_10m")))
 
+    // ── r15-verdict rungs: drift→recall→retrain, mapped codes tier,
+    // deletes, store removals. All OPT-IN (SPARK_GRAFT_BENCH_ONLY must
+    // name them) — each builds multi-minute fixtures.
+
+    // exact L2 top-3 truth for an EXPLICIT probe frame (exactTop3 pins
+    // its probes to vec_id < 20; the drift rung probes shifted batches)
+    def truthFor(probes: org.apache.spark.sql.DataFrame,
+        corpus: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{aggregate, broadcast, lit, row_number, zip_with}
+      val q = probes.select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").cast("array<double>").as("_qv"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("_s"), col("neighbor_id"))
+      corpus.select(col("vec_id").cast("long").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("_nv"))
+        .join(broadcast(q))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("_s", aggregate(zip_with(col("_qv"), col("_nv"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v))
+        .withColumn("_rk", row_number().over(w))
+        .where(col("_rk") <= 3)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    }
+
+    // DRIFT LOOP (r15 verdict #4: the driftRatio signal finally gets its
+    // consumer): append progressively SHIFTED batches to a frozen index,
+    // record driftRatio against realized recall@3 on each batch's own
+    // probes, then AnnIvfPq.retrain and show recall restored — the curve
+    // that tells a deployment WHAT ratio should trigger the retrain.
+    val annDrift: Seq[(String, Double, Boolean)] =
+      if (!only.exists(_.contains("ann_drift"))) Seq.empty
+      else runAndRegister("ann_drift")(try {
+        val n = 1000000L
+        val batchN = 50000L
+        val base = graft.io.SyntheticVectors.clustered(spark, n).persist()
+        base.count()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
+        val dir = graft.io.Scratch.dir("graft_bench_drift")
+        val (_, tBuild) = timedSec {
+          val (ix0, cents) = AnnIvf.buildIndex(base)
+          val cb = AnnPq.train(base, m = 8, k = 16, iters = 2, exactMeans = false)
+          val coded = AnnIvfPq.index(ix0, AnnPq.encode(base, cb))
+          AnnIvfPq.saveIndex(coded, cents, cb, dir)
+          AnnIvfPq.saveVectorStore(base, dir): Unit
+        }
+        out += (("drift_build_sec", tBuild, true))
+        def grab(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+          df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+        def recallNow(probes: org.apache.spark.sql.DataFrame,
+            corpus: org.apache.spark.sql.DataFrame): Double = {
+          val (c2, ce2, cb2) = AnnIvfPq.loadIndex(spark, dir)
+          recallVs(truthFor(probes, corpus),
+            grab(AnnIvfPq.search(probes, c2, ce2, cb2, corpus,
+              nprobe = 8, topK = 3, refine = 200)))
+        }
+        var corpus = base
+        out += (("drift_base_recall_at3",
+          recallNow(base.where(col("vec_id") < 20), corpus), true))
+        val shifts = Seq(0.0, 0.5, 1.5, 4.0)
+        var lastProbes: org.apache.spark.sql.DataFrame = null
+        shifts.zipWithIndex.foreach { case (shift, j) =>
+          import org.apache.spark.sql.functions.{lit, transform}
+          val start = n + j * batchN
+          val batch = graft.io.SyntheticVectors.clustered(spark, batchN)
+            .select((col("vec_id") + start).as("vec_id"),
+              transform(col("embedding"), x => x + lit(shift))
+                .cast("array<float>").as("embedding"))
+            .persist()
+          batch.count()
+          val (stats, tApp) = timedSec { AnnIvfPq.appendVectors(spark, dir, batch) }
+          corpus = corpus.unionByName(batch).persist()
+          corpus.count()
+          val probes = batch.where(col("vec_id") < start + 20)
+          lastProbes = probes
+          out += ((s"drift_b${j}_shift", shift, true))
+          out += ((s"drift_b${j}_append_sec", tApp, true))
+          out += ((s"drift_b${j}_ratio", stats.driftRatio, true))
+          out += ((s"drift_b${j}_recall_at3", recallNow(probes, corpus), true))
+        }
+        // the remedy: one call, fresh structures from the sidecar's own
+        // corpus, calibration epoch-invalidated
+        val (nRe, tRe) = timedSec { AnnIvfPq.retrain(spark, dir) }
+        out += (("drift_retrain_sec", tRe, true))
+        out += (("drift_retrain_rows", nRe.toDouble, true))
+        out += (("drift_post_retrain_recall_at3", recallNow(lastProbes, corpus), true))
+        out.toSeq
+      } catch { case NonFatal(_) => Seq(("ann_drift", 0.0, false)) })
+
+    // MAPPED CODES TIER (r15 verdict #1): at 10M, the pack's mmap open vs
+    // the heap codes tier — same queries, same knobs, per-query ms and
+    // resident-heap delta. The heap tier holds (8+m) B/row on-heap; the
+    // mapped tier's snapshot is page cache.
+    val annMapped10m: Seq[(String, Double, Boolean)] =
+      if (!only.exists(_.contains("ann_mapped_10m"))) Seq.empty
+      else runAndRegister("ann_mapped_10m")(try {
+        val n = 10000000L
+        val gen = graft.io.SyntheticVectors.clustered(spark, n).persist()
+        gen.count()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
+        val dir = graft.io.Scratch.dir("graft_bench_mapped10m")
+        val (ix0, cents) = AnnIvf.buildIndex(gen)
+        val cb = AnnPq.train(gen, m = 8, k = 16, iters = 2, exactMeans = false)
+        val coded = AnnIvfPq.index(ix0, AnnPq.encode(gen, cb)).persist()
+        coded.count()
+        AnnIvfPq.saveIndex(coded, cents, cb, dir)
+        AnnIvfPq.saveVectorStore(gen, dir): Unit
+        val (_, tPackSave) = timedSec { graft.operators.AnnServePack.save(spark, dir) }
+        out += (("mapped10m_pack_save_sec", tPackSave, true))
+        val qs = gen.where(col("vec_id") < 20)
+          .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        def usedHeapMb(): Double = {
+          System.gc()
+          (Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()) / 1e6
+        }
+        def perQueryMs(ix: graft.operators.AnnLocalIndex): Double = {
+          // warm once, then time 3 passes over the 20 queries
+          qs.foreach { case (qid, qv) =>
+            ix.search(qv, nprobe = 8, topK = 3, refine = 200, queryId = qid): Unit
+          }
+          val t0 = System.nanoTime()
+          var r = 0
+          while (r < 3) {
+            qs.foreach { case (qid, qv) =>
+              ix.search(qv, nprobe = 8, topK = 3, refine = 200, queryId = qid): Unit
+            }
+            r += 1
+          }
+          (System.nanoTime() - t0) / 1e6 / (3 * qs.length)
+        }
+        val heapBefore = usedHeapMb()
+        val ((mappedIx, _), tOpenMapped) = timedSec {
+          graft.operators.AnnServePack.open(dir).get
+        }
+        val mappedMs = perQueryMs(mappedIx)
+        val heapMapped = usedHeapMb() - heapBefore
+        out += (("mapped10m_open_sec", tOpenMapped, true))
+        out += (("mapped10m_mapped_query_ms", mappedMs, true))
+        out += (("mapped10m_mapped_extra_heap_mb", heapMapped, true))
+        val (heapIxOpt, tOpenHeap) = timedSec {
+          graft.operators.AnnLocalCodes.open(spark, dir, coded, cents, cb,
+            maxRows = n + 1)
+        }
+        val heapIx = heapIxOpt.get
+        val heapMs = perQueryMs(heapIx)
+        val heapHeap = usedHeapMb() - heapBefore
+        out += (("mapped10m_heap_open_sec", tOpenHeap, true))
+        out += (("mapped10m_heap_query_ms", heapMs, true))
+        out += (("mapped10m_heap_extra_heap_mb", heapHeap, true))
+        out += (("mapped10m_query_ms_ratio", mappedMs / math.max(heapMs, 1e-9), true))
+        // row-identity at the bench scale too (spec pins it at sf0.001)
+        val same = qs.forall { case (qid, qv) =>
+          mappedIx.search(qv, nprobe = 8, topK = 3, refine = 200, queryId = qid)
+            .toSeq == heapIx.search(qv, nprobe = 8, topK = 3, refine = 200,
+            queryId = qid).toSeq
+        }
+        out += (("mapped10m_rows_identical", if (same) 1.0 else 0.0, true))
+        coded.unpersist(); gen.unpersist()
+        out.toSeq
+      } catch { case NonFatal(_) => Seq(("ann_mapped_10m", 0.0, false)) })
+
+    // Craft a committed GRAFTSP2 pack + GRAFTVS2 vecstore directly as
+    // flat files (driver-streamed, deterministic content): `total` rows
+    // over `k` contiguous lists, segments of 32M rows, dim-`dim` vectors
+    // with m=dim byte codes (dsub=1, 16 codebook entries). The point is
+    // the FORMAT at a row count the heap tier cannot represent — the
+    // search arithmetic is real, the data synthetic.
+    def craftSyntheticPack(
+        dir: String, total: Long, m: Int, dim: Int, k: Int): Unit = {
+      require(dim == m, "crafted pack uses dsub=1 (dim == m)")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
+      def out(sub: String, name: String) = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(fs.create(
+          new org.apache.hadoop.fs.Path(s"$dir/$sub/$name"), true), 1 << 22))
+      val gen = "crafted1"
+      // centroids / codebooks
+      locally {
+        val o = out("servepack", s"centroids-$gen.bin")
+        try {
+          o.writeInt(k)
+          (0 until k).foreach { c =>
+            o.writeInt(c); o.writeInt(dim)
+            (0 until dim).foreach(d => o.writeDouble(c.toDouble + 0.01 * d))
+          }
+        } finally o.close()
+      }
+      locally {
+        val o = out("servepack", s"codebooks-$gen.bin")
+        try {
+          o.writeInt(m); o.writeInt(16); o.writeInt(1)
+          (0 until m).foreach(_ => (0 until 16).foreach(c =>
+            o.writeDouble(c * 0.1)))
+        } finally o.close()
+      }
+      val segRows = 32000000L
+      val nSegs = ((total + segRows - 1) / segRows).toInt
+      val rowsPerList = total / k
+      def listOf(id: Long): Int = math.min((id / rowsPerList).toInt, k - 1)
+      // pack segments + vecstore segments in one streaming pass each
+      val packSegLines = scala.collection.mutable.ArrayBuffer.empty[String]
+      val vsSegLines = scala.collection.mutable.ArrayBuffer.empty[String]
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+      (0 until nSegs).foreach { si =>
+        val lo = si * segRows
+        val hi = math.min(lo + segRows, total)
+        val idsO = out("servepack", f"seg-$gen-p$si%05d.ids.bin")
+        val codesO = out("servepack", f"seg-$gen-p$si%05d.codes.bin")
+        val vIdsO = out("vecstore", f"seg-$gen-p$si%05d.ids.bin")
+        val vVecO = out("vecstore", f"seg-$gen-p$si%05d.vec.bin")
+        var curList = -1
+        var curRows = 0L
+        try {
+          var id = lo
+          while (id < hi) {
+            val l = listOf(id)
+            if (l != curList) {
+              if (curRows > 0L) runs += ((curList, si, curRows))
+              curList = l; curRows = 0L
+            }
+            idsO.writeLong(id)
+            vIdsO.writeLong(id)
+            var j = 0
+            while (j < m) {
+              codesO.writeByte(((id + j) % 16).toInt)
+              vVecO.writeDouble(l.toDouble + 0.1 * ((id + j) % 16))
+              j += 1
+            }
+            curRows += 1L
+            id += 1L
+          }
+          if (curRows > 0L) runs += ((curList, si, curRows))
+        } finally { idsO.close(); codesO.close(); vIdsO.close(); vVecO.close() }
+        packSegLines += s"seg seg-$gen-p${"%05d".format(si)}.ids.bin seg-$gen-p${"%05d".format(si)}.codes.bin"
+        vsSegLines += s"seg-$gen-p${"%05d".format(si)}.ids.bin seg-$gen-p${"%05d".format(si)}.vec.bin ${hi - lo}"
+      }
+      locally {
+        val o = out("servepack", s"lists-$gen.bin")
+        try {
+          o.writeInt(runs.length)
+          runs.foreach { case (l, si, r) =>
+            o.writeInt(l); o.writeInt(si); o.writeLong(r)
+          }
+        } finally o.close()
+      }
+      def commitMeta(sub: String, lines: Seq[String]): Unit = {
+        val o = fs.create(new org.apache.hadoop.fs.Path(s"$dir/$sub/meta_new.txt"), true)
+        try o.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally o.close()
+        fs.rename(new org.apache.hadoop.fs.Path(s"$dir/$sub/meta_new.txt"),
+          new org.apache.hadoop.fs.Path(s"$dir/$sub/meta.txt")): Unit
+      }
+      commitMeta("vecstore",
+        s"GRAFTVS2 $total $dim ${vsSegLines.length}" +: vsSegLines.toSeq)
+      commitMeta("servepack",
+        Seq(s"GRAFTSP2 $total $dim $m false $gen",
+          s"files centroids-$gen.bin codebooks-$gen.bin lists-$gen.bin",
+          "nocal") ++ packSegLines)
+    }
+
+    // PAST THE OLD CEILING (r15 verdict #1's done criterion): a crafted
+    // 300M-row pack whose code array alone (total·m = 2.4e9 bytes)
+    // exceeds Int.MaxValue — the heap tier's construction is IMPOSSIBLE
+    // by its own guard (AnnLocalCodes' `totalL * m <= Int.MaxValue`
+    // require), while the mapped open serves it at ms scale from page
+    // cache. Files are driver-crafted flat binaries (the format is the
+    // artifact — no 300M-row Spark build needed): ids ascending, codes
+    // deterministic, vectors dim-8 from the same LCG, one honest
+    // vecstore so the rerank tier is real. ~24 GB on disk; the rung
+    // checks free space and skips below 30 GB.
+    val annMapped300m: Seq[(String, Double, Boolean)] =
+      if (!only.exists(_.contains("ann_mapped_300m"))) Seq.empty
+      else runAndRegister("ann_mapped_300m")(try {
+        val total = 300000000L
+        val m = 8
+        val dim = 8
+        val k = 32
+        val dir = graft.io.Scratch.dir("graft_bench_mapped300m")
+        val free = new java.io.File(dir).getUsableSpace
+        if (free < 30L * (1L << 30))
+          Seq(("ann_mapped_300m_skipped_low_disk", free / 1e9, true))
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
+          out += (("mapped300m_rows", total.toDouble, true))
+          out += (("mapped300m_code_bytes", (total * m).toDouble, true))
+          val (_, tCraft) = timedSec {
+            craftSyntheticPack(dir, total, m, dim, k)
+          }
+          out += (("mapped300m_craft_sec", tCraft, true))
+          def usedHeapMb(): Double = {
+            System.gc()
+            (Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()) / 1e6
+          }
+          val h0 = usedHeapMb()
+          val ((ix, _), tOpen) = timedSec {
+            graft.operators.AnnServePack.open(dir).get
+          }
+          out += (("mapped300m_open_sec", tOpen, true))
+          require(ix.size == total)
+          // 20 deterministic probe vectors near list centroids
+          val probes = (0 until 20).map { i =>
+            (total + i.toLong,
+              Array.tabulate(dim)(d => (i % k).toDouble + 0.01 * d))
+          }
+          val (_, tCold) = timedSec {
+            probes.foreach { case (qid, qv) =>
+              ix.search(qv, nprobe = 4, topK = 3, refine = 50, queryId = qid): Unit
+            }
+          }
+          out += (("mapped300m_cold_query_ms", tCold * 1000 / probes.length, true))
+          val (_, tWarm) = timedSec {
+            probes.foreach { case (qid, qv) =>
+              ix.search(qv, nprobe = 4, topK = 3, refine = 50, queryId = qid): Unit
+            }
+          }
+          out += (("mapped300m_warm_query_ms", tWarm * 1000 / probes.length, true))
+          // resident heap: the vecstore's id index (8 B/row) dominates;
+          // the CODES are entirely mmap'd — where the old tier needed
+          // (8+m) B/row ON-HEAP and could not even allocate the code
+          // array past Int.MaxValue bytes
+          out += (("mapped300m_used_heap_mb", usedHeapMb() - h0, true))
+          out.toSeq
+        }
+      } catch { case NonFatal(_) => Seq(("ann_mapped_300m", 0.0, false)) })
+
+    // ANN DELETES (r15 verdict #2's measured rung): tombstone a 10k batch
+    // at each base size — the wall must be flat in the base (an O(batch)
+    // metadata write), the post-delete mapped search unchanged, and the
+    // compaction one artifact rewrite.
+    def deleteRung(n: Long, prefix: String): Seq[(String, Double, Boolean)] =
+      try {
+        val gen = graft.io.SyntheticVectors.clustered(spark, n).persist()
+        gen.count()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
+        val dir = graft.io.Scratch.dir(s"graft_bench_del_$prefix")
+        val (ix0, cents) = AnnIvf.buildIndex(gen)
+        val cb = AnnPq.train(gen, m = 8, k = 16, iters = 2, exactMeans = false)
+        val coded = AnnIvfPq.index(ix0, AnnPq.encode(gen, cb)).persist()
+        coded.count()
+        AnnIvfPq.saveIndex(coded, cents, cb, dir)
+        AnnIvfPq.saveVectorStore(gen, dir): Unit
+        graft.operators.AnnServePack.save(spark, dir): Unit
+        val doomed = (0L until 10000L).map(_ * (n / 10000L)).toSeq
+        val (_, tDel) = timedSec { AnnIvfPq.deleteVectors(spark, dir, doomed) }
+        out += ((s"${prefix}_delete_10k_sec", tDel, true))
+        val (packIx, _) = graft.operators.AnnServePack.open(dir).get
+        val qs = gen.where(col("vec_id") < 40 && col("vec_id") % 2 === 1)
+          .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val (_, tSearch) = timedSec {
+          qs.foreach { case (qid, qv) =>
+            packIx.search(qv, nprobe = 8, topK = 3, refine = 200, queryId = qid): Unit
+          }
+        }
+        out += ((s"${prefix}_post_delete_query_ms", tSearch * 1000 / qs.length, true))
+        val (_, tCompact) = timedSec { AnnIvfPq.compactServingArtifacts(spark, dir) }
+        out += ((s"${prefix}_compact_sec", tCompact, true))
+        coded.unpersist(); gen.unpersist()
+        out.toSeq
+      } catch { case NonFatal(_) => Seq((s"${prefix}_rung", 0.0, false)) }
+    val annDelete: Seq[(String, Double, Boolean)] =
+      (if (!only.exists(_.contains("ann_delete_1m"))) Seq.empty
+       else runAndRegister("ann_delete_1m")(deleteRung(1000000L, "delete_1m"))) ++
+        (if (!only.exists(_.contains("ann_delete_4m"))) Seq.empty
+         else runAndRegister("ann_delete_4m")(deleteRung(4000000L, "delete_4m")))
+
+    // STORE REMOVALS (r15 verdict #3's soak): alternate spatially-local
+    // merges and removals through the store — both walls must stay flat
+    // (the removal is the same touched-bucket fold), and the final value
+    // still validates.
+    val storeRemove: Seq[(String, Double, Boolean)] =
+      if (!only.exists(_.contains("store_remove"))) Seq.empty
+      else runAndRegister("store_remove")(try {
+        import graft.cluster.{GridHierarchy, IndexStore}
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
+        val dir = graft.io.Scratch.dir("graft_bench_store_rm")
+        val n = 250000L
+        val base = graft.io.SyntheticPoints.uniform(spark, n)
+        val (_, tSave) = timedSec {
+          IndexStore.save(GridHierarchy.build(base), dir, n)
+        }
+        out += (("store_remove_save_sec", tSave, true))
+        val mergeWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val removeWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var nextId = n
+        (0 until 6).foreach { i =>
+          import spark.implicits._
+          val lcg = new java.util.Random(7001 + i)
+          val batch = (0 until 5000).map { p =>
+            (nextId + p, 12.0 + lcg.nextDouble() * 0.5, 47.0 + lcg.nextDouble() * 0.5)
+          }
+          val bdf = batch.toDF("row_id", "lng", "lat")
+          val (_, tM) = timedSec { IndexStore.mergeInto(spark, dir, bdf) }
+          mergeWalls += tM
+          nextId += 5000
+          // remove half of what was just merged (original coordinates)
+          val rm = batch.zipWithIndex.collect { case (r, j) if j % 2 == 0 => r }
+          val (_, tR) = timedSec {
+            IndexStore.removeFrom(spark, dir, rm.toDF("row_id", "lng", "lat"))
+          }
+          removeWalls += tR
+        }
+        IndexStore.validate(spark, dir)
+        out += (("store_remove_merge_first_sec", mergeWalls.head, true))
+        out += (("store_remove_merge_last_sec", mergeWalls.last, true))
+        out += (("store_remove_merge_mean_sec", mergeWalls.sum / mergeWalls.size, true))
+        out += (("store_remove_first_sec", removeWalls.head, true))
+        out += (("store_remove_last_sec", removeWalls.last, true))
+        out += (("store_remove_mean_sec", removeWalls.sum / removeWalls.size, true))
+        out.toSeq
+      } catch { case NonFatal(_) => Seq(("store_remove", 0.0, false)) })
+
     // HARD fixtures (VERDICT r10 #2; r11 extends the rung ladder): planted
     // near-dup pairs over overlapping heavy-tailed superclusters
     // (SyntheticVectors.hardClustered) — the corpus where probe depth and
@@ -1967,7 +2381,7 @@ object Bench {
     // sfDir/outPath must not break the "guaranteed parseable last line"
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val errors = (results ++ maskTimes ++ annFast ++ bpeKernel ++ ann1m ++ ann1mHard ++ ann4m ++ ann4mHard ++ ann10m ++ ann10mHard ++ ann10mCal ++ serve100k ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ storeChainDeep ++ ivfBuild ++ pqBuild ++ residualBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
+    val errors = (results ++ maskTimes ++ annFast ++ bpeKernel ++ ann1m ++ ann1mHard ++ ann4m ++ ann4mHard ++ ann10m ++ ann10mHard ++ ann10mCal ++ serve100k ++ annAppend ++ annDrift ++ annMapped10m ++ annMapped300m ++ annDelete ++ storeRemove ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ storeChainDeep ++ ivfBuild ++ pqBuild ++ residualBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -2036,6 +2450,16 @@ object Bench {
       if (serve100k.isEmpty) "" else s""","serve_100k":${jmap(serve100k)}"""
     val annAppendJson =
       if (annAppend.isEmpty) "" else s""","ann_append":${jmap(annAppend)}"""
+    val annDriftJson =
+      if (annDrift.isEmpty) "" else s""","ann_drift":${jmap(annDrift)}"""
+    val annMappedJson = {
+      val both = annMapped10m ++ annMapped300m
+      if (both.isEmpty) "" else s""","ann_mapped":${jmap(both)}"""
+    }
+    val annDeleteJson =
+      if (annDelete.isEmpty) "" else s""","ann_delete":${jmap(annDelete)}"""
+    val storeRemoveJson =
+      if (storeRemove.isEmpty) "" else s""","store_remove":${jmap(storeRemove)}"""
     val totalCold = resultsCold.map(_._2).sum
     val calibrationEnd = calibrationSec()
     val profileJson = calibrationProfile
@@ -2093,7 +2517,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpusJson,"queries":${jmap(results)},""" +
         s""""queries_cold":${jmap(resultsCold)},"total_cold":$totalCold,""" +
-        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$bpeKernelJson$ann1mJson$ann1mHardJson$ann4mJson$ann4mHardJson$ann10mJson$ann10mHardJson$ann10mCalJson$serve100kJson$annAppendJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$storeChainDeepJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson$rerunJson$sectionRerunJson$adjudicationJson,"sf":"${jstr(sfDir)}"}"""
+        s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$bpeKernelJson$ann1mJson$ann1mHardJson$ann4mJson$ann4mHardJson$ann10mJson$ann10mHardJson$ann10mCalJson$serve100kJson$annAppendJson$annDriftJson$annMappedJson$annDeleteJson$storeRemoveJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$storeChainDeepJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson$rerunJson$sectionRerunJson$adjudicationJson,"sf":"${jstr(sfDir)}"}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(

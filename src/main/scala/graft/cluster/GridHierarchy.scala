@@ -50,12 +50,22 @@ object GridHierarchy {
     * lng, lat — identical to [[LevelRow]], so the query surface
     * (bbox/children/leaves scans) works on either build.
     */
+  /** @param idSpace cluster-id offset override (default -1 = the point
+    *   count, the standard build). [[IndexStore.removeFrom]]'s
+    *   remove ≡ rebuild contract is stated against a rebuild IN THE SAME
+    *   ID SPACE: removal never renumbers survivors (ids are stable
+    *   identifiers), so the equivalent fresh build of the surviving
+    *   points must derive cluster ids from the ORIGINAL total — and
+    *   surviving leaf ids may exceed the survivor count, which the
+    *   default offset would mis-split into cluster-id territory.
+    */
   def build(
       points: DataFrame,
       opts: ClusterOptions = ClusterOptions(),
       lngCol: String = "lng",
       latCol: String = "lat",
-      idCol: String = "row_id"): DataFrame = {
+      idCol: String = "row_id",
+      idSpace: Long = -1L): DataFrame = {
     // Fusion rule for any minPoints: a cell fuses iff it has >= 2 member
     // records AND their summed point mass reaches minPoints (the grid-mode
     // analogue of the reference's "numPoints >= minPoints" gate,
@@ -74,7 +84,7 @@ object GridHierarchy {
         s"maxZoom=${opts.maxZoom} radius=${opts.radius} extent=${opts.extent} " +
         s"needs $maxCellsPerAxis — lower maxZoom (<= 23 at defaults) or use ClusterEngine")
     val spark = points.sparkSession
-    val totalPoints = points.count()
+    val totalPoints = if (idSpace >= 0L) idSpace else points.count()
 
     // base level: one record per clean point, f32-quantized mercator coords.
     // Materialized once: the collision probe below, the identity-pass

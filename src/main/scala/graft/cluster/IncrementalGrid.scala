@@ -185,43 +185,7 @@ object IncrementalGrid {
       .select(explode(array(
         passes.map(z => GridHierarchy.cellIdCol(z, opts, newTotal)): _*)).as("_splice"))
       .distinct())
-
-    // splice key: the consuming pass's cell for every level (the final
-    // level, which no pass consumes, splices by its producing pass — the
-    // same pass number, so one expression covers both).
-    // zoom z+1 rows are consumed by pass z; zoom minZoom rows were
-    // produced by pass minZoom — one closed-form expression over the zoom
-    // column (a zoom-branched CASE here costs its 18 branches on every row
-    // of both full-index scans)
-    val spliceKey: Column = GridHierarchy.cellIdColAt(
-      when(col("zoom") === opts.minZoom, lit(opts.minZoom)).otherwise(col("zoom") - 1),
-      opts, newTotal)
-
-    // 1st full-index pass: pull the touched membership out (small). The
-    // loop below also needs "was this row PRODUCED by a touched cell"
-    // (those rows are replaced wholesale by the recomputed outputs); that
-    // flag is stamped here, during the one scan, so the 17-level loop
-    // never joins against the touched set again.
-    // zoom zz rows (zz <= maxZoom) were produced by pass zz; base-level
-    // rows (maxZoom + 1) by no pass — the -1 default never matches
-    val prodKey: Column =
-      when(col("zoom") <= opts.maxZoom,
-        GridHierarchy.cellIdColAt(col("zoom"), opts, newTotal))
-        .otherwise(lit(-1L))
-    val prodTouched = touchedC.select(col("_splice").as("_prod"))
-      .withColumn("_prod_touched", lit(true))
-    val extractPre = shifted
-      .withColumn("_splice", spliceKey)
-      .join(broadcast(touchedC), Seq("_splice"), "left_semi")
-      .withColumn("_prod", prodKey)
-      .join(broadcast(prodTouched), Seq("_prod"), "left")
-      .withColumn("_prod_touched", coalesce(col("_prod_touched"), lit(false)))
-      .drop("_prod", "_splice")
-    // delta-sized from here on: cache it in batch-proportional partitions
-    // so the per-pass jobs below schedule a handful of tasks, not the
-    // session's full width (the repartition itself moves only delta rows)
-    val extract = ckpt(extractPre.repartition(
-      deltaPartitions(shifted.sparkSession, nNew)))
+    val extract = extractTouched(shifted, touchedC, opts, newTotal, nNew, ckpt)
 
     // identity-pass skip, the build's zStar idea on the delta: a pass is a
     // pure pass-through unless some touched cell actually FUSES (>= 2
@@ -252,6 +216,138 @@ object IncrementalGrid {
     }
     if (sys.env.contains("GRAFT_MERGE_DEBUG")) println("MERGEDBG zstar " + zStarMerge)
 
+    val emits = ladderEmits(extract, opts, newTotal, zStarMerge, ckpt,
+      storedBase => storedBase.unionByName(addedBase))
+    (spliceKeep(shifted, touchedC, opts, newTotal), emits)
+  }
+
+  /** The removal mirror of [[recomputeTouched]] (r15 verdict #3): fold a
+    * REMOVAL batch out of the index. Removals live on the batch's
+    * ancestor-cell paths exactly like ingest — the same dyadic-nesting
+    * induction: a record changes only if its deeper-pass cell lost or
+    * changed members, and every changed output lands in an ancestor cell
+    * of a removed point — so the touched cells are known UPFRONT from
+    * the removed coordinates, and the ladder re-runs over only their
+    * membership with the removed leaves dropped at the base level. The
+    * id space is UNTOUCHED: survivors keep their ids (stable
+    * identifiers), cluster ids stay offset by the original total, and
+    * the result is bit-equal to `GridHierarchy.build(survivors,
+    * idSpace = total)` (IndexStoreSpec pins it).
+    *
+    * The identity-pass skip needs a REMOVAL-safe z*: unlike ingest,
+    * removal can create fusion at a SHALLOWER pass than any pre-removal
+    * fusion (a dissolved cluster's members re-enter a coarser cell as
+    * multiple records), so member counts from stored rows may
+    * UNDERCOUNT post-removal membership. Post-removal cell MASS is
+    * exact upfront (mass is conserved through dissolution: stored
+    * consumed mass − removed leaf mass), so the fusion test here is
+    * mass-exact and member-PESSIMISTIC: a cell "may fuse" when its
+    * post-removal mass clears minPoints AND it either already has ≥ 2
+    * member records or any member is a cluster (which dissolution could
+    * expand). Overestimating z* only skips fewer passes — never a wrong
+    * one.
+    */
+  private[cluster] def recomputeTouchedRemove(
+      stored: DataFrame,
+      removedBase: DataFrame,
+      opts: ClusterOptions,
+      total: Long,
+      nRemoved: Long,
+      ckpt: DataFrame => DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val passes = (opts.minZoom to opts.maxZoom).toSeq
+    val touchedC = ckpt(removedBase
+      .select(explode(array(
+        passes.map(z => GridHierarchy.cellIdCol(z, opts, total)): _*)).as("_splice"))
+      .distinct())
+    val extract = extractTouched(stored, touchedC, opts, total, nRemoved, ckpt)
+    val removedIds = ckpt(removedBase.select(col("id")).distinct())
+
+    val zStarRemove: Int = {
+      val fromStored = extract.where(col("zoom") > opts.minZoom).select(
+        (col("zoom") - 1).cast("int").as("_pass"),
+        GridHierarchy.cellIdColAt(col("zoom") - 1, opts, total).as("_cell"),
+        col("point_count"), col("is_cluster"))
+      val removedMass = removedBase
+        .select(explode(array(
+          passes.map(zz => GridHierarchy.cellIdCol(zz, opts, total)): _*)).as("_cell"))
+        .groupBy(col("_cell")).agg(count(lit(1)).as("_rm"))
+      val row = fromStored
+        .groupBy(col("_pass"), col("_cell"))
+        .agg(count(lit(1)).as("_n"), sum(col("point_count")).as("_mass"),
+          max(col("is_cluster").cast("int")).as("_any_cluster"))
+        .join(broadcast(removedMass), Seq("_cell"), "left")
+        .withColumn("_rm", coalesce(col("_rm"), lit(0L)))
+        .where((col("_mass") - col("_rm")) >= opts.minPoints &&
+          (col("_n") >= 2 || col("_any_cluster") === 1))
+        .agg(max(col("_pass"))).head()
+      if (row.isNullAt(0)) opts.minZoom - 1 else row.getInt(0)
+    }
+    if (sys.env.contains("GRAFT_MERGE_DEBUG")) println("MERGEDBG zstar_rm " + zStarRemove)
+
+    val emits = ladderEmits(extract, opts, total, zStarRemove, ckpt,
+      storedBase => storedBase.join(broadcast(removedIds), Seq("id"), "left_anti"))
+    (spliceKeep(stored, touchedC, opts, total), emits)
+  }
+
+  /** splice key: the consuming pass's cell for every level (the final
+    * level, which no pass consumes, splices by its producing pass — the
+    * same pass number, so one expression covers both). zoom z+1 rows are
+    * consumed by pass z; zoom minZoom rows were produced by pass minZoom
+    * — one closed-form expression over the zoom column (a zoom-branched
+    * CASE here costs its 18 branches on every row of both full-index
+    * scans).
+    */
+  private[cluster] def spliceKeyCol(opts: ClusterOptions, total: Long): Column =
+    GridHierarchy.cellIdColAt(
+      when(col("zoom") === opts.minZoom, lit(opts.minZoom)).otherwise(col("zoom") - 1),
+      opts, total)
+
+  /** 1st full-index pass: pull the touched membership out (small). The
+    * ladder also needs "was this row PRODUCED by a touched cell" (those
+    * rows are replaced wholesale by the recomputed outputs); that flag
+    * is stamped here, during the one scan, so the 17-level loop never
+    * joins against the touched set again. zoom zz rows (zz <= maxZoom)
+    * were produced by pass zz; base-level rows (maxZoom + 1) by no pass
+    * — the -1 default never matches.
+    */
+  private def extractTouched(
+      shifted: DataFrame,
+      touchedC: DataFrame,
+      opts: ClusterOptions,
+      total: Long,
+      nDelta: Long,
+      ckpt: DataFrame => DataFrame): DataFrame = {
+    val prodKey: Column =
+      when(col("zoom") <= opts.maxZoom,
+        GridHierarchy.cellIdColAt(col("zoom"), opts, total))
+        .otherwise(lit(-1L))
+    val prodTouched = touchedC.select(col("_splice").as("_prod"))
+      .withColumn("_prod_touched", lit(true))
+    val extractPre = shifted
+      .withColumn("_splice", spliceKeyCol(opts, total))
+      .join(broadcast(touchedC), Seq("_splice"), "left_semi")
+      .withColumn("_prod", prodKey)
+      .join(broadcast(prodTouched), Seq("_prod"), "left")
+      .withColumn("_prod_touched", coalesce(col("_prod_touched"), lit(false)))
+      .drop("_prod", "_splice")
+    // delta-sized from here on: cache it in batch-proportional partitions
+    // so the per-pass jobs below schedule a handful of tasks, not the
+    // session's full width (the repartition itself moves only delta rows)
+    ckpt(extractPre.repartition(deltaPartitions(shifted.sparkSession, nDelta)))
+  }
+
+  /** The 17-level fold over the touched membership, shared by the merge
+    * and removal recomputes — only the BASE-LEVEL membership transform
+    * differs (union the ingested points in; anti-join the removed ids
+    * out). Identity passes deeper than `zStar` emit by projection.
+    */
+  private def ladderEmits(
+      extract: DataFrame,
+      opts: ClusterOptions,
+      total: Long,
+      zStar: Int,
+      ckpt: DataFrame => DataFrame,
+      baseMembers: DataFrame => DataFrame): Seq[DataFrame] = {
     val emits = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var prevOutputs: DataFrame = null // recomputed outputs of the previous pass
     var z = opts.maxZoom
@@ -259,13 +355,14 @@ object IncrementalGrid {
       // membership of touched cells at level z+1: stored consumed rows,
       // minus everything a touched deeper cell produced (replaced
       // wholesale by the previous pass's recomputed outputs), plus those
-      // outputs (at z == maxZoom: the stored base plus the new points)
+      // outputs (at z == maxZoom: the transformed stored base — ingested
+      // points unioned in, or removed ids dropped)
       val stored = extract.where(col("zoom") === (z + 1))
       val members =
-        (if (z == opts.maxZoom) stored.select(RecordCols.map(col): _*).unionByName(addedBase)
+        (if (z == opts.maxZoom) baseMembers(stored.select(RecordCols.map(col): _*))
          else stored.where(!col("_prod_touched")).select(RecordCols.map(col): _*)
            .unionByName(prevOutputs))
-      if (z > zStarMerge) {
+      if (z > zStar) {
         // provably-identity pass: emit by projection (nothing fuses, so
         // every stamp is -1 — exactly what the stored rows carry too)
         emits += members.select(
@@ -279,7 +376,7 @@ object IncrementalGrid {
         // consumer (emit at the final union + the next pass's chain), and
         // the recompute dwarfs the barrier cost even at delta size
         // (26.7 s vs 19.6 s measured here)
-        val wide = dbg(s"wide_z$z")(ckpt(GridHierarchy.passWide(members, z, opts, newTotal)))
+        val wide = dbg(s"wide_z$z")(ckpt(GridHierarchy.passWide(members, z, opts, total)))
         emits += GridHierarchy.emitLevel(wide, z, opts)
         prevOutputs = GridHierarchy.nextRecords(wide, opts)
       }
@@ -289,13 +386,19 @@ object IncrementalGrid {
       lit(opts.minZoom).as("zoom"), col("mx"), col("my"), col("id"),
       lit(-1L).as("parent_id"), col("point_count"), col("is_cluster"),
       col("lng"), col("lat"), lit(-1L).as("child_rank"))
+    emits.toSeq
+  }
 
-    // 2nd full-index pass: splice — keep every stored row no touched cell
-    // consumed, add the recomputed levels
-    val keep = shifted
-      .withColumn("_splice", spliceKey)
+  /** 2nd full-index pass: splice — keep every stored row no touched cell
+    * consumed; the recomputed levels replace the rest.
+    */
+  private def spliceKeep(
+      shifted: DataFrame,
+      touchedC: DataFrame,
+      opts: ClusterOptions,
+      total: Long): DataFrame =
+    shifted
+      .withColumn("_splice", spliceKeyCol(opts, total))
       .join(broadcast(touchedC), Seq("_splice"), "left_anti")
       .drop("_splice")
-    (keep, emits.toSeq)
-  }
 }

@@ -1114,88 +1114,398 @@ object IndexStore {
     // otherwise count this merge's fresh appends): the rows the rewrite
     // REPLACES — with nOut below, the whole commit's levelsRows update is
     // two O(touched) counts instead of the old O(live files) footer job
-    val (out, nOldTouched) = phase("recompute") {
+    val (out, emitsAll, nOldTouched) = phase("recompute") {
       val nOld = subset.count()
       val (keep, emits) =
         IncrementalGrid.recomputeTouched(subset, addedBase, opts, newTotal, nNew, ckpt)
       // materialize before writing: localCheckpoint also pins the rows
-      // against the lazy plan re-reading files mid-write
-      (ckpt((keep +: emits).reduce(_ unionByName _)), nOld)
+      // against the lazy plan re-reading files mid-write. The emits are
+      // kept SEPARATELY too — a disjoint rebase (below) needs our
+      // recomputed coarse rows without the coarse keep rows.
+      val e = ckpt(emits.reduce(_ unionByName _))
+      (ckpt(keep.unionByName(e)), e, nOld)
     }
 
     // MVCC write: APPEND new part files into the touched bucket dirs —
     // never delete — so a Reader pinned to the old manifest keeps
-    // answering from its files. The new files are the listing diff of
-    // exactly the wanted buckets (orphans from a crashed earlier merge
-    // sit in `before` and stay orphaned for vacuum).
+    // answering from its files.
     val newEpoch = meta.epoch + 1L
+    try {
+      val (nOut, manifestFilesWritten, manifestBytesWritten) = phase("write") {
+        appendAndCommit(spark, fs, path, meta, opts, wanted, out, newTotal,
+          newEpoch, oldEntries, oldFlatFiles)
+      }
+      val totalBuckets = phase("commit") {
+        writeMeta(spark, path, meta.copy(numPoints = newTotal,
+          levelsRows = meta.levelsRows - nOldTouched + nOut, epoch = newEpoch))
+        scratch.foreach(_.unpersist())
+        listBuckets(spark, path).length.toLong
+      }
+      MergeStats(nNew, touched.length + 1L, totalBuckets, phases.toMap,
+        manifestFilesWritten, manifestBytesWritten, plannedFiles)
+    } catch {
+      case c: StoreCommitConflict =>
+        phase("rebase") {
+          rebaseDisjoint(spark, fs, path, meta, opts, touched, addedBase,
+            out, emitsAll, nNew, c, ckpt)
+        } match {
+          case Some((totalBuckets, mf, mb)) =>
+            MergeStats(nNew, touched.length + 1L, totalBuckets,
+              phases.toMap, mf, mb, plannedFiles)
+          case None => throw c
+        }
+    }
+    } finally scratch.foreach(_.unpersist(): Unit)
+  }
+
+  /** Disjoint-merge REBASE (r15 verdict #5): when this merge loses the
+    * commit CAS to a writer whose touched buckets are provably disjoint
+    * from ours, the expensive recompute is still valid — only its id
+    * space and the shared coarse (-1) bucket need reconciling — so the
+    * loser re-lands on top of the winner instead of re-running the whole
+    * merge, making disjoint-writer throughput additive (the realistic
+    * multi-region ingest shape).
+    *
+    * WHY the recompute survives: touched-cell membership is the only
+    * input to the level fold. Spatial buckets nest dyadically, so
+    * bucket-level disjointness covers every pass ≥ bucketZoom; for the
+    * coarser passes (whose rows share the -1 bucket) the ancestor cells
+    * of the two writers' buckets are pure bit-shifts of the bucket
+    * coordinates, checked driver-side — when those are disjoint too, no
+    * cell either writer recomputed contained the other's points, and
+    * both recomputes equal their sequential-order versions.
+    *
+    * WHAT is reconciled (vs a sequential re-run):
+    *  1. the ID SPACE: the winner grew numPoints by wN, so our batch's
+    *     leaf ids and every cluster id shift by wN — the same pure map
+    *     [[IncrementalGrid.merge]] rides on its splice scan, applied to
+    *     our ALREADY-RECOMPUTED rows (cluster-id encoding is
+    *     total-invariant, so this exactly reproduces the sequential
+    *     encode);
+    *  2. the -1 BUCKET, which both writers rewrite wholesale: rebased
+    *     content = the winner's committed coarse rows MINUS the rows our
+    *     touched cells consume PLUS our recomputed coarse emits — the
+    *     splice identity, evaluated over two already-materialized sides.
+    *
+    * Cost: one O(touched) write + commit (the recompute — the dominant
+    * term — is reused; the write must repeat because the rows' id
+    * encoding changed). Returns None — caller rethrows the original
+    * conflict — when rebase can't vouch: meta never advanced (crashed
+    * winner), pre-v2 manifests, bucket or coarse-ancestor overlap.
+    * Multiple rebase rounds (another disjoint writer landing mid-rebase)
+    * retry up to 3 times. OVERLAPPING writers still throw: their
+    * recomputes genuinely read stale membership.
+    */
+  private def rebaseDisjoint(
+      spark: SparkSession,
+      fs: FileSystem,
+      path: String,
+      baseMeta: StoreMeta,
+      opts: ClusterOptions,
+      ourTouched: Seq[Long],
+      addedBase: DataFrame,
+      out: DataFrame,
+      emitsAll: DataFrame,
+      nNew: Long,
+      conflict: StoreCommitConflict,
+      ckpt: DataFrame => DataFrame): Option[(Long, Long, Long)] = {
+    var attempt = 0
+    var fromMeta = baseMeta
+    while (attempt < 3) {
+      attempt += 1
+      // wait for the winner's meta swap (it commits manifest-then-meta;
+      // we lost the manifest CAS, so the meta follows within its commit
+      // path — a winner that CRASHED in between never advances meta and
+      // we give up to the conflict's recover() remedy)
+      var cur = readMeta(spark, path)
+      var spins = 0
+      while (cur.epoch <= fromMeta.epoch && spins < 50) {
+        Thread.sleep(100); spins += 1; cur = readMeta(spark, path)
+      }
+      if (cur.epoch <= fromMeta.epoch) return None
+      // both epochs must be bucket-list (v2) manifests to diff cheaply
+      val oldE = readManifestLines(fs, path, fromMeta.epoch).flatMap(bucketEntriesOf)
+        .getOrElse(return None)
+      val newE = readManifestLines(fs, path, cur.epoch).flatMap(bucketEntriesOf)
+        .getOrElse(return None)
+      val oldMap = oldE.toMap
+      val newMap = newE.toMap
+      val changedSpatial = (oldMap.keySet ++ newMap.keySet)
+        .filter(d => d != "bucket=-1" && oldMap.get(d) != newMap.get(d))
+        .map(_.stripPrefix("bucket=").toLong)
+      val ourDirs = ourTouched.toSet
+      if (changedSpatial.exists(ourDirs)) return None // bucket overlap
+      // coarse-pass disjointness: ancestor cells of the two bucket sets
+      // (exact bit-shifts of the bucket coords — dyadic nesting) must
+      // not meet at any pass below bucketZoom
+      def ancestors(bs: Set[Long]): Set[(Int, Long)] =
+        for {
+          b <- bs
+          z <- (opts.minZoom until fromMeta.bucketZoom).toSet[Int]
+        } yield {
+          val s = fromMeta.bucketZoom - z
+          (z, (((b >> 20) >> s) << 20) | ((b & ((1L << 20) - 1)) >> s))
+        }
+      if (ancestors(changedSpatial).exists(ancestors(ourDirs))) return None
+
+      val wN = cur.numPoints - fromMeta.numPoints
+      val ourTotal = fromMeta.numPoints + nNew
+      val finalTotal = cur.numPoints + nNew
+      // shift our recomputed rows into the post-winner id space: values
+      // >= our base total are our batch's leaf ids or cluster ids — both
+      // move by wN (cluster ids land at cellDerived + finalTotal, leaf
+      // ids continue after the winner's batch, exactly sequential order)
+      def shifted(df: DataFrame): DataFrame = {
+        def sh(c: String) =
+          when(col(c) >= fromMeta.numPoints, col(c) + wN).otherwise(col(c)).as(c)
+        df.select(col("zoom"), col("mx"), col("my"), sh("id"), sh("parent_id"),
+          col("point_count"), col("is_cluster"), col("lng"), col("lat"),
+          sh("child_rank"))
+      }
+      val bucketExpr = bucketCol(opts, fromMeta.bucketZoom)
+      val ourSpatial = shifted(out).where(bucketExpr =!= -1L)
+      val ourCoarseEmits = shifted(emitsAll).where(bucketExpr === -1L)
+      // the winner's committed -1 bucket, decoded in the FINAL id space,
+      // minus the rows OUR touched cells consume (they are re-emitted,
+      // recomputed, in ourCoarseEmits)
+      val passes = (opts.minZoom to opts.maxZoom).toSeq
+      val touchedF = addedBase
+        .select(explode(array(passes.map(z =>
+          GridHierarchy.cellIdCol(z, opts, finalTotal)): _*)).as("_splice"))
+        .distinct()
+      val (wCoarseScan, _) = levelsDfSubset(spark, path, cur.epoch, Set("bucket=-1"))
+      val wCoarseKept = decodeIds(
+        wCoarseScan.select(DataCols.map(col): _*), finalTotal)
+        .withColumn("_splice", IncrementalGrid.spliceKeyCol(opts, finalTotal))
+        .join(broadcast(touchedF), Seq("_splice"), "left_anti")
+        .drop("_splice")
+      val rebasedOut = ckpt(
+        ourSpatial.unionByName(wCoarseKept).unionByName(ourCoarseEmits))
+
+      val wanted = ourTouched :+ -1L
+      // rows this commit replaces: the winner's version of our wanted dirs
+      val (wWantedScan, _) = levelsDfSubset(
+        spark, path, cur.epoch, wanted.map(b => s"bucket=$b").toSet)
+      val nReplaced = wWantedScan.count()
+      val rebaseEpoch = cur.epoch + 1L
+      try {
+        val (nOut, mf, mb) = appendAndCommit(spark, fs, path, cur, opts,
+          wanted, rebasedOut, finalTotal, rebaseEpoch, Some(newE),
+          Seq.empty)
+        writeMeta(spark, path, cur.copy(numPoints = finalTotal,
+          levelsRows = cur.levelsRows - nReplaced + nOut, epoch = rebaseEpoch))
+        return Some((listBuckets(spark, path).length.toLong, mf, mb))
+      } catch {
+        case _: StoreCommitConflict =>
+          // another writer landed during the rebase — go around again,
+          // diffing disjointness from the epoch we just rebased onto,
+          // but keeping numPoints at OUR base: `out`/`emitsAll` are
+          // still in the ORIGINAL pre-merge id space, so the next
+          // round's shift must stay cumulative from it
+          fromMeta = cur.copy(numPoints = fromMeta.numPoints)
+      }
+    }
+    None
+  }
+
+  /** The touched-bucket append + manifest commit shared by [[mergeInto]]
+    * and [[removeFrom]]: write the recomputed rows as fresh part files
+    * into exactly the wanted bucket dirs (the listing diff names them —
+    * orphans from a crashed earlier writer sit in `before` and stay
+    * orphaned for vacuum), build fresh per-bucket manifests for the
+    * touched buckets, re-point the untouched entries, and CAS the epoch
+    * list. Returns (rows written, manifest files, manifest bytes).
+    */
+  private def appendAndCommit(
+      spark: SparkSession,
+      fs: FileSystem,
+      path: String,
+      meta: StoreMeta,
+      opts: ClusterOptions,
+      wanted: Seq[Long],
+      out: DataFrame,
+      encodeTotal: Long,
+      newEpoch: Long,
+      oldEntries: Option[Seq[(String, String)]],
+      oldFlatFiles: => Seq[String]): (Long, Long, Long) = {
     var manifestFilesWritten = 0L
     var manifestBytesWritten = 0L
-    val nOut = phase("write") {
-      val wantedDirs = wanted.toIndexedSeq.map(b => s"bucket=$b")
-      val before = listBucketFiles(fs, path, wantedDirs).toSet
-      val withBucket = encodeIds(out, newTotal)
-        .withColumn("bucket", bucketCol(opts, meta.bucketZoom))
-      // the manifest below is a listing diff of the WANTED dirs only: a
-      // recomputed row bucketing outside them would be written to disk
-      // yet never referenced — invisible, then vacuumed. The dyadic-
-      // nesting invariant says that can't happen; assert it (one distinct
-      // over the checkpointed delta) so a broken invariant is an error,
-      // not silent data loss.
-      val outBuckets = withBucket.select(col("bucket")).distinct()
-        .collect().map(_.getLong(0))
-      val wantedLongs = wanted.toSet
-      val stray = outBuckets.filterNot(b => wantedLongs.contains(b) || b == -1L)
-      require(stray.isEmpty,
-        s"recomputed rows landed in untouched bucket(s) ${stray.mkString(",")} " +
-          "— the consuming-pass nesting invariant is broken; aborting before " +
-          "the manifest would silently drop them")
-      withBucket
-        .repartition(col("bucket"))
-        .write.mode("append")
-        .partitionBy("bucket").parquet(s"$path/levels")
-      val after = listBucketFiles(fs, path, wantedDirs)
-      val fresh = after.filterNot(before)
-      // new manifest = the old bucket entries minus the touched buckets,
-      // plus fresh per-bucket manifests for the buckets this merge just
-      // rewrote (touched buckets are REWRITTEN wholesale at the row
-      // level, so their old files drop out) — commit I/O O(touched)
-      val wantedSet = wantedDirs.toSet
-      def writeBm(files: Seq[String]): String = {
-        val (name, bytes) = writeBucketManifest(fs, path, files)
-        manifestFilesWritten += 1
-        manifestBytesWritten += bytes
-        name
-      }
-      val untouchedEntries: Seq[(String, String)] = oldEntries match {
-        case Some(entries) => entries.filterNot(e => wantedSet(e._1))
-        case None =>
-          // one-time upgrade from a flat/pre-manifest store: group the
-          // live list by bucket and write every untouched bucket's
-          // manifest once — O(live buckets) here, O(touched) ever after
-          oldFlatFiles.filterNot(f => wantedSet(f.takeWhile(_ != '/')))
-            .groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-            .map { case (d, inDir) => (d, writeBm(inDir)) }
-      }
-      val touchedEntries = fresh.groupBy(_.takeWhile(_ != '/')).toSeq
-        .sortBy(_._1).map { case (d, inDir) => (d, writeBm(inDir)) }
-      testHookBeforeCommit()
-      // the single-writer CAS: first claim of epoch N+1 wins; a loser
-      // throws StoreCommitConflict with nothing committed (its appends
-      // and bucket manifests above are unreferenced orphans for vacuum)
-      manifestBytesWritten += commitManifestBuckets(
-        fs, path, newEpoch, untouchedEntries ++ touchedEntries)
+    val wantedDirs = wanted.toIndexedSeq.map(b => s"bucket=$b")
+    val before = listBucketFiles(fs, path, wantedDirs).toSet
+    val withBucket = encodeIds(out, encodeTotal)
+      .withColumn("bucket", bucketCol(opts, meta.bucketZoom))
+    // the manifest below is a listing diff of the WANTED dirs only: a
+    // recomputed row bucketing outside them would be written to disk
+    // yet never referenced — invisible, then vacuumed. The dyadic-
+    // nesting invariant says that can't happen; assert it (one distinct
+    // over the checkpointed delta) so a broken invariant is an error,
+    // not silent data loss.
+    val outBuckets = withBucket.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val wantedLongs = wanted.toSet
+    val stray = outBuckets.filterNot(b => wantedLongs.contains(b) || b == -1L)
+    require(stray.isEmpty,
+      s"recomputed rows landed in untouched bucket(s) ${stray.mkString(",")} " +
+        "— the consuming-pass nesting invariant is broken; aborting before " +
+        "the manifest would silently drop them")
+    withBucket
+      .repartition(col("bucket"))
+      .write.mode("append")
+      .partitionBy("bucket").parquet(s"$path/levels")
+    val after = listBucketFiles(fs, path, wantedDirs)
+    val fresh = after.filterNot(before)
+    // new manifest = the old bucket entries minus the touched buckets,
+    // plus fresh per-bucket manifests for the buckets this commit just
+    // rewrote (touched buckets are REWRITTEN wholesale at the row
+    // level, so their old files drop out) — commit I/O O(touched)
+    val wantedSet = wantedDirs.toSet
+    def writeBm(files: Seq[String]): String = {
+      val (name, bytes) = writeBucketManifest(fs, path, files)
       manifestFilesWritten += 1
-      out.count() // localCheckpointed — a metadata count, no recompute
+      manifestBytesWritten += bytes
+      name
     }
-    val totalBuckets = phase("commit") {
-      writeMeta(spark, path, meta.copy(numPoints = newTotal,
-        levelsRows = meta.levelsRows - nOldTouched + nOut, epoch = newEpoch))
-      scratch.foreach(_.unpersist())
-      listBuckets(spark, path).length.toLong
+    val untouchedEntries: Seq[(String, String)] = oldEntries match {
+      case Some(entries) => entries.filterNot(e => wantedSet(e._1))
+      case None =>
+        // one-time upgrade from a flat/pre-manifest store: group the
+        // live list by bucket and write every untouched bucket's
+        // manifest once — O(live buckets) here, O(touched) ever after
+        oldFlatFiles.filterNot(f => wantedSet(f.takeWhile(_ != '/')))
+          .groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+          .map { case (d, inDir) => (d, writeBm(inDir)) }
     }
-    MergeStats(nNew, touched.length + 1L, totalBuckets, phases.toMap,
-      manifestFilesWritten, manifestBytesWritten, plannedFiles)
+    val touchedEntries = fresh.groupBy(_.takeWhile(_ != '/')).toSeq
+      .sortBy(_._1).map { case (d, inDir) => (d, writeBm(inDir)) }
+    testHookBeforeCommit()
+    // the single-writer CAS: first claim of epoch N+1 wins; a loser
+    // throws StoreCommitConflict with nothing committed (its appends
+    // and bucket manifests above are unreferenced orphans for vacuum)
+    manifestBytesWritten += commitManifestBuckets(
+      fs, path, newEpoch, untouchedEntries ++ touchedEntries)
+    manifestFilesWritten += 1
+    // out is localCheckpointed — a metadata count, no recompute
+    (out.count(), manifestFilesWritten, manifestBytesWritten)
+  }
+
+  /** Fold a REMOVAL batch out of the store (r15 verdict #3 — the other
+    * half of live maintenance; a "live" map gets corrections and
+    * retractions, not only ingest): removals live on the batch's
+    * ancestor-cell paths exactly like ingest (the same dyadic-nesting
+    * induction as [[mergeInto]] — see [[IncrementalGrid
+    * .recomputeTouchedRemove]]), so the touched buckets are known
+    * upfront from the removed coordinates, the recompute is the
+    * existing delta fold with the removed leaves dropped at the base
+    * level, and the commit is the same O(touched) append + manifest
+    * CAS. The ID SPACE IS UNTOUCHED: `numPoints` is the id-space size,
+    * not the live count — survivors keep their ids, cluster ids keep
+    * their offset, and the result is bit-equal to a fresh build of the
+    * survivors in the same id space (`GridHierarchy.build(survivors,
+    * idSpace = numPoints)`; IndexStoreSpec pins it). A later
+    * [[mergeInto]] continues the id space at `numPoints` as before —
+    * removed ids are never reused.
+    *
+    * `removedPoints` must carry each removed point's ORIGINAL
+    * coordinates and id (the same (lng, lat, id) it was ingested with):
+    * the coordinates name the touched cells, and the integrity gate
+    * requires every (id, position) to match a stored base row — a wrong
+    * coordinate or unknown id fails loudly before anything is written.
+    */
+  def removeFrom(
+      spark: SparkSession,
+      path: String,
+      removedPoints: DataFrame,
+      lngCol: String = "lng",
+      latCol: String = "lat",
+      idCol: String = "row_id"): MergeStats = {
+    val meta = readMeta(spark, path)
+    val opts = meta.opts
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); scratch += c; c
+    }
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def phase[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      phases(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
+    try {
+      val (removedBase, nRemoved) = phase("delta") {
+        val b = ckpt(
+          GridHierarchy.baseRecords(removedPoints, lngCol, latCol, idCol)
+            .repartition(IncrementalGrid.deltaPartitions(
+              spark, removedPoints.count())))
+        val n = b.count()
+        val idRange = b.agg(min(col("id")), max(col("id"))).head()
+        if (!idRange.isNullAt(0))
+          require(idRange.getLong(0) >= 0L && idRange.getLong(1) < meta.numPoints,
+            s"removed ids must lie in the stored id space [0, ${meta.numPoints}), " +
+              s"got [${idRange.getLong(0)}, ${idRange.getLong(1)}]")
+        (b, n)
+      }
+
+      val touched = phase("touched") {
+        removedBase
+          .select(packCell(rBucket(opts, meta.bucketZoom)).as("bucket"))
+          .distinct().collect().map(_.getLong(0))
+      }
+      val wanted = touched :+ -1L
+
+      val fs = hadoopFs(spark, path)
+      val oldLines = readManifestLines(fs, path, meta.epoch)
+      if (oldLines.isEmpty && listManifestEpochs(fs, path).nonEmpty)
+        throw new IllegalStateException(
+          s"store at $path has manifests but none for committed epoch " +
+            s"${meta.epoch} — corrupt; refusing to remove from a directory scan")
+      val oldEntries: Option[Seq[(String, String)]] = oldLines.flatMap(bucketEntriesOf)
+      lazy val oldFlatFiles: Seq[String] = oldLines match {
+        case Some(lines) => lines.filterNot(_.startsWith("#"))
+        case None => listLevelFiles(fs, path) // legacy upgrade-in-place
+      }
+      val (subsetScan, plannedFiles) = levelsDfSubset(
+        spark, path, meta.epoch, wanted.map(b => s"bucket=$b").toSet)
+      // no id shift: the id space is untouched — decode against the
+      // stored total, encode back against the same one
+      val subset = decodeIds(
+        subsetScan.select(DataCols.map(col): _*), meta.numPoints)
+
+      val (out, nOldTouched) = phase("recompute") {
+        val nOld = subset.count()
+        // integrity gate: every removed (id, position) must name a
+        // stored base row in the touched subset — a wrong coordinate
+        // puts the point in an untouched cell (its row would survive),
+        // an unknown id matches nothing; both fail HERE, loudly,
+        // before any write. mx/my are f32-quantized by the same
+        // baseRecords both paths run, so equality is exact.
+        val matched = subset
+          .where(col("zoom") === opts.maxZoom + 1)
+          .join(broadcast(removedBase.select(col("id"), col("mx"), col("my"))),
+            Seq("id", "mx", "my"), "left_semi")
+          .count()
+        require(matched == nRemoved,
+          s"removeFrom: only $matched of $nRemoved removed points match a " +
+            s"stored base row at $path — removals must carry the original " +
+            "(id, lng, lat) of ingested points")
+        val (keep, emits) = IncrementalGrid.recomputeTouchedRemove(
+          subset, removedBase, opts, meta.numPoints, nRemoved, ckpt)
+        (ckpt((keep +: emits).reduce(_ unionByName _)), nOld)
+      }
+
+      val newEpoch = meta.epoch + 1L
+      val (nOut, manifestFilesWritten, manifestBytesWritten) = phase("write") {
+        appendAndCommit(spark, fs, path, meta, opts, wanted, out,
+          meta.numPoints, newEpoch, oldEntries, oldFlatFiles)
+      }
+      val totalBuckets = phase("commit") {
+        writeMeta(spark, path, meta.copy(
+          levelsRows = meta.levelsRows - nOldTouched + nOut, epoch = newEpoch))
+        scratch.foreach(_.unpersist())
+        listBuckets(spark, path).length.toLong
+      }
+      MergeStats(nRemoved, touched.length + 1L, totalBuckets, phases.toMap,
+        manifestFilesWritten, manifestBytesWritten, plannedFiles)
     } finally scratch.foreach(_.unpersist(): Unit)
   }
 

@@ -167,6 +167,15 @@ object AnnIvfPq {
     // fresh epoch per save — binds any later saveCalibration to THIS
     // index (see AnnIvf.saveIndex)
     AnnCalStore.writeEpoch(coded.sparkSession, path)
+    // a fresh save is a NEW index: tombstones and append markers from a
+    // previous save at this path would silently delete (or re-fingerprint)
+    // rows of the new one
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path),
+      coded.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/appends"), true)
+    ()
   }
 
   /** Whether the index saved at `path` carries residual codes — the
@@ -203,14 +212,90 @@ object AnnIvfPq {
     AnnCalStore.load(spark, path)
 
   /** Reload an index persisted by [[saveIndex]]:
-    * (coded, centroids, codebooks), directly usable by [[search]].
+    * (coded, centroids, codebooks), directly usable by [[search]]. The
+    * coded table comes back with TOMBSTONED rows excluded
+    * ([[deleteVectors]]) — one broadcast anti-join against the
+    * batch-scale tombstone table, skipped entirely when no tombstones
+    * exist — so every path-based consumer (distributed search, the heap
+    * and codes serving tiers, a pack re-save) serves the surviving
+    * corpus without its own bookkeeping.
     */
   def loadIndex(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): (DataFrame, DataFrame, Array[Array[Array[Double]]]) =
-    (spark.read.parquet(s"$path/coded"),
+      path: String): (DataFrame, DataFrame, Array[Array[Array[Double]]]) = {
+    val codedRaw = spark.read.parquet(s"$path/coded")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+    val coded =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+        codedRaw
+      else {
+        val idName = codedRaw.columns.head
+        codedRaw.join(
+          broadcast(spark.read.parquet(s"$path/tombstones")
+            .select(col(idName).as("_tomb_id"))),
+          col(idName).cast("long") === col("_tomb_id"), "left_anti")
+      }
+    (coded,
       spark.read.parquet(s"$path/centroids"),
       AnnPq.loadCodebooks(spark, s"$path/codebooks"))
+  }
+
+  /** Tombstone a batch of vector ids (r15 verdict #2 — the other half of
+    * live ANN maintenance): a training-data pipeline REMOVES documents
+    * constantly (dedup verdicts, takedowns, quality re-scoring), and
+    * until now that cost a full rebuild. A delete is O(batch): one
+    * parquet append to `<path>/tombstones`, one [[AnnServePack
+    * .appendTombstones]] flat file + meta swap when a pack exists.
+    * Every serve tier excludes the ids — [[loadIndex]] anti-joins them
+    * out for the distributed/heap/codes paths, and the pack's mapped
+    * open carries them as the search loop's sorted skip set — so search
+    * answers exactly as a rebuild on the surviving corpus under the same
+    * frozen structures would (the q109 oracle replays it in DuckDB;
+    * structures are per-row-frozen, so dropping rows changes no other
+    * row's assignment or codes). [[compactServingArtifacts]] folds
+    * tombstones away physically; [[appendVectors]] rejects resurrecting
+    * a tombstoned id until then. Ids must EXIST and not already be
+    * tombstoned — a delete of an unknown id is a caller bug, surfaced
+    * loudly. The calibration stays valid by the frozen-structure
+    * argument (probe geometry is unchanged; fewer candidates only ever
+    * shrink the shortlist). Returns ids tombstoned.
+    */
+  def deleteVectors(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: Seq[Long]): Long = {
+    require(ids.nonEmpty, "deleteVectors: empty id batch")
+    val dedup = ids.distinct.sorted
+    import spark.implicits._
+    val codedRaw = spark.read.parquet(s"$path/coded")
+    val idName = codedRaw.columns.head
+    val batchDf = dedup.toDF("_tid")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+    val tombDir = s"$path/tombstones"
+    if (fs.exists(new org.apache.hadoop.fs.Path(tombDir))) {
+      val doubled = spark.read.parquet(tombDir)
+        .join(broadcast(batchDf), col(idName).cast("long") === col("_tid"),
+          "left_semi").limit(1).count()
+      require(doubled == 0L,
+        s"deleteVectors: batch contains already-tombstoned id(s) at $path — " +
+          "double deletes are a caller bug")
+    }
+    val present = codedRaw
+      .join(broadcast(batchDf), col(idName).cast("long") === col("_tid"),
+        "left_semi")
+      .select(col(idName)).distinct().count()
+    require(present == dedup.length.toLong,
+      s"deleteVectors: only $present of ${dedup.length} batch ids exist in " +
+        s"the index at $path — deleting an unknown id is a caller bug")
+    batchDf.select(col("_tid").as(idName))
+      .coalesce(1).write.mode("append").parquet(tombDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (AnnServePack.exists(conf, path))
+      AnnServePack.appendTombstones(conf, path, dedup.toArray): Unit
+    dedup.length.toLong
+  }
 
   /** Per-(path, save-epoch) serving state: the variant marker, the stored
     * calibration, and (lazily, double-checked) the driver-local snapshot.
@@ -308,7 +393,7 @@ object AnnIvfPq {
       conf: org.apache.hadoop.conf.Configuration, path: String): String = {
     val fs = org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(path), conf)
     Seq("epoch", "calibration", "variant", "vecstore/meta.txt",
-      "servepack/meta.txt", "appends").map { d =>
+      "servepack/meta.txt", "appends", "tombstones").map { d =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$d")
       if (!fs.exists(p)) ""
       else fs.listStatus(p).map(s => s"${s.getPath.getName}:${s.getModificationTime}")
@@ -431,6 +516,33 @@ object AnnIvfPq {
       val nBatch = assigned.count()
       if (nBatch == 0L)
         return AnnAppendStats(0L, Double.NaN, Double.NaN, Double.NaN)
+      // id discipline up front (r15 advice): WITHOUT a sidecar the old
+      // path appended duplicate ids silently (the sidecar's streaming
+      // check was the only guard); and no append may RESURRECT a
+      // tombstoned id before compaction clears it — the tombstone would
+      // silently swallow the new row from every serve tier.
+      val batchIds = assigned.select(col(idCol).cast("long").as("_bid"))
+      val fsCheck = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+      if (fsCheck.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones"))) {
+        val idName = codedBase.columns.head
+        val resurrect = spark.read.parquet(s"$path/tombstones")
+          .join(broadcast(batchIds), col(idName).cast("long") === col("_bid"),
+            "left_semi").limit(1).count()
+        require(resurrect == 0L,
+          s"appendVectors: batch contains tombstoned id(s) at $path — a " +
+            "deleted id cannot be re-added until compactServingArtifacts " +
+            "folds the tombstones away")
+      }
+      if (!AnnVecStore.exists(spark, path)) {
+        val dup = codedBase
+          .join(broadcast(batchIds),
+            col(idCol).cast("long") === col("_bid"), "left_semi")
+          .limit(1).count()
+        require(dup == 0L,
+          s"appendVectors: batch contains id(s) already in the index at " +
+            s"$path — appended ids must be new (deletes are deleteVectors)")
+      }
       val codedBatch = (
         if (residual) encodeResidual(assigned, centroids, codebooks, idCol, vecCol)
         else assigned.select(col(idCol), col("_centroid"),
@@ -535,20 +647,132 @@ object AnnIvfPq {
   def compactServingArtifacts(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      emb: DataFrame,
+      emb: DataFrame = null,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(path), conf)
     val hadVecstore = AnnVecStore.exists(spark, path)
     val hadPack = AnnServePack.exists(conf, path)
-    val n = if (hadVecstore) AnnVecStore.save(emb, path, idCol, vecCol) else 0L
+    // 1. the CODED parquet table itself (r15 verdict #6): every append
+    // left one small file set (`.mode("append")`), and tombstoned rows
+    // linger physically — one rewrite folds both (loadIndex hands back
+    // the tombstone-excluded rows; small input files coalesce into few
+    // output partitions via the scan's bin-packing)
+    val (codedEx, _, _) = loadIndex(spark, path)
+    val codedCols = spark.read.parquet(s"$path/coded").columns.toIndexedSeq
+    val tmp = s"$path/coded_compact"
+    codedEx.select(codedCols.map(col): _*)
+      .write.mode("overwrite").parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/coded"), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$path/coded")),
+      s"coded-table compaction rename failed at $path")
+    // 2. the sidecar: fresh per-range segments from the surviving corpus
+    // — caller-supplied, or (r15 verdict #6's second half) READ BACK
+    // from the sidecar itself, which already holds every vector. Either
+    // way tombstoned ids are excluded, so a post-compaction append may
+    // legitimately reuse a deleted id.
+    val n =
+      if (!hadVecstore) 0L
+      else {
+        val corpus = Option(emb)
+          .getOrElse(AnnVecStore.toDataFrame(spark, path, idCol, vecCol))
+        val surviving =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+            corpus
+          else corpus.join(
+            broadcast(spark.read.parquet(s"$path/tombstones")
+              .select(col(spark.read.parquet(s"$path/tombstones").columns.head)
+                .cast("long").as("_tomb_id"))),
+            col(idCol).cast("long") === col("_tomb_id"), "left_anti")
+        AnnVecStore.save(surviving, path, idCol, vecCol)
+      }
+    // 3. tombstones are now folded into the physical layout — drop them
+    // BEFORE the pack re-save so the fresh pack carries no skip set
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     if (hadPack) AnnServePack.save(spark, path): Unit
-    // markers served their purpose (fingerprint churn per append); the
+    // markers served their purpose (fingerprint churn per mutation); the
     // compaction itself re-touches the fingerprint via the meta swaps
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(path), conf)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/appends"), true)
     n
+  }
+
+  /** Full re-train — the [[AnnAppendStats.driftRatio]] consumer (r15
+    * verdict #3's missing action): when appended batches drift from the
+    * base distribution, the FROZEN structures quantize them worse and
+    * recall sags ([[graft.Bench]]'s drift rung measures the curve);
+    * the remedy is re-deriving everything from the CURRENT corpus —
+    * fresh coarse Lloyd, fresh codebooks (same shape as the saved ones:
+    * list count, m, k are read from the existing artifacts), re-encode,
+    * re-save. The corpus defaults to the sidecar's own contents minus
+    * tombstones, so a serving deployment retrains with ONE call and no
+    * re-supplied table. The save writes a fresh epoch, so the stored
+    * calibration is INVALIDATED by construction ([[loadCalibration]]
+    * returns None — epoch mismatch): a re-trained geometry voids the old
+    * probe-depth evidence, and serving re-calibrates before vouching
+    * again. Sidecar and pack re-save when present; tombstones and append
+    * markers fold away. Returns the retrained corpus size.
+    */
+  def retrain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      emb: DataFrame = null,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      iters: Int = 2,
+      exactScores: Boolean = false): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(path), conf)
+    val residual = isResidual(spark, path)
+    val oldCb = AnnPq.loadCodebooks(spark, s"$path/codebooks")
+    val m = oldCb.length
+    val k = oldCb(0).length
+    val kCoarse = spark.read.parquet(s"$path/centroids").count().toInt
+    val hadVecstore = AnnVecStore.exists(spark, path)
+    val hadPack = AnnServePack.exists(conf, path)
+    val corpus0 = Option(emb).getOrElse {
+      require(hadVecstore,
+        s"retrain at $path needs a corpus: pass emb, or save the vecstore " +
+          "sidecar so the corpus can be read back from it")
+      AnnVecStore.toDataFrame(spark, path, idCol, vecCol)
+    }
+    val corpus =
+      (if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+        corpus0
+      else corpus0.join(
+        broadcast(spark.read.parquet(s"$path/tombstones")
+          .select(col(spark.read.parquet(s"$path/tombstones").columns.head)
+            .cast("long").as("_tomb_id"))),
+        col(idCol).cast("long") === col("_tomb_id"), "left_anti")).persist()
+    try {
+      val n = corpus.count()
+      val (indexed, centroids) = AnnIvf.buildIndex(
+        corpus, idCol, vecCol, k = kCoarse, iters = iters,
+        exactScores = exactScores)
+      val (cb, coded) =
+        if (residual) {
+          val cbR = trainResidual(indexed, centroids, idCol, vecCol,
+            m = m, k = k, iters = iters)
+          (cbR, encodeResidual(indexed, centroids, cbR, idCol, vecCol))
+        } else {
+          val cbRaw = AnnPq.train(
+            corpus.select(col(idCol), col(vecCol).cast("array<double>").as("_v")),
+            idCol, "_v", m, k, iters)
+          (cbRaw, indexed.select(col(idCol), col("_centroid"))
+            .join(AnnPq.encode(
+              corpus.select(col(idCol), col(vecCol).cast("array<double>").as("_v")),
+              cbRaw, idCol, "_v").withColumnRenamed("vec_id", idCol), Seq(idCol))
+            .select(col(idCol), col("_centroid"), col("codes")))
+        }
+      // fresh epoch per saveIndex — the calibration invalidation
+      saveIndex(coded, centroids, cb, path, idCol, residual = residual)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/appends"), true)
+      if (hadVecstore) AnnVecStore.save(corpus, path, idCol, vecCol): Unit
+      if (hadPack) AnnServePack.save(spark, path): Unit
+      n
+    } finally corpus.unpersist(): Unit
   }
 
   /** One marker file per append under `<path>/appends/` — the save

@@ -129,7 +129,8 @@ object AnnLocal {
         p += 1
       }
     }
-    Some(new AnnLocalIndex(cents, listIndex, offsets, ids, codes,
+    Some(new AnnLocalIndex(cents,
+      new HeapCodes(listIndex, offsets, ids, codes, m),
       new HeapVectors(ids, vecs, dim), codebooks, residual, dim, m))
   }
 
@@ -167,9 +168,12 @@ object AnnLocal {
   * `total ≤ Int.MaxValue/m` rows (m=8 → ~268M rows ≈ 2.1 GB codes +
   * 2.1 GB ids), guarded with a loud over-cap error (Long arithmetic —
   * r14 advice). The default `maxRows` = 20M (~320 MB at m=8) is a heap
-  * BUDGET, raisable to the hard ceiling on a big-memory serving node;
-  * past ~268M rows one process's byte-array index is the wrong shape —
-  * shard the serving tier (one pack per shard) or serve distributed.
+  * BUDGET, raisable to the hard ceiling on a big-memory serving node.
+  * PAST that ceiling the answer is no longer "serve distributed": the
+  * [[AnnServePack]] MAPPED open (r15 verdict #1) runs this same search
+  * loop over mmap'd segments — total rows a Long, resident heap ~flat —
+  * so build the pack and open through it instead of this Spark-read
+  * heap snapshot.
   */
 object AnnLocalCodes {
 
@@ -257,29 +261,36 @@ object AnnLocalCodes {
         i += 1
       }
     }
-    Some(new AnnLocalIndex(cents, listIndex, offsets, ids, codes, vecs,
+    Some(new AnnLocalIndex(cents,
+      new HeapCodes(listIndex, offsets, ids, codes, m), vecs,
       codebooks, residual, vecs.dim, m))
   }
 }
 
-/** The in-process index the local tiers build — immutable primitive
-  * arrays plus a [[VectorSource]] for the exact re-rank; safe for
-  * concurrent queries from many threads.
+/** The in-process index the local tiers build — an immutable
+  * [[CodesData]] layout (heap arrays, or mmap'd pack segments since r16)
+  * plus a [[VectorSource]] for the exact re-rank; safe for concurrent
+  * queries from many threads. `tombs` is the sorted tombstoned-id set
+  * ([[AnnIvfPq.deleteVectors]]): the scan skips those rows, so a mapped
+  * open whose base files physically contain deleted rows answers
+  * identically to a rebuild on the surviving corpus (compaction folds
+  * them away physically).
   */
 final class AnnLocalIndex private[operators] (
     private[operators] val cents: Array[(Int, Array[Double])],
-    private[operators] val listIndex: Map[Int, Int],
-    private[operators] val offsets: Array[Int],
-    private[operators] val ids: Array[Long],
-    private[operators] val codes: Array[Byte],
+    private[operators] val data: CodesData,
     vsrc: VectorSource,
     private[operators] val codebooks: Array[Array[Array[Double]]],
     val residual: Boolean,
     val dim: Int,
-    private[operators] val m: Int) {
+    private[operators] val m: Int,
+    private[operators] val tombs: Array[Long] = Array.emptyLongArray) {
 
-  /** Snapshot size in rows. */
-  def size: Int = ids.length
+  /** Snapshot size in PHYSICAL rows (tombstoned rows counted until a
+    * compaction removes them — this is the heap/page-cache budget the
+    * serve caps meter).
+    */
+  def size: Long = data.size
 
   private val dsub = codebooks(0)(0).length
   private val k = codebooks(0).length
@@ -330,7 +341,7 @@ final class AnnLocalIndex private[operators] (
       topK: Int = 3,
       refine: Int = 100,
       queryId: Long = Long.MinValue): Array[AnnHit] = {
-    require(query.length == dim || ids.isEmpty,
+    require(query.length == dim || data.size == 0L,
       s"query dim ${query.length} != index dim $dim")
     // probe selection: desc cosine, then centroid id — SQL double order
     var qq = 0.0
@@ -355,8 +366,10 @@ final class AnnLocalIndex private[operators] (
         if (c != 0) c else java.lang.Long.compare(b._2, a._2)
       })
     val rawTab = if (residual) null else adcTable(query)
+    val hasTombs = tombs.length > 0
     probed.foreach { case (cid, cv, _) =>
-      listIndex.get(cid).foreach { li =>
+      val runs = data.runsOf(cid)
+      if (runs.nonEmpty) {
         val tab =
           if (!residual) rawTab
           else {
@@ -365,25 +378,30 @@ final class AnnLocalIndex private[operators] (
             while (i2 < dim) { rq(i2) = query(i2) - cv(i2); i2 += 1 }
             adcTable(rq)
           }
-        var p = offsets(li)
-        val end = offsets(li + 1)
-        while (p < end) {
-          val id = ids(p)
-          if (id != queryId) {
-            var acc = 0.0
-            var j = 0
-            val base = p * m
-            while (j < m) { acc += tab(j)(codes(base + j) & 0xFF); j += 1 }
-            if (heap.size < cap) heap.add((acc, id))
-            else {
-              val top = heap.peek()
-              val c = SQLOrderingUtil.compareDoubles(acc, top._1)
-              if (c < 0 || (c == 0 && id < top._2)) {
-                heap.poll(); heap.add((acc, id)): Unit
+        var r = 0
+        while (r < runs.length) {
+          val run = runs(r)
+          val end = run.n
+          var p = 0
+          while (p < end) {
+            val id = run.idAt(p)
+            if (id != queryId &&
+                (!hasTombs || java.util.Arrays.binarySearch(tombs, id) < 0)) {
+              var acc = 0.0
+              var j = 0
+              while (j < m) { acc += tab(j)(run.codeAt(p, j)); j += 1 }
+              if (heap.size < cap) heap.add((acc, id))
+              else {
+                val top = heap.peek()
+                val c = SQLOrderingUtil.compareDoubles(acc, top._1)
+                if (c < 0 || (c == 0 && id < top._2)) {
+                  heap.poll(); heap.add((acc, id)): Unit
+                }
               }
             }
+            p += 1
           }
-          p += 1
+          r += 1
         }
       }
     }

@@ -143,16 +143,33 @@ object AnnServeRegistry {
       if (cached != null) {
         retired.keySet.removeIf(_._1 == path)
         retired.put((path, cached.gen), cached)
-        // drop aliases that no longer resolve — EXCEPT recent IDENTITY
-        // markers (key gen == value, written by pin()): they record
-        // "this JVM minted the pin", which search needs to tell a
-        // superseded same-JVM pin (loud failure) from a foreign JVM's
-        // pin (alias to current). The 64-generation recency window
-        // bounds the map for long-lived serving processes.
+        // FOREIGN aliases (key gen != value, minted in another JVM) that
+        // no longer resolve are MARKED superseded (value = -retiringGen-2)
+        // instead of dropped (r15 advice): a dropped alias made the next
+        // row of that query fall into the unknown-pin branch and silently
+        // re-alias to the CURRENT generation — one query's rows mixing
+        // two saves — where the same-JVM case fails loudly. The mark
+        // makes the foreign case equally loud.
+        val marks = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        val mit = pinAlias.entrySet().iterator()
+        while (mit.hasNext) {
+          val e = mit.next()
+          if (e.getKey._1 == path) {
+            val v = e.getValue.longValue()
+            if (v >= 0L && e.getKey._2 != v && v != cached.gen) marks += e.getKey
+          }
+        }
+        marks.foreach(k => pinAlias.put(k, java.lang.Long.valueOf(-cached.gen - 2L)))
+        // prune what's left outside the recency window — recent IDENTITY
+        // markers (key gen == value, written by pin()) record "this JVM
+        // minted the pin"; recent superseded marks keep the loud failure
+        // alive for in-flight queries. The 64-generation window bounds
+        // the map for long-lived serving processes.
         pinAlias.entrySet.removeIf { e =>
           e.getKey._1 == path && {
             val v = e.getValue.longValue()
-            v != cached.gen && !(e.getKey._2 == v && v > cached.gen - 64L)
+            if (v >= 0L) v != cached.gen && !(e.getKey._2 == v && v > cached.gen - 64L)
+            else (-v - 2L) <= cached.gen - 64L
           }
         }
         ()
@@ -206,6 +223,15 @@ object AnnServeRegistry {
           Option(cache.get(path)).getOrElse(notWarmed(path))
         }
       else Option(pinAlias.get((path, pinnedGen))) match {
+        case Some(localGen) if localGen.longValue() < 0L =>
+          // a FOREIGN pin whose local alias was superseded by a later
+          // re-save mid-query (the mark warm() writes): same loud
+          // failure as the same-JVM case — never silently mix two saves
+          throw new IllegalStateException(
+            s"graft_ann_serve: the index save this query pinned at " +
+              s"analysis time (foreign gen $pinnedGen at $path) was " +
+              "superseded by re-saves while the query ran in this JVM — " +
+              "a consistent read is no longer possible; re-run the query.")
         case Some(localGen) =>
           // this JVM has seen the pin (it minted it, or aliased it):
           // a failed lookup means the pinned save was superseded by

@@ -191,54 +191,82 @@ object AnnVecStore {
     val spark = emb.sparkSession
     val fs = fsFor(spark, path)
     val dir = dirOf(path)
-    fs.delete(dir, true)
-    fs.mkdirs(dir)
-    val prepared = emb
-      .select(col(idCol).cast("long").as("_id"),
-        col(vecCol).cast("array<double>").as("_v"))
-    val n = prepared.count()
-    if (n == 0L) { writeMeta(fs, path, StoreMeta(0L, 0, Seq.empty)); return 0L }
-    val dim = prepared.select(size(col("_v"))).limit(1).collect()(0).getInt(0)
-    val rowBytes = math.max(8L * dim, 8L)
-    val nSegs = math.max(1L,
-      math.min((n * rowBytes + targetSegmentBytes - 1) / targetSegmentBytes,
-        1L << 16)).toInt
-    val confSer = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val pathStr = path
-    import spark.implicits._
-    val segStats: Array[(Int, Long, Int, Long, Long)] = prepared
-      .repartitionByRange(nSegs, col("_id"))
-      .sortWithinPartitions(col("_id"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        if (it.isEmpty) Iterator.empty
+    // GENERATION-stamped segment names + meta-swap-then-GC (r15 advice):
+    // the old save deleted the committed directory before writing, so a
+    // torn re-save (incl. compaction over a live store) left NO committed
+    // sidecar. Now the previous store survives every crash window — the
+    // new generation's files are unreferenced orphans until the meta
+    // rename lands, and superseded files are deleted only after it.
+    AnnArtifactLock.withLock(fs, dir) {
+      val gen = java.util.UUID.randomUUID().toString.take(8)
+      val prepared = emb
+        .select(col(idCol).cast("long").as("_id"),
+          col(vecCol).cast("array<double>").as("_v"))
+      val n = prepared.count()
+      val committed: Long =
+        if (n == 0L) { writeMeta(fs, path, StoreMeta(0L, 0, Seq.empty)); 0L }
         else {
-          val part = org.apache.spark.TaskContext.getPartitionId()
-          val taskFs = FileSystem.get(URI.create(pathStr), confSer.value)
-          val (rows, d, lo, hi) = writeSegment(
-            taskFs, new HPath(s"$pathStr/vecstore"), f"seg-p$part%05d",
-            it.map { case (id, v) => (id, v: scala.collection.Seq[Double]) }, -1)
-          Iterator.single((part, rows, d, lo, hi))
+          val dim = prepared.select(size(col("_v"))).limit(1).collect()(0).getInt(0)
+          val rowBytes = math.max(8L * dim, 8L)
+          val nSegs = math.max(1L,
+            math.min((n * rowBytes + targetSegmentBytes - 1) / targetSegmentBytes,
+              1L << 16)).toInt
+          val confSer = new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration)
+          val pathStr = path
+          val genLoc = gen
+          import spark.implicits._
+          val segStats: Array[(Int, Long, Int, Long, Long)] = prepared
+            .repartitionByRange(nSegs, col("_id"))
+            .sortWithinPartitions(col("_id"))
+            .as[(Long, Array[Double])]
+            .mapPartitions { it =>
+              if (it.isEmpty) Iterator.empty
+              else {
+                val part = org.apache.spark.TaskContext.getPartitionId()
+                val taskFs = FileSystem.get(URI.create(pathStr), confSer.value)
+                val (rows, d, lo, hi) = writeSegment(
+                  taskFs, new HPath(s"$pathStr/vecstore"), f"seg-$genLoc-p$part%05d",
+                  it.map { case (id, v) => (id, v: scala.collection.Seq[Double]) }, -1)
+                Iterator.single((part, rows, d, lo, hi))
+              }
+            }
+            .collect()
+          val ordered = segStats.sortBy(_._1)
+          // cross-segment discipline: range partitions are contiguous in id,
+          // so the chain must ascend strictly — a violation means duplicate ids
+          ordered.sliding(2).foreach {
+            case Array(a, b) =>
+              require(a._5 < b._4,
+                s"vecstore segments overlap in id space (${a._5} >= ${b._4}) — ids not unique")
+            case _ =>
+          }
+          val dims = ordered.map(_._3).distinct
+          require(dims.length == 1 && dims(0) == dim,
+            s"ragged embedding dims across segments: ${dims.mkString(",")}")
+          // commit n as the rows the segment writers actually persisted
+          // (r15 advice: a non-deterministic source frame can make a
+          // separate count() job disagree with the write job — the meta
+          // must describe the bytes on disk, not the other plan's answer)
+          val written = ordered.map(_._2).sum
+          writeMeta(fs, path, StoreMeta(written, dim,
+            ordered.toIndexedSeq.map(s =>
+              SegMeta(f"seg-$genLoc-p${s._1}%05d.ids.bin",
+                f"seg-$genLoc-p${s._1}%05d.vec.bin", s._2))))
+          written
         }
+      // GC superseded files only after the new meta is live; open
+      // snapshots keep serving from their mmaps
+      val referenced = readMeta(fs, path).map(_.segs)
+        .getOrElse(Seq.empty)
+        .flatMap(s => Seq(s.idsFile, s.vecFile)).toSet ++
+        Set("meta.txt", "commit.lock")
+      fs.listStatus(dir).foreach { st =>
+        if (st.isFile && !referenced.contains(st.getPath.getName))
+          fs.delete(st.getPath, false): Unit
       }
-      .collect()
-    val ordered = segStats.sortBy(_._1)
-    // cross-segment discipline: range partitions are contiguous in id,
-    // so the chain must ascend strictly — a violation means duplicate ids
-    ordered.sliding(2).foreach {
-      case Array(a, b) =>
-        require(a._5 < b._4,
-          s"vecstore segments overlap in id space (${a._5} >= ${b._4}) — ids not unique")
-      case _ =>
+      committed
     }
-    val dims = ordered.map(_._3).distinct
-    require(dims.length == 1 && dims(0) == dim,
-      s"ragged embedding dims across segments: ${dims.mkString(",")}")
-    writeMeta(fs, path, StoreMeta(n, dim,
-      ordered.toIndexedSeq.map(s =>
-        SegMeta(f"seg-p${s._1}%05d.ids.bin", f"seg-p${s._1}%05d.vec.bin", s._2))))
-    n
   }
 
   /** Fold an embedding BATCH into a committed store as ONE new segment —
@@ -258,35 +286,152 @@ object AnnVecStore {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Long = {
     val fs = fsFor(spark, path)
-    val meta = readMeta(fs, path).getOrElse(throw new IllegalStateException(
-      s"no committed vecstore at $path to append to — run saveVectorStore first"))
-    val existing = openWith(fs, path).getOrElse(throw new IllegalStateException(
-      s"vecstore at $path failed to open for the append's id-uniqueness check"))
-    val sorted = batch
-      .select(col(idCol).cast("long").as("_id"),
-        col(vecCol).cast("array<double>").as("_v"))
-      .sort(col("_id"))
-    val stem = s"seg-${java.util.UUID.randomUUID()}"
     val dir = dirOf(path)
-    val (rows, dim, _, _) = writeSegment(fs, dir, stem,
-      sorted.toLocalIterator().asScala.map { r =>
-        val id = r.getLong(0)
-        require(!existing.contains(id),
-          s"vecstore append: id $id already exists in the store at $path — " +
-            "appended ids must be new (updates/deletes are a rebuild)")
-        (id, r.getSeq[Double](1))
-      }, if (meta.n == 0) -1 else meta.dim)
-    if (rows == 0L) {
-      fs.delete(new HPath(dir, s"$stem.ids.bin"), false)
-      fs.delete(new HPath(dir, s"$stem.vec.bin"), false)
-      return 0L
+    AnnArtifactLock.withLock(fs, dir) {
+      val meta = readMeta(fs, path).getOrElse(throw new IllegalStateException(
+        s"no committed vecstore at $path to append to — run saveVectorStore first"))
+      val sorted = batch
+        .select(col(idCol).cast("long").as("_id"),
+          col(vecCol).cast("array<double>").as("_v"))
+        .sort(col("_id"))
+      // range-pruned id-uniqueness check (r15 verdict #7): the old path
+      // opened the WHOLE store's id index per append — an O(base) read
+      // that was the one visible O(n) term in the append wall (10M's
+      // 5.5 s vs 4M's 3.6 s). Each segment's id range is its first/last
+      // long (two positioned reads); only segments overlapping the
+      // batch's [lo, hi] load their ids at all — an append of fresh ids
+      // beyond the existing range (the ingest shape) loads ZERO.
+      val range = sorted.agg(min(col("_id")), max(col("_id"))).head()
+      if (range.isNullAt(0)) 0L
+      else {
+        val probe = overlapIdProbe(fs, path, meta,
+          range.getLong(0), range.getLong(1))
+        val stem = s"seg-${java.util.UUID.randomUUID()}"
+        val (rows, dim, _, _) = writeSegment(fs, dir, stem,
+          sorted.toLocalIterator().asScala.map { r =>
+            val id = r.getLong(0)
+            require(!probe.contains(id),
+              s"vecstore append: id $id already exists in the store at $path — " +
+                "appended ids must be new (deletes are tombstones + compaction)")
+            (id, r.getSeq[Double](1))
+          }, if (meta.n == 0) -1 else meta.dim)
+        if (rows == 0L) {
+          fs.delete(new HPath(dir, s"$stem.ids.bin"), false)
+          fs.delete(new HPath(dir, s"$stem.vec.bin"), false)
+          0L
+        } else {
+          require(meta.n == 0 || dim == meta.dim,
+            s"append dim $dim != store dim ${meta.dim} at $path")
+          writeMeta(fs, path, StoreMeta(meta.n + rows,
+            if (meta.n == 0) dim else meta.dim,
+            meta.segs :+ SegMeta(s"$stem.ids.bin", s"$stem.vec.bin", rows)))
+          rows
+        }
+      }
     }
-    require(meta.n == 0 || dim == meta.dim,
-      s"append dim $dim != store dim ${meta.dim} at $path")
-    writeMeta(fs, path, StoreMeta(meta.n + rows,
-      if (meta.n == 0) dim else meta.dim,
-      meta.segs :+ SegMeta(s"$stem.ids.bin", s"$stem.vec.bin", rows)))
-    rows
+  }
+
+  /** Membership probe over ONLY the segments whose id range overlaps
+    * [lo, hi]: per segment, two positioned reads fetch its min/max id;
+    * overlapping segments load their sorted id arrays for binary search.
+    */
+  private final class IdProbe(loaded: Array[Array[Long]]) {
+    def contains(id: Long): Boolean = {
+      var s = 0
+      while (s < loaded.length) {
+        val ids = loaded(s)
+        if (id >= ids(0) && id <= ids(ids.length - 1) &&
+            java.util.Arrays.binarySearch(ids, id) >= 0) return true
+        s += 1
+      }
+      false
+    }
+  }
+
+  private def overlapIdProbe(
+      fs: FileSystem, path: String, meta: StoreMeta,
+      lo: Long, hi: Long): IdProbe = {
+    val dir = dirOf(path)
+    val loaded = meta.segs.filter(_.rows > 0L).flatMap { s =>
+      val p = new HPath(dir, s.idsFile)
+      val in = fs.open(p)
+      val (segLo, segHi) =
+        try {
+          val first = in.readLong()
+          in.seek((s.rows - 1L) * 8L)
+          (first, in.readLong())
+        } finally in.close()
+      if (segHi < lo || segLo > hi) None
+      else {
+        require(s.rows <= Int.MaxValue,
+          s"vecstore segment ${s.idsFile} holds ${s.rows} rows — above the " +
+            "per-segment open limit")
+        val ids = new Array[Long](s.rows.toInt)
+        val in2 = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          fs.open(p), 1 << 20))
+        try {
+          var i = 0
+          while (i < ids.length) { ids(i) = in2.readLong(); i += 1 }
+        } finally in2.close()
+        Some(ids)
+      }
+    }
+    new IdProbe(loaded.toArray)
+  }
+
+  /** The stored corpus back as a (idCol, vecCol) DataFrame — one task
+    * per segment streaming its flat files (distributed, no driver
+    * materialization, no mmap). This is what lets [[AnnIvfPq
+    * .compactServingArtifacts]] and [[AnnIvfPq.retrain]] default their
+    * corpus to the sidecar instead of making callers re-supply the full
+    * embedding table the store already holds. Bit-exact: the files hold
+    * the same doubles the save's `cast("array<double>")` produced.
+    */
+  def toDataFrame(
+      spark: SparkSession,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val fs = fsFor(spark, path)
+    val meta = readMeta(fs, path).getOrElse(throw new IllegalStateException(
+      s"no committed vecstore at $path — run saveVectorStore first"))
+    if (meta.segs.isEmpty)
+      spark.emptyDataset[(Long, Array[Double])].toDF(idCol, vecCol)
+    else {
+      val confSer = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val pathStr = path
+      val dim = meta.dim
+      val segs = meta.segs.map(s => (s.idsFile, s.vecFile, s.rows))
+      spark.sparkContext
+        .parallelize(segs, segs.length)
+        .flatMap { case (idsF, vecF, rows) =>
+          val taskFs = FileSystem.get(URI.create(pathStr), confSer.value)
+          val dir = new HPath(s"$pathStr/vecstore")
+          val idsIn = new java.io.DataInputStream(new java.io.BufferedInputStream(
+            taskFs.open(new HPath(dir, idsF)), 1 << 20))
+          val vecIn = new java.io.DataInputStream(new java.io.BufferedInputStream(
+            taskFs.open(new HPath(dir, vecF)), 1 << 20))
+          new Iterator[(Long, Array[Double])] {
+            private var read = 0L
+            override def hasNext: Boolean = {
+              val h = read < rows
+              if (!h) { idsIn.close(); vecIn.close() }
+              h
+            }
+            override def next(): (Long, Array[Double]) = {
+              val id = idsIn.readLong()
+              val v = new Array[Double](dim)
+              var i = 0
+              while (i < dim) { v(i) = vecIn.readDouble(); i += 1 }
+              read += 1
+              (id, v)
+            }
+          }
+        }
+        .toDF(idCol, vecCol)
+    }
   }
 
   /** Open the store: per-segment ids into heap arrays, vectors
@@ -323,31 +468,13 @@ object AnnVecStore {
         } finally in.close()
       }
       // vectors: mmap a LOCAL file (direct for file://; remote stores are
-      // copied to a process temp first — the artifact-shipping step)
-      val vecPath = new HPath(dir, s.vecFile)
-      val localFile: java.io.File =
-        if (fs.getScheme == "file")
-          new java.io.File(fs.makeQualified(vecPath).toUri.getPath)
-        else {
-          val tmp = java.io.File.createTempFile("graft_vecstore", ".bin")
-          tmp.deleteOnExit()
-          fs.copyToLocalFile(false, vecPath,
-            new HPath(tmp.getAbsolutePath), true)
-          tmp
-        }
+      // copied to a process temp first — the artifact-shipping step).
+      // ≤1 GiB map windows, aligned to row boundaries so no record
+      // straddles (shared MmapIo mechanics — the serve pack maps its
+      // code segments the same way).
+      val localFile = MmapIo.localFile(fs, new HPath(dir, s.vecFile))
       val rowBytes = math.max(8L * meta.dim, 8L)
-      // ≤1 GiB map windows, aligned to row boundaries so no record straddles
-      val rowsPerChunk = math.max(1L, (1L << 30) / rowBytes)
-      val ch = java.nio.channels.FileChannel.open(
-        localFile.toPath, java.nio.file.StandardOpenOption.READ)
-      val chunks =
-        try {
-          (0L until s.rows by rowsPerChunk).map { start =>
-            val rows = math.min(rowsPerChunk, s.rows - start)
-            ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
-              start * rowBytes, rows * rowBytes)
-          }.toArray
-        } finally ch.close()
+      val (chunks, rowsPerChunk) = MmapIo.mapRows(localFile, rowBytes, s.rows)
       new VecSegment(ids, chunks, rowsPerChunk.toInt)
     }
     Some(new StoreVectors(segs.toArray, meta.dim, meta.n))

@@ -19,7 +19,7 @@ object Similarity {
   def all: Seq[GraftQuery] = Seq(
     knnBruteForce, embeddingNearDup, annLsh, annIvf, embeddingQuantize, annPq,
     semDedup, embeddingOutliers, hardNegatives, annIndexRoundtrip, annIvfPq,
-    annIvfPqResidual, annAppend)
+    annIvfPqResidual, annAppend, annDelete)
 
   /** Embedding-space outlier pruning: distance of every vector to its
     * label centroid, flagging the top ceil(5%) per label — the
@@ -379,6 +379,63 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** ANN deletes ([[AnnIvfPq.deleteVectors]], r15 verdict #2 — the other
+    * half of live index maintenance): build the residual IVF+PQ index on
+    * the FULL corpus, TOMBSTONE every `vec_id % 7 = 3` row (an O(batch)
+    * meta append — no rebuild, no re-encode), and search through
+    * [[AnnIvfPq.loadIndex]], which serves the surviving corpus. The
+    * oracle replays the REBUILD-ON-THE-SURVIVORS equivalent in DuckDB:
+    * q107's full residual chain (training and frozen maps identical —
+    * structures are per-row-frozen, so dropping rows changes no other
+    * row's assignment or codes) with deleted ids excluded as CANDIDATES
+    * only. Same knobs as q107, so any divergence is the tombstone path
+    * itself. At 100 TB this is what turns takedowns / dedup verdicts /
+    * quality re-scoring from "full rebuild" into a metadata write.
+    */
+  val annDelete: GraftQuery = GraftQuery.sql(
+    "q109_ann_delete", annIvfPqDeleteOracleSql) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val path = deleteExactIndex(spark, dir)
+    val (coded2, cents2, cb2) = AnnIvfPq.loadIndex(spark, path)
+    AnnIvfPq.search(
+      emb.where(col("vec_id") < 20), coded2, cents2, cb2, emb,
+      nprobe = 6, topK = 3, refine = 10, exactScores = true, residual = true)
+      .orderBy("query_id", "rk")
+  }
+
+  /** q109's build→save→delete chain, memoized per (session, dir) like
+    * [[appendExactIndex]] — one save + one tombstone batch per session;
+    * the suite number measures the recurring search-on-deleted cost.
+    */
+  private val deleteExactCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+  private def deleteExactIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    synchronized {
+      deleteExactCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      deleteExactCache.getOrElseUpdate((spark, dir), {
+        val emb = Tables.embeddings(spark, dir)
+        val (_, centroids) = ivfExactIndex(spark, dir)
+        val (cb, coded) = residualExactIndex(spark, dir)
+        val path = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_ann_delete_q109_${dir.hashCode.toHexString}"
+        AnnIvfPq.saveIndex(coded, centroids, cb, path, residual = true)
+        val doomed = emb.where(col("vec_id") % 7 === 3)
+          .select(col("vec_id").cast("long"))
+          .collect().map(_.getLong(0)).toSeq
+        AnnIvfPq.deleteVectors(spark, path, doomed): Unit
+        path
+      })
+    }
+
+  /** Force the shared q109 chain — Bench times it as its own
+    * `delete_exact_build` key.
+    */
+  def warmDeleteExactIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    deleteExactIndex(spark, dir): Unit
+  }
+
   /** q108's build→save→append chain, memoized per (session, dir) like
     * [[residualExactIndex]] — one base build + one append per session,
     * so the suite number measures the recurring SEARCH cost and Bench
@@ -703,7 +760,17 @@ object Similarity {
     * residual=true branch) → shortlist(30) → exact re-rank on the raw
     * embeddings.
     */
-  private def annIvfPqResidualOracleSql: String = {
+  private def annIvfPqResidualOracleSql: String =
+    annIvfPqResidualOracleSqlWhere("")
+
+  /** q109: the identical residual chain, with tombstoned ids excluded as
+    * CANDIDATES only — training and every frozen map stay corpus-wide,
+    * exactly what search-over-tombstones serves.
+    */
+  private def annIvfPqDeleteOracleSql: String =
+    annIvfPqResidualOracleSqlWhere(" AND a.vec_id % 7 <> 3")
+
+  private def annIvfPqResidualOracleSqlWhere(neighborFilter: String): String = {
     def sq(a: String, b: String): String =
       s"""list_aggregate(list_transform(range(1, len($a) + 1),
          |    i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
@@ -773,7 +840,7 @@ object Similarity {
        |candp AS (
        |  SELECT pb.query_id, a.vec_id AS neighbor_id, pb._c
        |  FROM probed pb JOIN asg2 a ON a._c = pb._c
-       |  WHERE pb.query_id <> a.vec_id
+       |  WHERE pb.query_id <> a.vec_id$neighborFilter
        |),
        |adc AS (
        |  SELECT cp.query_id, cp.neighbor_id,

@@ -438,8 +438,10 @@ class IndexStoreSpec extends AnyFunSuite {
     val base = pts(700, 201)
     val batchA = localPts(80, 202, from = 700)   // the winner's batch
     // the loser reads the SAME epoch (numPoints=700), so its batch claims
-    // the same id range — exactly the both-read-epoch-N scenario
-    val batchB = pts(90, 203, from = 700)
+    // the same id range — exactly the both-read-epoch-N scenario. The
+    // loser's batch OVERLAPS the winner's region, so the r16 disjoint
+    // rebase cannot vouch and the conflict still surfaces loudly.
+    val batchB = localPts(90, 203, from = 700)
     val dir = freshDir("fence")
     IndexStore.save(GridHierarchy.build(df(base)), dir, 700L)
     // deterministic same-epoch interleave, no threads: the LOSER merge
@@ -477,40 +479,70 @@ class IndexStoreSpec extends AnyFunSuite {
       canon(GridHierarchy.build(df(base ++ batchA ++ batchB2))))
   }
 
-  test("vacuum fence: a vacuum racing an in-flight merge wins the slot; the merge aborts instead of committing deleted files") {
-    import graft.cluster.StoreCommitConflict
+  test("vacuum fence: a vacuum racing an in-flight merge wins the slot; the merge REBASES onto the identity fence (r16) and never commits deleted files") {
     val base = pts(800, 211)
     val batch = localPts(70, 212, from = 800)
     val dir = freshDir("vacfence")
     IndexStore.save(GridHierarchy.build(df(base)), dir, 800L)
     // merge 1 creates reclaimable epoch-0 versions so the racing vacuum
-    // has real work to do
+    // has real work to do (and upgrades the store to v2 manifests)
     IndexStore.mergeInto(spark, dir, df(batch))
-    val expectAfterMerge1 = canon(IndexStore.load(spark, dir))
     // merge 2 is interrupted at its commit point by a vacuum: the vacuum
     // claims the next epoch FIRST (identity commit), then reclaims — so
     // merge 2's fresh appends are deleted as orphans AND its commit CAS
-    // fails; the hazard (a committed manifest referencing files the
-    // vacuum deleted) is structurally impossible
+    // fails. An identity fence changes NO bucket entries, so the merge's
+    // recompute is still valid — the r16 rebase re-lands it on the fence
+    // epoch with freshly-written files (the vacuumed orphans are never
+    // referenced); the old behavior was a loud abort + full re-run.
     var vacuumed = -1L
     IndexStore.testHookBeforeCommit = () => {
       IndexStore.testHookBeforeCommit = () => ()
       vacuumed = IndexStore.vacuum(spark, dir, keepEpochs = 1)
     }
-    try {
-      intercept[StoreCommitConflict] {
-        IndexStore.mergeInto(spark, dir, df(pts(60, 213, from = 870)))
-      }
-    } finally IndexStore.testHookBeforeCommit = () => ()
+    val stats = try IndexStore.mergeInto(spark, dir, df(pts(60, 213, from = 870)))
+    finally IndexStore.testHookBeforeCommit = () => ()
     assert(vacuumed > 0, "the racing vacuum must have reclaimed something")
-    // the store is exactly what merge 1 left (vacuum's fence epoch is an
-    // identity commit), fully valid, and accepts the retried merge
+    assert(stats.phaseSec.contains("rebase"),
+      "the merge must have landed through the rebase path")
+    // the merge landed ON TOP of the fence, fully valid, sequential value
     IndexStore.validate(spark, dir)
-    assert(canon(IndexStore.load(spark, dir)) == expectAfterMerge1)
-    IndexStore.mergeInto(spark, dir, df(pts(60, 213, from = 870)))
-    IndexStore.validate(spark, dir)
+    assert(IndexStore.readMeta(spark, dir).numPoints == 930L)
     assert(canon(IndexStore.load(spark, dir)) ==
       canon(GridHierarchy.build(df(base ++ batch ++ pts(60, 213, from = 870)))))
+  }
+
+  test("disjoint-merge rebase (r15 verdict #5): the CAS loser re-lands on the winner O(touched), value == sequential merges") {
+    val base = pts(700, 231)
+    val dir = freshDir("rebase")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 700L)
+    // upgrade to v2 manifests (the rebase diffs bucket entries)
+    val batchC = localPts(10, 234, from = 700)
+    IndexStore.mergeInto(spark, dir, df(batchC))
+    // two writers from the SAME epoch, spatially far apart: winner A near
+    // (12E, 47N), loser B near (150W, 40S) — disjoint buckets AND
+    // disjoint coarse ancestors all the way to z=0
+    val batchA = localPts(80, 232, from = 710)
+    val batchB = (0 until 90).map { i =>
+      val it = lcg(233 + i)
+      val a = (it.next() >>> 12) % 1000000L
+      ((710 + i).toLong, -150.0 + a / 4000000.0, -40.0 + a / 4000000.0)
+    }
+    IndexStore.testHookBeforeCommit = () => {
+      IndexStore.testHookBeforeCommit = () => ()
+      IndexStore.mergeInto(spark, dir, df(batchA)): Unit
+    }
+    val stats = try IndexStore.mergeInto(spark, dir, df(batchB))
+    finally IndexStore.testHookBeforeCommit = () => ()
+    assert(stats.phaseSec.contains("rebase"),
+      "the disjoint loser must land through the rebase path, not a re-run")
+    IndexStore.validate(spark, dir)
+    assert(IndexStore.readMeta(spark, dir).numPoints == 880L)
+    // value == SEQUENTIAL merges: A first (ids 710..790), then B with its
+    // leaf ids re-issued after A — exactly what the rebase's id shift does
+    val batchBSeq = batchB.map { case (id, x, y) => (id + 80L, x, y) }
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(base ++ batchC ++ batchA ++ batchBSeq))))
+    // and an OVERLAPPING loser still throws (the writer-fence test pins it)
   }
 
   test("crashed commit: the orphan manifest blocks writers loudly; recover() frees the slot") {
@@ -715,5 +747,90 @@ class IndexStoreSpec extends AnyFunSuite {
     IndexStore.mergeInto(spark, dir, df(Nil))
     assert(IndexStore.readMeta(spark, dir).numPoints == 400L)
     assert(canon(IndexStore.load(spark, dir)) == beforeRows)
+  }
+
+  // ------------------------------------------------------------ removeFrom
+
+  test("removeFrom(uniform subset) == rebuild of the survivors in the SAME id space; numPoints untouched (r15 verdict #3)") {
+    val base = pts(900, 61)
+    val dir = freshDir("rm_uniform")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 900L)
+    val removed = base.filter(_._1 % 7 == 3)
+    val stats = IndexStore.removeFrom(spark, dir, df(removed))
+    assert(stats.ingested == removed.length.toLong)
+    val survivors = base.filterNot(_._1 % 7 == 3)
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(survivors), idSpace = 900L)),
+      "remove must equal a fresh build of the survivors in the original id space")
+    // the id space is append-only: removal never renumbers survivors
+    assert(IndexStore.readMeta(spark, dir).numPoints == 900L)
+    assert(IndexStore.readMeta(spark, dir).epoch == 1L)
+  }
+
+  test("removeFrom(local batch) rewrites only its touched buckets; a merge on top continues the id space past removed ids") {
+    val base = pts(800, 62) ++ localPts(150, 63, from = 800)
+    val dir = freshDir("rm_local")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 950L)
+    val state0 = fileState(dir)
+    val removed = base.filter(p => p._1 >= 800 && p._1 % 3 == 1)
+    val stats = IndexStore.removeFrom(spark, dir, df(removed))
+    assert(stats.rewrittenBuckets < stats.totalBuckets,
+      s"a spatially-local removal must not rewrite every bucket " +
+        s"(${stats.rewrittenBuckets} of ${stats.totalBuckets})")
+    // untouched bucket files are byte-for-byte untouched (MVCC append-only)
+    val state1 = fileState(dir)
+    val overlap = state0.keySet & state1.keySet
+    assert(overlap.nonEmpty)
+    overlap.foreach { f => assert(state0(f) == state1(f), s"$f changed") }
+    val survivors = base.filterNot(p => p._1 >= 800 && p._1 % 3 == 1)
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(survivors), idSpace = 950L)))
+    // ingest AFTER removal: new ids continue at numPoints (removed ids
+    // are never reused), and the chain still equals one rebuild
+    val batch = pts(80, 64, from = 950)
+    IndexStore.mergeInto(spark, dir, df(batch))
+    assert(IndexStore.readMeta(spark, dir).numPoints == 1030L)
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(survivors ++ batch), idSpace = 1030L)))
+  }
+
+  test("removeFrom gate transition: a cluster dissolving below minPoints recurses correctly (== rebuild)") {
+    val opts = ClusterOptions(minPoints = 5)
+    // six co-located points fuse into one cluster at every zoom under
+    // minPoints = 5; removing two drops the cell to mass 4 and the
+    // cluster DISSOLVES back into passthrough singletons — the removal
+    // case where post-removal membership is larger than stored rows
+    val dense = (0 until 6).map(i => (i.toLong, 12.0001 + i * 1e-5, 47.0001 + i * 1e-5))
+    val spread = pts(200, 65, from = 6)
+    val all = dense ++ spread
+    val dir = freshDir("rm_gate")
+    IndexStore.save(GridHierarchy.build(df(all), opts), dir, 206L, opts)
+    IndexStore.removeFrom(spark, dir, df(dense.take(2)))
+    val survivors = dense.drop(2) ++ spread
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(survivors), opts, idSpace = 206L)))
+    // and the other direction: removal that keeps the gate shut tight
+    // (mass stays >= minPoints) — the cluster shrinks, not dissolves
+    IndexStore.removeFrom(spark, dir, df(Seq.empty[(Long, Double, Double)]))
+    assert(canon(IndexStore.load(spark, dir)) ==
+      canon(GridHierarchy.build(df(survivors), opts, idSpace = 206L)))
+  }
+
+  test("removeFrom integrity gate: unknown ids and wrong coordinates fail loudly, store unchanged") {
+    val base = pts(300, 66)
+    val dir = freshDir("rm_guard")
+    IndexStore.save(GridHierarchy.build(df(base)), dir, 300L)
+    val before = canon(IndexStore.load(spark, dir))
+    val eId = intercept[IllegalArgumentException] {
+      IndexStore.removeFrom(spark, dir, df(Seq((999L, 10.0, 10.0))))
+    }
+    assert(eId.getMessage.contains("id space"))
+    val real = base.head
+    val eCoord = intercept[IllegalArgumentException] {
+      IndexStore.removeFrom(spark, dir, df(Seq((real._1, real._2 + 5.0, real._3))))
+    }
+    assert(eCoord.getMessage.contains("match a stored base row"))
+    assert(canon(IndexStore.load(spark, dir)) == before)
+    assert(IndexStore.readMeta(spark, dir).epoch == 0L, "failed removals must not commit")
   }
 }
