@@ -1435,15 +1435,31 @@ object Bench {
       else runAndRegister("ann_drift")(try {
         val n = 1000000L
         val batchN = 50000L
-        val base = graft.io.SyntheticVectors.clustered(spark, n).persist()
+        // same cluster density as the 1M search rung (micro-clusters of
+        // ~20): base recall reads ~1.0, so the drift curve's degradation
+        // is attributable to the SHIFT, not to within-cluster PQ limits
+        val base = graft.io.SyntheticVectors
+          .clustered(spark, n, nClusters = (n / 20L).toInt).persist()
         base.count()
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
         val dir = graft.io.Scratch.dir("graft_bench_drift")
+        // the RESIDUAL deployment shape: frozen structures saturate on
+        // drifted batches (the signal), and a retrain re-derives coarse
+        // centroids + residual codebooks that cover the drifted region
+        // like any other data (the restoration). The drift transform
+        // below is a per-dimension DIAGONAL SCALING — directionally
+        // diverse, so it stresses the frozen quantizers without being
+        // adversarial to cosine coarse assignment itself (a constant
+        // additive offset makes the whole block near-parallel: ONE
+        // coarse list for 50k rows, which even a fresh build cannot
+        // discriminate with m·k code bits — measured recall 0 both
+        // sides; that is an architecture limit, not a drift story).
         val (_, tBuild) = timedSec {
           val (ix0, cents) = AnnIvf.buildIndex(base)
-          val cb = AnnPq.train(base, m = 8, k = 16, iters = 2, exactMeans = false)
-          val coded = AnnIvfPq.index(ix0, AnnPq.encode(base, cb))
-          AnnIvfPq.saveIndex(coded, cents, cb, dir)
+          val cb = AnnIvfPq.trainResidual(ix0, cents,
+            m = 8, k = 16, iters = 2, exactMeans = false)
+          val coded = AnnIvfPq.encodeResidual(ix0, cents, cb)
+          AnnIvfPq.saveIndex(coded, cents, cb, dir, residual = true)
           AnnIvfPq.saveVectorStore(base, dir): Unit
         }
         out += (("drift_build_sec", tBuild, true))
@@ -1455,17 +1471,26 @@ object Bench {
           val (c2, ce2, cb2) = AnnIvfPq.loadIndex(spark, dir)
           recallVs(truthFor(probes, corpus),
             grab(AnnIvfPq.search(probes, c2, ce2, cb2, corpus,
-              nprobe = 8, topK = 3, refine = 200)))
+              nprobe = 8, topK = 3, refine = 200,
+              residual = AnnIvfPq.isResidual(spark, dir))))
         }
         var corpus = base
         out += (("drift_base_recall_at3",
           recallNow(base.where(col("vec_id") < 20), corpus), true))
+        // ADDITIVE center shifts: the realistic "embedding model /
+        // corpus domain moved" drift. The big-shift end is deliberately
+        // past recoverability (a +4 block is near-parallel under cosine
+        // — one coarse list, un-discriminable at any build; see
+        // BENCH.md) so the curve carries both the retrain-recoverable
+        // band and the re-architect band.
         val shifts = Seq(0.0, 0.5, 1.5, 4.0)
-        var lastProbes: org.apache.spark.sql.DataFrame = null
+        val probeSets = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.DataFrame]
         shifts.zipWithIndex.foreach { case (shift, j) =>
           import org.apache.spark.sql.functions.{lit, transform}
           val start = n + j * batchN
-          val batch = graft.io.SyntheticVectors.clustered(spark, batchN)
+          val batch = graft.io.SyntheticVectors
+            .clustered(spark, batchN, nClusters = (batchN / 20L).toInt)
             .select((col("vec_id") + start).as("vec_id"),
               transform(col("embedding"), x => x + lit(shift))
                 .cast("array<float>").as("embedding"))
@@ -1475,18 +1500,23 @@ object Bench {
           corpus = corpus.unionByName(batch).persist()
           corpus.count()
           val probes = batch.where(col("vec_id") < start + 20)
-          lastProbes = probes
+          probeSets += probes
           out += ((s"drift_b${j}_shift", shift, true))
           out += ((s"drift_b${j}_append_sec", tApp, true))
           out += ((s"drift_b${j}_ratio", stats.driftRatio, true))
           out += ((s"drift_b${j}_recall_at3", recallNow(probes, corpus), true))
         }
         // the remedy: one call, fresh structures from the sidecar's own
-        // corpus, calibration epoch-invalidated
+        // corpus, calibration epoch-invalidated — post-retrain recall
+        // measured on EVERY batch's probes, so the artifact shows which
+        // drift band the retrain recovers
         val (nRe, tRe) = timedSec { AnnIvfPq.retrain(spark, dir) }
         out += (("drift_retrain_sec", tRe, true))
         out += (("drift_retrain_rows", nRe.toDouble, true))
-        out += (("drift_post_retrain_recall_at3", recallNow(lastProbes, corpus), true))
+        probeSets.zipWithIndex.foreach { case (probes, j) =>
+          out += ((s"drift_b${j}_post_retrain_recall_at3",
+            recallNow(probes, corpus), true))
+        }
         out.toSeq
       } catch { case NonFatal(_) => Seq(("ann_drift", 0.0, false)) })
 
@@ -1718,8 +1748,8 @@ object Bench {
             }
           }
           out += (("mapped300m_warm_query_ms", tWarm * 1000 / probes.length, true))
-          // resident heap: the vecstore's id index (8 B/row) dominates;
-          // the CODES are entirely mmap'd — where the old tier needed
+          // resident heap: EVERYTHING per-row is mmap'd (codes, ids, the
+          // vecstore's id index and vectors) — where the old tier needed
           // (8+m) B/row ON-HEAP and could not even allocate the code
           // array past Int.MaxValue bytes
           out += (("mapped300m_used_heap_mb", usedHeapMb() - h0, true))

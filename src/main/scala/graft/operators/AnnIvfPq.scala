@@ -662,7 +662,14 @@ object AnnIvfPq {
     val (codedEx, _, _) = loadIndex(spark, path)
     val codedCols = spark.read.parquet(s"$path/coded").columns.toIndexedSeq
     val tmp = s"$path/coded_compact"
+    // explicit output sizing: the rewrite must FOLD the per-append small
+    // files, so derive the file count from the table's bytes (~128 MB
+    // per file) instead of inheriting the scan's partitioning
+    val codedBytes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/coded"))
+      .filter(_.isFile).map(_.getLen).sum
+    val outFiles = math.max(1L, codedBytes / (128L << 20) + 1L).toInt
     codedEx.select(codedCols.map(col): _*)
+      .coalesce(outFiles)
       .write.mode("overwrite").parquet(tmp)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/coded"), true)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp),

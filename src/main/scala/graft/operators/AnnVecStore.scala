@@ -458,43 +458,57 @@ object AnnVecStore {
       require(s.rows <= Int.MaxValue,
         s"vecstore segment ${s.idsFile} holds ${s.rows} rows — above the " +
           "per-segment open limit; re-save with a smaller targetSegmentBytes")
-      val ids = new Array[Long](s.rows.toInt)
-      locally {
-        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-          fs.open(new HPath(dir, s.idsFile)), 1 << 20))
-        try {
-          var i = 0
-          while (i < ids.length) { ids(i) = in.readLong(); i += 1 }
-        } finally in.close()
-      }
-      // vectors: mmap a LOCAL file (direct for file://; remote stores are
-      // copied to a process temp first — the artifact-shipping step).
-      // ≤1 GiB map windows, aligned to row boundaries so no record
+      // BOTH files mmap a LOCAL copy (direct for file://; remote stores
+      // are copied to a process temp first — the artifact-shipping
+      // step), in ≤1 GiB windows aligned to row boundaries so no record
       // straddles (shared MmapIo mechanics — the serve pack maps its
-      // code segments the same way).
+      // code segments the same way). Since r16 the ID INDEX is mapped
+      // too (it was an 8 B/row heap array — 2.4 GB resident at 300M
+      // rows, the last per-row heap term in the serving tier): the
+      // binary search runs on page-cache-warm absolute reads, and the
+      // open no longer streams the id file at all.
+      val idsLocal = MmapIo.localFile(fs, new HPath(dir, s.idsFile))
+      val (idChunks, idRowsPerChunk) = MmapIo.mapRows(idsLocal, 8L, s.rows)
       val localFile = MmapIo.localFile(fs, new HPath(dir, s.vecFile))
       val rowBytes = math.max(8L * meta.dim, 8L)
       val (chunks, rowsPerChunk) = MmapIo.mapRows(localFile, rowBytes, s.rows)
-      new VecSegment(ids, chunks, rowsPerChunk.toInt)
+      new VecSegment(idChunks, idRowsPerChunk, s.rows.toInt,
+        chunks, rowsPerChunk.toInt)
     }
     Some(new StoreVectors(segs.toArray, meta.dim, meta.n))
   }
 }
 
-/** One mmap-backed segment: a sorted id index plus row-aligned map
-  * windows over the vector file.
+/** One mmap-backed segment: a sorted MAPPED id index plus row-aligned
+  * map windows over the vector file (both from page cache — zero
+  * per-row heap).
   */
 private[operators] final class VecSegment(
-    val ids: Array[Long],
+    idChunks: Array[java.nio.MappedByteBuffer],
+    idRowsPerChunk: Long,
+    val n: Int,
     chunks: Array[java.nio.MappedByteBuffer],
     rowsPerChunk: Int) {
-  def minId: Long = if (ids.isEmpty) Long.MaxValue else ids(0)
-  def maxId: Long = if (ids.isEmpty) Long.MinValue else ids(ids.length - 1)
-  /** Row position of `id` in this segment, or -1. */
+  private def idAt(i: Int): Long =
+    idChunks((i / idRowsPerChunk).toInt)
+      .getLong(((i % idRowsPerChunk) * 8L).toInt)
+  def minId: Long = if (n == 0) Long.MaxValue else idAt(0)
+  def maxId: Long = if (n == 0) Long.MinValue else idAt(n - 1)
+  /** Row position of `id` in this segment, or -1 (binary search over the
+    * mapped index — absolute reads, thread-safe).
+    */
   def find(id: Long): Int = {
-    if (ids.isEmpty || id < ids(0) || id > ids(ids.length - 1)) return -1
-    val i = java.util.Arrays.binarySearch(ids, id)
-    if (i < 0) -1 else i
+    if (n == 0 || id < idAt(0) || id > idAt(n - 1)) return -1
+    var lo = 0
+    var hi = n - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = idAt(mid)
+      if (v < id) lo = mid + 1
+      else if (v > id) hi = mid - 1
+      else return mid
+    }
+    -1
   }
   def sqDistAt(idx: Int, q: Array[Double], dim: Int): Double = {
     val buf = chunks(idx / rowsPerChunk)

@@ -143,14 +143,23 @@ class AnnMappedPackSpec extends AnyFunSuite {
     val freshBatch = emb.where(col("vec_id") < 5)
       .select((col("vec_id") + maxId + 1L).as("vec_id"), col("embedding"))
     AnnIvfPq.appendVectors(spark, d, freshBatch): Unit
+    val freshBatch2 = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + maxId + 6L).as("vec_id"), col("embedding"))
+    AnnIvfPq.appendVectors(spark, d, freshBatch2): Unit
     val pk2 = packRows(d, cal)
     assert(!pk2.exists(r => r._2 % 7 == 3 && r._2 <= maxId),
       "append re-exposed a tombstoned neighbor")
 
     // compaction folds tombstones physically: no tomb/delta meta lines,
-    // coded table shrinks to the survivors, answers unchanged
+    // the coded table's per-append small files fold away, the rows
+    // shrink to the survivors, answers unchanged
+    def codedParquetFiles(): Int = new java.io.File(d, "coded")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val filesBefore = codedParquetFiles()
     val preCompact = pk2
     AnnIvfPq.compactServingArtifacts(spark, d)
+    assert(codedParquetFiles() < filesBefore,
+      s"compaction must fold the per-append coded files ($filesBefore before)")
     val metaTxt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(d, "servepack", "meta.txt")), "UTF-8")
     assert(!metaTxt.linesIterator.exists(l =>
@@ -158,14 +167,14 @@ class AnnMappedPackSpec extends AnyFunSuite {
       "compaction must fold tombstones and deltas away")
     assert(!new java.io.File(d, "tombstones").exists())
     val codedN = spark.read.parquet(s"$d/coded").count()
-    assert(codedN == emb.count() + 5 - doomed.length,
+    assert(codedN == emb.count() + 10 - doomed.length,
       "compacted coded table must hold exactly the survivors")
     assert(packRows(d, cal) == preCompact, "compaction changed serving answers")
 
     // post-compaction, the freed id is legitimately re-addable
     val readd = emb.where(col("vec_id") === doomed.head)
     AnnIvfPq.appendVectors(spark, d, readd): Unit
-    assert(AnnServePack.open(d).get._1.size == emb.count() + 5 - doomed.length + 1)
+    assert(AnnServePack.open(d).get._1.size == emb.count() + 10 - doomed.length + 1)
   }
 
   test("retrain: epoch-invalidates the calibration, clears tombstones/markers, serves a fresh-build-shaped index (r15 verdict #4)") {
