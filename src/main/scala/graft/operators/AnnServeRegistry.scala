@@ -84,10 +84,11 @@ object AnnServeRegistry {
     // as flat files (plus the vecstore mmaps) — works on any JVM
     AnnServePack.open(path, hadoopConf) match {
       case Some((ix, cal)) =>
-        val admitted =
-          if (ix.size <= codesServeCap) Some(ix)
-          else None // over this JVM's cap: search throws the over-cap remedy
-        Entry(fp, now, cal, admitted, gen)
+        // a MAPPED pack open is admitted at ANY size (r15 verdict #1):
+        // its ids/codes live in page cache, not on this JVM's heap, so
+        // the codesServeCap — a HEAP budget — does not apply; only the
+        // Spark-read fallback below (heap codes tier) still meters it
+        Entry(fp, now, cal, Some(ix), gen)
       case None =>
         // a lazy open from a TASK thread must not fall back to the
         // parquet read — that nests a Spark job inside a task; only the
