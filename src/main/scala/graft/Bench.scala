@@ -123,6 +123,12 @@ object Bench {
     val incrBuild = timedBuild("incr_merge_build", Seq("q103")) {
       graft.operators.Spatial.warmIncrementalMergeIndex(spark, sfDir)
     }
+    // q80's 4-merge BPE training (one-time cost, own key) — q80's suite
+    // number then measures the encode pass, the recurring tokenization
+    // cost; q77 keeps re-training per run (training IS its measured work)
+    val bpeBuild = timedBuild("bpe_merge_build", Seq("q80")) {
+      graft.operators.PipelineOps.warmBpeMerges(spark, sfDir)
+    }
     // q104's store save + partial-rewrite merge (one-time cost, own key)
     val storeBuild = timedBuild("store_merge_build", Seq("q104")) {
       graft.operators.Spatial.warmStoreMergeIndex(spark, sfDir)
@@ -2411,7 +2417,7 @@ object Bench {
     // sfDir/outPath must not break the "guaranteed parseable last line"
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val errors = (results ++ maskTimes ++ annFast ++ bpeKernel ++ ann1m ++ ann1mHard ++ ann4m ++ ann4mHard ++ ann10m ++ ann10mHard ++ ann10mCal ++ serve100k ++ annAppend ++ annDrift ++ annMapped10m ++ annMapped300m ++ annDelete ++ storeRemove ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ storeChainDeep ++ ivfBuild ++ pqBuild ++ residualBuild ++ incrBuild ++ storeBuild ++ exactBuild10m)
+    val errors = (results ++ maskTimes ++ annFast ++ bpeKernel ++ ann1m ++ ann1mHard ++ ann4m ++ ann4mHard ++ ann10m ++ ann10mHard ++ ann10mCal ++ serve100k ++ annAppend ++ annDrift ++ annMapped10m ++ annMapped300m ++ annDelete ++ storeRemove ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ storeChainDeep ++ ivfBuild ++ pqBuild ++ residualBuild ++ incrBuild ++ bpeBuild ++ storeBuild ++ exactBuild10m)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -2529,6 +2535,7 @@ object Bench {
         (if (incrBuild.isEmpty) "" else s""","incr_merge_build_sec":${incrBuild.head._2}""") +
         (if (appendBuild.isEmpty) "" else s""","append_exact_build_sec":${appendBuild.head._2}""") +
         (if (storeBuild.isEmpty) "" else s""","store_merge_build_sec":${storeBuild.head._2}""") +
+        (if (bpeBuild.isEmpty) "" else s""","bpe_merge_build_sec":${bpeBuild.head._2}""") +
         (if (pqBuild.isEmpty) "" else s""","pq_exact_build_sec":${pqBuild.head._2}""") +
         (if (residualBuild.isEmpty) "" else s""","residual_exact_build_sec":${residualBuild.head._2}""")
     val ladder4mJson = queryLadder4m.map { l =>

@@ -673,7 +673,17 @@ final class ClusterIndex private[cluster] (
   def save(path: String): Unit = {
     val spark = levels.sparkSession
     import spark.implicits._
-    levels.toDF().write.mode("overwrite").parquet(s"$path/levels")
+    // exact-mode levels live in ONE partition (the greedy pass's single
+    // task) — written as-is, the save is a single-threaded parquet encode.
+    // Spread cores-shy level tables across the executors before writing:
+    // same rows, same reload surface (plain parquet), wall time bound by
+    // the widest writer instead of one task; already-parallel level tables
+    // (grid/Morton mode) write unchanged.
+    val lv = levels.toDF()
+    val parts = spark.sparkContext.defaultParallelism
+    val spread =
+      if (levels.rdd.getNumPartitions < parts) lv.repartition(parts) else lv
+    spread.write.mode("overwrite").parquet(s"$path/levels")
     Seq((numPoints, opts.minZoom, opts.maxZoom, opts.radius, opts.extent,
       opts.minPoints, opts.insertionRanks, ranksAvailable))
       .toDF("num_points", "min_zoom", "max_zoom", "radius", "extent",

@@ -531,8 +531,9 @@ object Similarity {
     */
   def warmIvfExactIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val (indexed, _) = ivfExactIndex(spark, dir)
+    val (indexed, centroids) = ivfExactIndex(spark, dir)
     indexed.count(): Unit
+    centroids.count(): Unit
   }
 
   /** q47 and q76 run the IDENTICAL exact-mode IVF build (same defaults,
@@ -558,7 +559,10 @@ object Similarity {
       case None =>
         val emb = Tables.embeddings(spark, dir)
         val (indexed, centroids) = AnnIvf.buildIndex(emb, exactScores = true)
-        val v = (indexed.persist(), centroids)
+        // persist BOTH sides: the centroid frame is a full Lloyd aggregate
+        // over the corpus — unpersisted, every consumer rep (q47/q98/q100/
+        // q107 probes, q98's save) replayed that scan+agg per evaluation
+        val v = (indexed.persist(), centroids.persist())
         ivfExactCache.put((spark, dir), v): Unit
         v
     }
