@@ -119,6 +119,12 @@ object Bench {
     val appendBuild = timedBuild("append_exact_build", Seq("q108")) {
       graft.operators.Similarity.warmAppendExactIndex(spark, sfDir)
     }
+    // q109's build + save + deleteVectors chain — the key the q109
+    // memoization contract documents (its suite number then measures the
+    // recurring search-over-tombstones cost, not the one-time chain)
+    val deleteBuild = timedBuild("delete_exact_build", Seq("q109")) {
+      graft.operators.Similarity.warmDeleteExactIndex(spark, sfDir)
+    }
     // q103's base build + incremental merge, same discipline
     val incrBuild = timedBuild("incr_merge_build", Seq("q103")) {
       graft.operators.Spatial.warmIncrementalMergeIndex(spark, sfDir)
@@ -2417,7 +2423,7 @@ object Bench {
     // sfDir/outPath must not break the "guaranteed parseable last line"
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val errors = (results ++ maskTimes ++ annFast ++ bpeKernel ++ ann1m ++ ann1mHard ++ ann4m ++ ann4mHard ++ ann10m ++ ann10mHard ++ ann10mCal ++ serve100k ++ annAppend ++ annDrift ++ annMapped10m ++ annMapped300m ++ annDelete ++ storeRemove ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ storeChainDeep ++ ivfBuild ++ pqBuild ++ residualBuild ++ incrBuild ++ bpeBuild ++ storeBuild ++ exactBuild10m)
+    val errors = (results ++ maskTimes ++ annFast ++ bpeKernel ++ ann1m ++ ann1mHard ++ ann4m ++ ann4mHard ++ ann10m ++ ann10mHard ++ ann10mCal ++ serve100k ++ annAppend ++ annDrift ++ annMapped10m ++ annMapped300m ++ annDelete ++ storeRemove ++ gridBuildLadder ++ incrMerge ++ storeMerge ++ storeLadder ++ storeChain ++ storeChainDeep ++ ivfBuild ++ pqBuild ++ residualBuild ++ incrBuild ++ bpeBuild ++ appendBuild ++ deleteBuild ++ storeBuild ++ exactBuild10m)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -2534,6 +2540,7 @@ object Bench {
       (if (ivfBuild.isEmpty) "" else s""","ivf_exact_build_sec":${ivfBuild.head._2}""") +
         (if (incrBuild.isEmpty) "" else s""","incr_merge_build_sec":${incrBuild.head._2}""") +
         (if (appendBuild.isEmpty) "" else s""","append_exact_build_sec":${appendBuild.head._2}""") +
+        (if (deleteBuild.isEmpty) "" else s""","delete_exact_build_sec":${deleteBuild.head._2}""") +
         (if (storeBuild.isEmpty) "" else s""","store_merge_build_sec":${storeBuild.head._2}""") +
         (if (bpeBuild.isEmpty) "" else s""","bpe_merge_build_sec":${bpeBuild.head._2}""") +
         (if (pqBuild.isEmpty) "" else s""","pq_exact_build_sec":${pqBuild.head._2}""") +

@@ -688,31 +688,36 @@ object PipelineOps {
             md5(concat_ws(" ", slice(col("tk"), i, lit(n)))
               .cast("binary")).as("h")))).as("s"))
       .select(col("doc_id"), col("s.pos"), col("s.h"))
-    // duplicated windows (corpus-wide h-window count, q75's single-pass
-    // shape) → the distinct token positions they cover
-    val removed = spans
+    // duplicated-window START positions (corpus-wide h-window count, q75's
+    // single-pass shape). A token at position q is removed iff some
+    // duplicated window STARTS in [q-(n-1), q] — so instead of exploding
+    // every start into its n covered positions, deduping them, and
+    // equi-joining the token stream against the result (r16 before-shape:
+    // explode ≤n× the dup mass + DISTINCT shuffle + a corpus-sized join,
+    // 4 exchanges), ride the start markers INTO the token stream and
+    // resolve coverage with ONE doc-partitioned RANGE window over pos
+    // (guide §2.4: two operations keyed the same way share one exchange —
+    // the window's doc_id hash partitioning is the same exchange the
+    // final per-doc aggregation needs, so AQE plans 2 exchanges total).
+    val dupStarts = spans
       .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
       .where(col("n_occ") >= 2)
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("rpos"))
-      .distinct()
+      .select(col("doc_id"), col("pos"),
+        lit(null).cast("string").as("w"), lit(1L).as("_start"))
     val toks = withTk
       .select(col("doc_id"), col("ntok"), posexplode(col("tk")).as(Seq("pos0", "w")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("w"))
-    // flag removed positions with a LEFT join and fold everything in ONE
-    // per-doc aggregation (count / kept / removed / cleaned hash). A
-    // left-ANTI + join-back-to-base formulation computes the same values,
-    // but its final preserved-cardinality outer join is eliminable — a
-    // downstream count() over it optimizes to a bare scan, so nothing
-    // guarantees the operator's work actually runs for aggregate-only
-    // consumers. Here the aggregation consumes the join output directly:
-    // every doc keeps all its token rows, fully-removed docs fall out as
-    // kept=0 with md5('') naturally, and no join-back is needed at all.
-    val flagged = toks.join(removed,
-      toks("doc_id") === removed("doc_id") && toks("pos") === removed("rpos"),
-      "left")
-      .select(toks("doc_id"), col("pos"), col("w"),
-        removed("rpos").isNotNull.as("rm"))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("w"),
+        lit(0L).as("_start"))
+    // max(_start) over the trailing n-token range flags coverage; marker
+    // rows (w IS NULL) drop after the window. Range frames include ALL
+    // rows at equal pos, so a window starting exactly at q covers q's
+    // token regardless of intra-partition row order.
+    val wr = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rangeBetween(-(n - 1).toLong, 0L)
+    val flagged = toks.unionByName(dupStarts)
+      .withColumn("rm", max(col("_start")).over(wr) === 1L)
+      .where(col("_start") === 0L)
+      .select(col("doc_id"), col("pos"), col("w"), col("rm"))
     val keptArr = filter(
       array_sort(collect_list(struct(col("pos"), col("rm"), col("w")))),
       s => !s.getField("rm"))
@@ -1158,9 +1163,12 @@ object PipelineOps {
       expr(s"instr('0123456789abcdef', substring(md5(cast(g as binary)), $i, 1))") - 1
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
-    val grams = docs.select(col("doc_id"), col("source"), explode(col("tk")).as("g"))
-      .unionByName(docs.where(size(col("tk")) >= 2)
-        .select(col("doc_id"), col("source"), explode(shingles(col("tk"), 2)).as("g")))
+    // one Generate over the concatenated (unigrams ++ bigrams) array — the
+    // previous union of two explodes scanned + tokenized the corpus twice
+    // (shingles() yields [] below 2 tokens, so the concat is exactly the
+    // union's row multiset; pre-aggregation row order is immaterial)
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(concat(col("tk"), shingles(col("tk"), 2))).as("g"))
     // the one corpus-sized shuffle; checkpointed because it feeds the two
     // 256-row model aggregates AND the scoring join (q60's lifecycle)
     val db = grams

@@ -413,10 +413,19 @@ object TextOps {
     */
   private def lshPairsDf(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = Tables.documents(spark, dir)
+    // localCheckpoint both shared frames: the band-mins frame feeds BOTH
+    // sides of the bucket self-join and the token-set frame both sides of
+    // the rescore join — unchkpt'd, Catalyst plans each side as its own
+    // subtree and the md5-per-shingle MinHash pass (the scan's dominant
+    // cost) executes twice, plus the tokenization twice again for the
+    // rescore (plan evidence: 8 documents scans in the r16 before-plan,
+    // 2 after). The frames are tiny (one row per doc); the checkpoint is
+    // the same lifecycle q60/q62's component cache already uses.
     val withMins = docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), minhashBandMins(col("tk"), 3, 4).as("bm"))
       .where(col("bm").isNotNull)
+      .localCheckpoint()
     val bands = (0 until 4).map(b =>
       struct(lit(b.toLong).as("band"), element_at(col("bm"), b + 1).as("mh")))
     val sig = withMins
@@ -427,6 +436,7 @@ object TextOps {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val d = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
+      .localCheckpoint()
     cand
       .join(d.select(col("doc_id").as("id_a"), col("tk").as("ta")), Seq("id_a"))
       .join(d.select(col("doc_id").as("id_b"), col("tk").as("tb")), Seq("id_b"))
@@ -990,10 +1000,13 @@ object TextOps {
       minCos: Double): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(25, 12)
+    // localCheckpoint: tf feeds the df aggregate AND the inverted index on
+    // different keys — unchkpt'd the tokenize+explode+agg runs twice
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .where(col("df").between(2, dfCutoff))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -1062,10 +1075,14 @@ object TextOps {
     */
   def tfidfReport(docs: org.apache.spark.sql.DataFrame, topN: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint: tf feeds the df aggregate and the scoring join on
+    // DIFFERENT keys (term vs doc_id), so neither exchange is reusable and
+    // the tokenize+explode+agg would otherwise run twice
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, "term")
@@ -1089,12 +1106,17 @@ object TextOps {
     require(maxHamming <= 3,
       "4×15-bit bands guarantee completeness only to Hamming distance 3 — " +
         "raise the band count before the radius")
+    // localCheckpoint: the signature frame feeds both sides of the band
+    // self-join — unchkpt'd, the explode+md5+60-bit-sum aggregation (the
+    // operator's dominant cost) executes once per side (r16 before-plan:
+    // the whole pipeline appears twice under the join)
     val sig = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), tokenHash(col("t")).as("h"))
       .groupBy(col("doc_id"))
       .agg(simhashWideBitSums(col("h")).head, simhashWideBitSums(col("h")).tail: _*)
       .select(col("doc_id"), simhashWideFromBitSums().as("sig"))
+      .localCheckpoint()
     val bands = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band"),
