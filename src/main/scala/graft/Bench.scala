@@ -163,12 +163,30 @@ object Bench {
     // scan before this fix — 0.17 s for a 2 s plan). toRdd executes the
     // planned output rows — every column, no driver collect — which is
     // what Verify writes and what a consumer reads.
+    // desample-guard ledger: the single-partition final-sort rewrite is only
+    // valid for driver-bounded results (PlanBridge scaladoc) — record any
+    // query whose EXECUTED row count breaks that invariant so it fails
+    // loudly in the artifact instead of silently bottlenecking one task
+    val desampleOverflow = scala.collection.mutable.ArrayBuffer.empty[String]
     val resultsFull = selected.zipWithIndex.map { case ((name, fn), qi) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-          catch { case NonFatal(_) => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val ok = try {
+          val rows = fn(spark, sfDir).queryExecution.toRdd.count()
+          GraftQuery.desampleOverflow(name, rows).foreach { msg =>
+            if (!desampleOverflow.contains(name)) {
+              System.err.println(s"[bench] DESAMPLE OVERFLOW $msg")
+              desampleOverflow += name
+            }
+          }
+          true
+        } catch { case NonFatal(_) => false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // free this rep's registered per-invocation checkpoint scratch —
+        // unreleased, 3 reps x 109 queries accumulate blocks for the whole
+        // suite (r16 advice); non-blocking, after the timing capture
+        ScratchFrames.release()
+        (elapsed, ok)
       }
       if ((qi + 1) % 15 == 0 && qi + 1 < selected.size)
         calibrationProfile += ((qi + 1, calibrationSec(warmups = 1, reps = 3)))
@@ -226,7 +244,9 @@ object Bench {
             val t0 = System.nanoTime()
             val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
               catch { case NonFatal(_) => false }
-            ((System.nanoTime() - t0) / 1e9, ok)
+            val elapsed = (System.nanoTime() - t0) / 1e9
+            ScratchFrames.release()
+            (elapsed, ok)
           }
           val good = runs.filter(_._2).map(_._1)
           val med = if (good.nonEmpty) median(good) else median(runs.map(_._1))
@@ -2558,8 +2578,24 @@ object Bench {
     // which it was, or a 4-core run reads as a 2-3x regression).
     // -1 = non-numeric master spec (e.g. SPARK_GRAFT_CPUS='*')
     val cpusJson = scala.util.Try(cpus.toInt).getOrElse(-1)
+    // box identity (r16 advice): per-box wall-clock differs ~1.6× between
+    // measuring boxes with identical code — the artifact must say where it
+    // was produced so cross-commit totals are only compared same-box
+    val boxJson = {
+      val host = try java.net.InetAddress.getLocalHost.getHostName
+        catch { case NonFatal(_) => "unknown" }
+      val physCores = Runtime.getRuntime.availableProcessors()
+      val memGb = try {
+        val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        os.getTotalMemorySize / (1024.0 * 1024 * 1024)
+      } catch { case NonFatal(_) => -1.0 }
+      s""","box":{"host":"${jstr(host)}","avail_procs":$physCores,"mem_gb":$memGb}"""
+    }
+    val overflowJson = desampleOverflow
+      .map(n => "\"" + jstr(n) + "\"").mkString(""","desample_overflow":[""", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpusJson,"queries":${jmap(results)},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpusJson$boxJson$overflowJson,"queries":${jmap(results)},""" +
         s""""queries_cold":${jmap(resultsCold)},"total_cold":$totalCold,""" +
         s""""filter_mask_load":${jmap(maskTimes)},"errors":$errors$annFastJson$bpeKernelJson$ann1mJson$ann1mHardJson$ann4mJson$ann4mHardJson$ann10mJson$ann10mHardJson$ann10mCalJson$serve100kJson$annAppendJson$annDriftJson$annMappedJson$annDeleteJson$storeRemoveJson$ranksBuildJson$gridLadderJson$incrMergeJson$storeMergeJson$storeLadderJson$storeChainJson$storeChainDeepJson$wireJson$wireMatchedJson$memJson$ladderJson$ladder1mJson$ladder4mJson$exactBuild10mJson$ivfBuildJson$calibrationJson$rerunJson$sectionRerunJson$adjudicationJson,"sf":"${jstr(sfDir)}"}"""
 

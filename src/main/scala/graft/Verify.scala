@@ -31,9 +31,20 @@ object Verify {
       // a stale marker from a previous run into a reused outDir must not
       // outlive the retry that fixed it — the marker reflects THIS attempt
       Files.deleteIfExists(Paths.get(s"$outDir/$name.ERROR")): Unit
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // desample guard: the single-partition final-sort rewrite assumes
+        // driver-bounded results — surface a breach loudly at declaration
+        // time (count over the written files; footer-metadata cheap)
+        GraftQuery
+          .desampleOverflow(name, spark.read.parquet(s"$outDir/$name").count())
+          .foreach(msg => System.err.println(s"[verify] DESAMPLE OVERFLOW $msg"))
+        // free this query's per-invocation checkpoint scratch (r16 advice:
+        // unreleased blocks accumulate across the 109-query dump)
+        ScratchFrames.release()
+      } catch { case e: Throwable =>
+        ScratchFrames.release()
         val msg = s"${e.getClass.getName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: $msg")
         failed(name) = msg

@@ -86,10 +86,23 @@ object GridHierarchy {
     val spark = points.sparkSession
     val totalPoints = if (idSpace >= 0L) idSpace else points.count()
 
+    // per-pass checkpoints are SCRATCH once the final union below is
+    // materialized: release them (r16 advice — unreleased, every build
+    // leaked ~maxZoom levels of blocks into the block manager for the
+    // session's lifetime; a suite with dozens of builds accumulated GBs).
+    // Caveat shared with localCheckpoint itself: after release, `all`'s
+    // partitions can no longer recompute from lineage — its persisted
+    // MEMORY_AND_DISK blocks are the single copy (fine in local mode;
+    // on a cluster an executor loss already voids any local checkpoint).
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); scratch += c; c
+    }
+
     // base level: one record per clean point, f32-quantized mercator coords.
     // Materialized once: the collision probe below, the identity-pass
     // emissions, and the first fusing pass all re-read it.
-    var prev = baseRecords(points, lngCol, latCol, idCol).localCheckpoint()
+    var prev = ckpt(baseRecords(points, lngCol, latCol, idCol))
 
     // ── identity-pass skip: z* = the deepest pass at which ANY two clean
     // points share a grid cell. Cell grids nest dyadically across passes
@@ -184,7 +197,7 @@ object GridHierarchy {
       // [[nextRecords]], SHARED with [[IncrementalGrid.merge]] so the
       // incremental path recomputes affected cells with bit-identical
       // arithmetic by construction.
-      val wide = passWide(prev, z, opts, totalPoints).localCheckpoint()
+      val wide = ckpt(passWide(prev, z, opts, totalPoints))
       levels += emitLevel(wide, z, opts)
       prev = nextRecords(wide, opts)
       z -= 1
@@ -197,6 +210,8 @@ object GridHierarchy {
     val all = levels.reduce(_ unionByName _)
       .persist(StorageLevel.MEMORY_AND_DISK)
     all.count()
+    scratch.foreach(
+      org.apache.spark.sql.graftbridge.PlanBridge.unpersistCheckpointBlocks(_))
     all
   }
 

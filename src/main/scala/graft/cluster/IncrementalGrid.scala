@@ -127,7 +127,11 @@ object IncrementalGrid {
     // first makes the scratch release safe by construction
     val all = dbg("final_ckpt")(
       (keep +: emits).reduce(_ unionByName _).localCheckpoint())
-    scratch.foreach(_.unpersist())
+    // through PlanBridge: Dataset.unpersist is a silent no-op on
+    // checkpointed frames (CacheManager never saw them) — the blocks
+    // belong to the LogicalRDD inside the plan
+    scratch.foreach(
+      org.apache.spark.sql.graftbridge.PlanBridge.unpersistCheckpointBlocks(_))
     all
   }
 

@@ -1138,7 +1138,8 @@ object IndexStore {
       val totalBuckets = phase("commit") {
         writeMeta(spark, path, meta.copy(numPoints = newTotal,
           levelsRows = meta.levelsRows - nOldTouched + nOut, epoch = newEpoch))
-        scratch.foreach(_.unpersist())
+        scratch.foreach(
+          org.apache.spark.sql.graftbridge.PlanBridge.unpersistCheckpointBlocks(_))
         listBuckets(spark, path).length.toLong
       }
       MergeStats(nNew, touched.length + 1L, totalBuckets, phases.toMap,
@@ -1155,7 +1156,8 @@ object IndexStore {
           case None => throw c
         }
     }
-    } finally scratch.foreach(_.unpersist(): Unit)
+    } finally scratch.foreach(
+      org.apache.spark.sql.graftbridge.PlanBridge.unpersistCheckpointBlocks(_))
   }
 
   /** Disjoint-merge REBASE (r15 verdict #5): when this merge loses the
@@ -1501,12 +1503,14 @@ object IndexStore {
       val totalBuckets = phase("commit") {
         writeMeta(spark, path, meta.copy(
           levelsRows = meta.levelsRows - nOldTouched + nOut, epoch = newEpoch))
-        scratch.foreach(_.unpersist())
+        scratch.foreach(
+          org.apache.spark.sql.graftbridge.PlanBridge.unpersistCheckpointBlocks(_))
         listBuckets(spark, path).length.toLong
       }
       MergeStats(nRemoved, touched.length + 1L, totalBuckets, phases.toMap,
         manifestFilesWritten, manifestBytesWritten, plannedFiles)
-    } finally scratch.foreach(_.unpersist(): Unit)
+    } finally scratch.foreach(
+      org.apache.spark.sql.graftbridge.PlanBridge.unpersistCheckpointBlocks(_))
   }
 
   /** Test-only interleave point: invoked between a merge's data-file

@@ -428,7 +428,10 @@ object PipelineOps {
           // state stay O(1) in the merge count
           if (t % BpeCheckpointEvery == 0) {
             val ck = cur.localCheckpoint()
-            lastCkpt.foreach(_.unpersist())
+            // Dataset.unpersist is a no-op on checkpointed frames (it only
+            // consults the CacheManager) — free the LogicalRDD blocks
+            lastCkpt.foreach(
+              org.apache.spark.sql.graftbridge.PlanBridge.unpersistCheckpointBlocks(_))
             lastCkpt = Some(ck)
             cur = ck
           }
@@ -437,7 +440,8 @@ object PipelineOps {
       }
     } finally {
       vocab0.unpersist(): Unit
-      lastCkpt.foreach(_.unpersist()): Unit
+      lastCkpt.foreach(
+        org.apache.spark.sql.graftbridge.PlanBridge.unpersistCheckpointBlocks(_)): Unit
     }
     rows.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq", "applied_freq")
   }
@@ -915,15 +919,23 @@ object PipelineOps {
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     import graft.functions.TextFunctions.{shingles, tokens}
     val docs = Tables.documents(spark, dir)
-    val w = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-    val per = w.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n"),
-      countDistinct(col("w")).as("nd"),
-      sum(length(col("w"))).as("wlen"))
-    val w1 = Window.partitionBy(col("doc_id")).orderBy(desc("cnt"), col("w"))
+    // ONE (doc_id, w) aggregate carries everything the per-doc stats need:
+    // n = Σcnt, nd = group count, wlen = Σ cnt·len(w) — all exact integer
+    // identities of the old per-doc aggregate — so the corpus tokenize +
+    // explode runs ONCE for unigrams (was twice: `per` + `top1`) and the
+    // countDistinct Expand plan disappears; the per-doc sums ride the SAME
+    // doc_id window exchange the top-unigram rank needs (guide §2.4: two
+    // operations keyed the same way share one exchange).
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val w1 = wDoc.orderBy(desc("cnt"), col("w"))
     val top1 = w.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum(col("cnt")).over(wDoc))
+      .withColumn("nd", count(lit(1)).over(wDoc))
+      .withColumn("wlen", sum(col("cnt") * length(col("w"))).over(wDoc))
       .withColumn("rk", row_number().over(w1)).where(col("rk") === 1)
-      .select(col("doc_id"), col("cnt"))
+      .select(col("doc_id"), col("n"), col("nd"), col("wlen"), col("cnt"))
     val bg = docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .where(size(col("tk")) >= 2)
@@ -933,8 +945,7 @@ object PipelineOps {
       .withColumn("nb", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
       .withColumn("rk", row_number().over(w2)).where(col("rk") === 1)
       .select(col("doc_id"), col("cnt").as("bcnt"), col("nb"))
-    per
-      .join(top1, Seq("doc_id"))
+    top1
       .join(top2, Seq("doc_id"), "left")
       .select(col("doc_id"),
         col("n").as("n_tokens"),
@@ -1171,11 +1182,10 @@ object PipelineOps {
       explode(concat(col("tk"), shingles(col("tk"), 2))).as("g"))
     // the one corpus-sized shuffle; checkpointed because it feeds the two
     // 256-row model aggregates AND the scoring join (q60's lifecycle)
-    val db = grams
+    val db = graft.ScratchFrames.checkpoint(grams
       .select(col("doc_id"), col("source"), (nib(1) * 16 + nib(2)).cast("int").as("b"))
       .groupBy(col("doc_id"), col("source"), col("b"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("n")))
     val tgt = db.where(col("source").isin("src0", "src1", "src2"))
       .groupBy(col("b")).agg(sum(col("n")).as("ct"))
     val raw = db.groupBy(col("b")).agg(sum(col("n")).as("cr"))

@@ -159,7 +159,8 @@ object Profiling {
     } ++ strCols.flatMap { c =>
       Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))
     }
-    val one = src.agg(aggExprs.head, aggExprs.tail: _*).localCheckpoint()
+    val one = graft.ScratchFrames.checkpoint(
+      src.agg(aggExprs.head, aggExprs.tail: _*))
     // COUNT(DISTINCT c) semantics: NULLs excluded. distinct() is a
     // partial-dedup groupBy on the single pruned column. The per-column
     // jobs are INDEPENDENT, so they submit concurrently (scala Futures
@@ -277,7 +278,8 @@ object Profiling {
     val spread =
       if (pruned.rdd.getNumPartitions < cores) pruned.repartition(cores)
       else pruned
-    val one = spread.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val one = graft.ScratchFrames.checkpoint(
+      spread.agg(aggs.head, aggs.tail: _*))
     def dbl(name: String) = col(name).cast("double")
     val rows = pairs.map { case (x, y) =>
       val n = col("n").cast("double")
@@ -350,8 +352,9 @@ object Profiling {
     */
   def histogramQuantileReport(xs: DataFrame, targets: Seq[Double], bins: Int): DataFrame = {
     require(bins >= 1, s"bin count must be >= 1, got $bins")
-    val stats = xs.agg(min(col("x")).as("m"), max(col("x")).as("mx"),
-      count(lit(1)).as("n")).localCheckpoint()
+    val stats = graft.ScratchFrames.checkpoint(
+      xs.agg(min(col("x")).as("m"), max(col("x")).as("mx"),
+        count(lit(1)).as("n")))
     val binned = xs.join(broadcast(stats))
       .select(when(col("mx") === col("m"), 0)
         .otherwise(least(floor((col("x") - col("m")) / (col("mx") - col("m")) * bins)

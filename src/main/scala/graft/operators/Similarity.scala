@@ -161,9 +161,15 @@ object Similarity {
         col("embedding").as("av"), col("nsq").as("an"))
     val c = e.select(col("vec_id").as("cand_id"), col("label").as("c_label"),
       col("embedding").as("cv"), col("nsq").as("cn"))
+    // the window exchange below carries ONLY ids/labels/score (~50 B/row):
+    // shuffling the embedding arrays through it moved every candidate
+    // vector anchorMax times (guide §2.3 "project before the exchange" /
+    // §8 "decide with small rows, move big rows once") — the shortlist
+    // survivors re-attach their vectors afterwards via two broadcast joins
+    // of the (tiny) embedding table, and the decimal rescore recomputes
+    // from the SAME source columns, so scores are bit-identical.
     val approx = c.join(broadcast(a), col("anchor_id") =!= col("cand_id"))
       .select(col("anchor_id"), col("a_label"), col("cand_id"), col("c_label"),
-        col("av"), col("cv"), col("an"), col("cn"),
         VectorFunctions.cosineApprox(col("av"), col("cv"), col("an"), col("cn"))
           .as("apx"))
     // both windows share the (anchor, same-label?) partition keys → ONE
@@ -179,16 +185,21 @@ object Similarity {
         max(when(col("rk_apx") === kKeep, col("apx"))).over(wGrp))
       .where(col("rk_apx") <= kKeep ||
         col("kth_apx").isNull || col("apx") >= col("kth_apx") - 2e-6)
-      .select(col("anchor_id"), col("a_label"), col("cand_id"), col("c_label"),
-        col("av"), col("cv"), col("an"), col("cn"))
-    // exact rescore of the shortlist only; scored feeds BOTH the positive
-    // and negative rank windows, so pin it (q81's lesson: an unpersisted
-    // shared frame re-runs its upstream once per consumer)
-    val scored = short
+      .select(col("anchor_id"), col("a_label"), col("cand_id"), col("c_label"))
+    // exact rescore of the shortlist only (vectors re-attached by key);
+    // scored feeds BOTH the positive and negative rank windows, so pin it
+    // (q81's lesson: an unpersisted shared frame re-runs its upstream once
+    // per consumer)
+    val eA = e.select(col("vec_id").as("anchor_id"),
+      col("embedding").as("av"), col("nsq").as("an"))
+    val eC = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), col("nsq").as("cn"))
+    val scored = graft.ScratchFrames.checkpoint(short
+      .join(broadcast(eA), Seq("anchor_id"))
+      .join(broadcast(eC), Seq("cand_id"))
       .select(col("anchor_id"), col("a_label"), col("cand_id"), col("c_label"),
         VectorFunctions.cosineFromNormSq(col("av"), col("cv"), col("an"), col("cn"))
-          .as("cos_sim"))
-      .localCheckpoint()
+          .as("cos_sim")))
     val wA = Window.partitionBy(col("anchor_id"))
       .orderBy(desc("cos_sim"), col("cand_id"))
     val pos = scored.where(col("c_label") === col("a_label"))

@@ -805,6 +805,10 @@ object Spatial {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_index_roundtrip"
     index(spark, dir).save(path)
     val reloaded = ClusterEngine.loadIndex(spark, path)
+    // the reloaded serving cache dies with this rep (the next rep reloads
+    // fresh) — release it after the action instead of leaking one
+    // persisted level table per rep
+    graft.ScratchFrames.trackPersisted(reloaded.levels.toDF()): Unit
     reloaded.levels.groupBy(col("zoom"))
       .agg(
         count(lit(1)).as("n_records"),

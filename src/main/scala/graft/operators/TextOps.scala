@@ -78,9 +78,9 @@ object TextOps {
     // vocab-bounded unigram counts, localCheckpointed (same lifecycle as
     // q60's frames) so the corpus token explode runs ONCE even though the
     // frame feeds both the vocabulary size and the scoring join
-    val uniW = w.select(explode(col("tk")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      .localCheckpoint()
+    val uniW = graft.ScratchFrames.checkpoint(
+      w.select(explode(col("tk")).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1")))
     val v = uniW.agg(count(lit(1)).as("vsize"))
     val db = w.where(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(shingles(col("tk"), 2)).as("g"))
@@ -421,11 +421,10 @@ object TextOps {
     // rescore (plan evidence: 8 documents scans in the r16 before-plan,
     // 2 after). The frames are tiny (one row per doc); the checkpoint is
     // the same lifecycle q60/q62's component cache already uses.
-    val withMins = docs
+    val withMins = graft.ScratchFrames.checkpoint(docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), minhashBandMins(col("tk"), 3, 4).as("bm"))
-      .where(col("bm").isNotNull)
-      .localCheckpoint()
+      .where(col("bm").isNotNull))
     val bands = (0 until 4).map(b =>
       struct(lit(b.toLong).as("band"), element_at(col("bm"), b + 1).as("mh")))
     val sig = withMins
@@ -435,8 +434,8 @@ object TextOps {
       .join(sig.select(col("doc_id").as("id_b"), col("band"), col("mh")), Seq("band", "mh"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val d = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk"))
-      .localCheckpoint()
+    val d = graft.ScratchFrames.checkpoint(
+      docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("tk")))
     cand
       .join(d.select(col("doc_id").as("id_a"), col("tk").as("ta")), Seq("id_a"))
       .join(d.select(col("doc_id").as("id_b"), col("tk").as("tb")), Seq("id_b"))
@@ -541,11 +540,18 @@ object TextOps {
         .coalesce(nParts)
         .localCheckpoint()
       changed = upd.where(col("comp") =!= col("_old")).count()
+      // the previous round's labels are superseded the moment `upd` is
+      // materialized (localCheckpoint is eager) — free their blocks, or
+      // every round of every components build lingers for the session
+      // (through PlanBridge: Dataset.unpersist no-ops on checkpoints)
+      org.apache.spark.sql.graftbridge.PlanBridge.unpersistCheckpointBlocks(labels)
       labels = upd.drop("_old")
       iter += 1
     }
     require(changed == 0,
       s"connected components did not converge in $iter rounds — diameter beyond 2^$iter")
+    // und fed its last join; only the returned labels frame stays live
+    org.apache.spark.sql.graftbridge.PlanBridge.unpersistCheckpointBlocks(und)
     labels
   }
 
@@ -555,6 +561,9 @@ object TextOps {
     val pairs = lshPairsDf(spark, dir).where(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b")).localCheckpoint()
     val labels = connectedComponents(pairs)
+    // labels is checkpointed (its lineage no longer reaches pairs) — the
+    // pair frame is scratch from here on
+    org.apache.spark.sql.graftbridge.PlanBridge.unpersistCheckpointBlocks(pairs)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), length(col("text")).as("_len"))
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
@@ -1002,22 +1011,20 @@ object TextOps {
     val dec = DecimalType(25, 12)
     // localCheckpoint: tf feeds the df aggregate AND the inverted index on
     // different keys — unchkpt'd the tokenize+explode+agg runs twice
-    val tf = docs
+    val tf = graft.ScratchFrames.checkpoint(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .where(col("df").between(2, dfCutoff))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // df is filtered to the pairable vocabulary; one shuffle on term
     // attaches it (broadcastable when the vocab fits), then the corpus
     // explode never flows on — wt is the inverted index
-    val wt = tf.join(df, "term")
+    val wt = graft.ScratchFrames.checkpoint(tf.join(df, "term")
       .join(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("w"))
-      .localCheckpoint()
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("w")))
     val nrm = wt.groupBy(col("doc_id"))
       .agg(sum((col("w") * col("w")).cast(dec)).as("n2"))
     val a = wt.select(col("term"), col("doc_id").as("doc_a"), col("w").as("wa"))
@@ -1045,9 +1052,9 @@ object TextOps {
     val w = docs.select(tokens(col("text")).as("tk"))
     // vocab-bounded unigram counts; feeds the total, and both sides of the
     // bigram attach — localCheckpoint so the corpus explode runs once
-    val uni = w.select(explode(col("tk")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    val uni = graft.ScratchFrames.checkpoint(
+      w.select(explode(col("tk")).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c")))
     val tot = uni.agg(sum(col("c")).cast("long").as("n"))
     val bi = w.where(size(col("tk")) >= 2)
       .select(explode(shingles(col("tk"), 2)).as("g"))
@@ -1078,11 +1085,10 @@ object TextOps {
     // localCheckpoint: tf feeds the df aggregate and the scoring join on
     // DIFFERENT keys (term vs doc_id), so neither exchange is reusable and
     // the tokenize+explode+agg would otherwise run twice
-    val tf = docs
+    val tf = graft.ScratchFrames.checkpoint(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, "term")
@@ -1110,13 +1116,12 @@ object TextOps {
     // self-join — unchkpt'd, the explode+md5+60-bit-sum aggregation (the
     // operator's dominant cost) executes once per side (r16 before-plan:
     // the whole pipeline appears twice under the join)
-    val sig = docs
+    val sig = graft.ScratchFrames.checkpoint(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), tokenHash(col("t")).as("h"))
       .groupBy(col("doc_id"))
       .agg(simhashWideBitSums(col("h")).head, simhashWideBitSums(col("h")).tail: _*)
-      .select(col("doc_id"), simhashWideFromBitSums().as("sig"))
-      .localCheckpoint()
+      .select(col("doc_id"), simhashWideFromBitSums().as("sig")))
     val bands = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band"),
@@ -1177,12 +1182,12 @@ object TextOps {
       |SELECT tok AS token, c AS true_count, CAST(cms_c AS BIGINT) AS cms_count,
       |  CAST(cms_c - c AS BIGINT) AS overestimate
       |FROM est ORDER BY true_count DESC, token""".stripMargin) { (spark, dir) =>
-    val tc = Tables.documents(spark, dir)
+    val tc = graft.ScratchFrames.checkpoint(Tables.documents(spark, dir)
       .select(tokens(col("text")).as("tk"))
       .where(size(col("tk")) >= 2)
       .select(explode(shingles(col("tk"), 2)).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .localCheckpoint() // vocab-bounded; feeds sketch, top-k, and verify
+      .groupBy(col("tok")).agg(count(lit(1)).as("c")))
+      // ^ vocab-bounded; feeds sketch, top-k, and verify
     val buck = cmsBuckets(tc, "tok")
     val cms = buck.groupBy(col("j"), col("b")).agg(sum(col("c")).as("cell"))
     val top = tc.orderBy(desc("c"), col("tok")).limit(40)

@@ -42,4 +42,20 @@ object PlanBridge {
             child = Repartition(numPartitions = 1, shuffle = true, child)))
       case _ => df
     }
+
+  /** Actually free the block-manager blocks behind a `localCheckpoint()`ed
+    * frame. `Dataset.unpersist` only consults the CacheManager — which never
+    * saw a checkpoint (it tracks `persist`ed queries), so on a checkpointed
+    * Dataset it is a silent NO-OP (verified empirically on Spark 4.1: the
+    * persisted RDD count is unchanged after `Dataset.unpersist`). The blocks
+    * belong to the RDD inside the plan's `LogicalRDD` leaf; unpersisting
+    * THAT releases them. Safe on any frame: non-checkpointed plans simply
+    * have no LogicalRDD leaf (and an unpersisted RDD unpersist is a no-op).
+    */
+  def unpersistCheckpointBlocks(df: DataFrame, blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking): Unit
+      case _ => ()
+    }
 }
