@@ -803,10 +803,14 @@ object TextOps {
   def kmvSketchReport(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, "KMV needs k >= 2 (the estimate is (k-1)*2^32/h_k)")
-    val tok = docs
+    // tok feeds BOTH the sketch pipeline and the exact-count aggregate —
+    // checkpoint so the tokenize+shingle explode runs once (q60's
+    // lifecycle). The sketch is partition-invariant by construction
+    // (class doc), so re-rooting the frame cannot change the result.
+    val tok = graft.ScratchFrames.checkpoint(docs
       .select(col("source"), tokens(col("text")).as("tk"))
       .where(size(col("tk")) >= 2)
-      .select(col("source"), explode(shingles(col("tk"), 2)).as("token"))
+      .select(col("source"), explode(shingles(col("tk"), 2)).as("token")))
     val hashed = tok.select(col("source"),
       conv(substring(md5(col("token").cast("binary")), 1, 8), 16, 10)
         .cast("long").as("h"))

@@ -321,12 +321,29 @@ object StreamingOps {
     val raw = Tables.withEventTime(
       spark.readStream.schema(schema).parquet(s"$dir/events.*"))
     val name = s"graft_stream_${runCounter.incrementAndGet()}"
-    val q = transform(raw).writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Spark 4.1 writes + verifies a checksum SIDECAR for every checkpoint
+    // file (spark.sql.streaming.checkpoint.fileChecksum.enabled, default
+    // on) — corruption detection for long-lived checkpoints. This runner
+    // always uses an EPHEMERAL temp checkpoint (memory sink, AvailableNow,
+    // discarded at termination), where the sidecars are pure small-file
+    // I/O: measured 2.9-3.1 s → 2.2-2.5 s warm per run (and an 18 s cold
+    // outlier gone) with checksums off. Scoped to this runner and restored
+    // after — a production job passing a DURABLE checkpointLocation keeps
+    // the default protection.
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prev = spark.conf.getOption(ckKey)
+    spark.conf.set(ckKey, "false")
+    try {
+      val q = transform(raw).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(ckKey, v)
+      case None => spark.conf.unset(ckKey)
+    }
     spark.table(name)
   }
 }
