@@ -27,21 +27,28 @@ import org.apache.spark.sql.DataFrame
 object ScratchFrames {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Eagerly localCheckpoint `df` and register the result for release. */
-  def checkpoint(df: DataFrame): DataFrame = {
-    val c = df.localCheckpoint()
-    live.add(c)
-    c
+  /** Callers that never [[release]] (test suites drive the operators
+    * directly) must not have the queue PIN frames forever — past this many
+    * entries the oldest references are simply dropped (not unpersisted:
+    * only the harness can prove a frame dead), restoring the GC +
+    * ContextCleaner cleanup those callers had before the registry existed.
+    * Bench/Verify drain per rep/query and never approach the cap. */
+  private val MaxPinned = 512
+
+  private def add(df: DataFrame): DataFrame = {
+    live.add(df)
+    while (live.size > MaxPinned) { live.poll(): Unit }
+    df
   }
+
+  /** Eagerly localCheckpoint `df` and register the result for release. */
+  def checkpoint(df: DataFrame): DataFrame = add(df.localCheckpoint())
 
   /** Register an already-`persist`ed frame whose cache dies with this
     * invocation (e.g. q83's per-rep reloaded index levels — loadIndex
     * persists them for serving, but the roundtrip query reads them once
     * and the next rep reloads fresh). Released by the same [[release]]. */
-  def trackPersisted(df: DataFrame): DataFrame = {
-    live.add(df)
-    df
-  }
+  def trackPersisted(df: DataFrame): DataFrame = add(df)
 
   /** Unpersist every registered scratch frame (non-blocking). Harness-side
     * hook — called after the action that consumed the frames. Goes through
